@@ -1,0 +1,129 @@
+"""Analyzers: morphological-contract tokenizer + ES-style 2-gram.
+
+Two analyzers mirror the reference's two indexed-field types:
+
+- ``tokenize_morph`` reproduces the *contract* of the reference
+  morphological analyzer (common/morph_analyzer.py:14-46): content
+  tokens only, token length > 1, a fixed stopword set, English
+  lowercased, per-document dedup. The reference uses Kiwi (Korean
+  POS) + spaCy (English POS); those models are not available here, so
+  the content-token rule is "runs of word characters", which is exact
+  on the synthetic corpus (whose vocabulary is whole words) and
+  deterministic everywhere. The reference returns ``list(set(...))``
+  (unordered); we sort for determinism.
+
+- ``tokenize_2gram`` reproduces the ES ``two_gram_analyzer``
+  (schema/es/es.sh:16-29): an ngram tokenizer with
+  min_gram=max_gram=2 and default token_chars=[] (i.e. 2-grams are
+  taken over the *raw* analyzed string, whitespace included) plus a
+  lowercase filter.
+
+- ``term_freqs`` is the index-build workhorse: doc text ->
+  array<struct<term,tf>>. Computing tf inside the UDF is a map-side
+  partial aggregation: the downstream explode ships one row per
+  *distinct* term per doc instead of one per token instance, which at
+  10^12-doc scale removes the largest shuffle of the build.
+
+All are Arrow pandas UDFs (vectorized C regex via ``.str.findall``;
+the only Python-level loop is per *row*, over already-tokenized
+lists).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Reference stopword set, common/morph_analyzer.py:9-12 (verbatim contract).
+STOPWORDS = frozenset(
+    {
+        "경우", "사항", "이상", "이후", "통한", "위한", "따른",
+        "사람인", "원티드", "리멤버", "포지션", "합격", "입사", "보상금",
+    }
+)
+
+# Content-token rule: maximal runs of Korean syllables / latin / digits / '/'.
+_TOKEN_RE = r"[가-힣a-z0-9/]+"
+
+
+def tokenize_morph_py(text: str, dedup: bool = True) -> list[str]:
+    """Scalar morph-contract tokenizer (reference form, deterministic)."""
+    import re
+
+    toks = [
+        t
+        for t in re.findall(_TOKEN_RE, text.lower())
+        if len(t) > 1 and t not in STOPWORDS
+    ]
+    return sorted(set(toks)) if dedup else toks
+
+
+def morph_tokens_series(s: pd.Series, dedup: bool = True) -> pd.Series:
+    """Vectorized morph tokenizer over a string Series."""
+    found = s.str.lower().str.findall(_TOKEN_RE)
+    if dedup:
+        return found.map(
+            lambda ts: sorted({t for t in ts if len(t) > 1 and t not in STOPWORDS})
+        )
+    return found.map(lambda ts: [t for t in ts if len(t) > 1 and t not in STOPWORDS])
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def tokenize_morph(text: pd.Series) -> pd.Series:
+    """text -> sorted distinct content tokens (the ``morph`` field)."""
+    return morph_tokens_series(text, dedup=True)
+
+
+def tokenize_2gram_py(text: str) -> list[str]:
+    """Scalar 2-gram analyzer (ES ngram min=max=2 + lowercase)."""
+    t = text.lower()
+    return [t[i : i + 2] for i in range(len(t) - 1)]
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def tokenize_2gram(text: pd.Series) -> pd.Series:
+    lowered = text.str.lower()
+    return lowered.map(lambda t: [t[i : i + 2] for i in range(len(t) - 1)])
+
+
+_TF_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("term", T.StringType()),
+            T.StructField("tf", T.IntegerType()),
+        ]
+    )
+)
+
+
+def term_freqs_series(s: pd.Series, analyzer: str = "morph") -> pd.Series:
+    if analyzer == "morph":
+        token_lists = morph_tokens_series(s, dedup=False)
+    elif analyzer == "2gram":
+        lowered = s.str.lower()
+        token_lists = lowered.map(
+            lambda t: [t[i : i + 2] for i in range(len(t) - 1)]
+        )
+    else:
+        raise ValueError(f"unknown analyzer: {analyzer}")
+    return token_lists.map(
+        lambda ts: [
+            {"term": term, "tf": tf} for term, tf in sorted(Counter(ts).items())
+        ]
+    )
+
+
+def make_term_freqs_udf(analyzer: str = "morph"):
+    """Factory: text -> array<struct<term,tf>> pandas UDF for an analyzer."""
+
+    @F.pandas_udf(_TF_SCHEMA)
+    def term_freqs(text: pd.Series) -> pd.Series:
+        return term_freqs_series(text, analyzer=analyzer)
+
+    return term_freqs
+
+
+term_freqs = make_term_freqs_udf("morph")
