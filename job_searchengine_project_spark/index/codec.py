@@ -1,0 +1,212 @@
+"""Posting-list codec: delta + varbyte + block-max metadata.
+
+Pure numpy kernels (no Python per-element loops) used inside
+``applyInPandas`` during the segment build and inside the WAND reader
+at query time. The reference delegates this layer to Lucene
+(schema/es/es.sh — the ES index); this is our from-scratch equivalent.
+
+Layout per term segment:
+- postings are sorted by doc_id and cut into blocks of ``block_size``;
+- each block's doc_ids are encoded as [first_doc absolute, then
+  deltas-1? no: plain deltas], varbyte; tfs varbyte as-is;
+- per-block metadata: posting count, byte lengths of both blobs,
+  last doc_id, and the block's max BM25 tf-norm (the block-max bound
+  WAND uses to skip blocks without decoding them).
+
+Because every block starts with an *absolute* doc_id, segments from
+doc-range-disjoint partitions merge by pure concatenation — that is
+what makes the salted repartition-by-term merge cheap (encode once in
+the salt partition, concatenate blobs in the merge).
+
+Varbyte format: little-endian 7-bit groups; the high bit marks the
+*last* byte of a value.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+BLOCK_SIZE = 128
+_MAX_VALUE = np.uint64(1) << np.uint64(52)  # float64-exact bit-length domain
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Vectorized VByte encode of a uint64 array."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    if v.max() >= _MAX_VALUE:
+        raise ValueError("varbyte_encode: value out of supported range (< 2^52)")
+    # exact bit length via frexp on the float64 image (exact below 2^53)
+    _, exp = np.frexp(np.maximum(v, 1).astype(np.float64))
+    nbytes = (exp.astype(np.int64) + 6) // 7
+    ends = np.cumsum(nbytes)
+    starts = ends - nbytes
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    for j in range(int(nbytes.max())):
+        mask = nbytes > j
+        out[starts[mask] + j] = (v[mask] >> np.uint64(7 * j)).astype(np.uint64) & np.uint64(0x7F)
+    out[ends - 1] |= 0x80
+    return out.tobytes()
+
+
+def varbyte_decode(buf: bytes | np.ndarray) -> np.ndarray:
+    """Vectorized VByte decode -> uint64 array."""
+    b = np.frombuffer(buf, dtype=np.uint8) if isinstance(buf, (bytes, bytearray, memoryview)) else buf
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_end = (b & 0x80) != 0
+    if not is_end[-1]:
+        raise ValueError("varbyte_decode: truncated buffer")
+    ends_idx = np.flatnonzero(is_end)
+    starts = np.empty(ends_idx.size, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = ends_idx[:-1] + 1
+    group = np.zeros(b.size, dtype=np.int64)
+    group[starts[1:]] = 1
+    group = np.cumsum(group)
+    within = np.arange(b.size, dtype=np.int64) - starts[group]
+    contrib = (b & np.uint8(0x7F)).astype(np.uint64) << (np.uint64(7) * within.astype(np.uint64))
+    return np.add.reduceat(contrib, starts)
+
+
+@dataclass
+class EncodedPostings:
+    """One term's (partial or full) encoded posting list."""
+
+    count: int
+    first_doc: int
+    doc_blob: bytes
+    tf_blob: bytes
+    block_n: np.ndarray          # int32  postings per block
+    block_last_doc: np.ndarray   # int64  last doc_id per block
+    block_doc_bytes: np.ndarray  # int32  doc_blob bytes per block
+    block_tf_bytes: np.ndarray   # int32  tf_blob bytes per block
+    block_max_tfnorm: np.ndarray  # float64 max tf-norm per block
+
+
+def encode_postings(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    tfnorms: np.ndarray,
+    block_size: int = BLOCK_SIZE,
+) -> EncodedPostings:
+    """Encode sorted (doc_id, tf) postings into delta+varbyte blocks.
+
+    ``tfnorms`` are the per-posting BM25 tf-norm values (computed from
+    tf, doclen, avgdl at build time); only their per-block max is
+    stored.
+    """
+    doc_ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.int64)
+    n = doc_ids.size
+    if n == 0:
+        z32 = np.empty(0, dtype=np.int32)
+        return EncodedPostings(0, -1, b"", b"", z32, np.empty(0, np.int64), z32, z32, np.empty(0, np.float64))
+    if n > 1 and not (doc_ids[1:] > doc_ids[:-1]).all():
+        raise ValueError("encode_postings: doc_ids must be strictly increasing")
+
+    starts = np.arange(0, n, block_size)
+    ends = np.minimum(starts + block_size, n)
+    # per-block delta transform: first value absolute, rest deltas
+    deltas = np.empty(n, dtype=np.uint64)
+    deltas[0] = doc_ids[0]
+    deltas[1:] = (doc_ids[1:] - doc_ids[:-1]).astype(np.uint64)
+    deltas[starts] = doc_ids[starts].astype(np.uint64)  # block-leading absolutes
+
+    doc_parts, tf_parts = [], []
+    n_blocks = starts.size
+    block_n = (ends - starts).astype(np.int32)
+    block_last = doc_ids[ends - 1].astype(np.int64)
+    block_doc_bytes = np.empty(n_blocks, dtype=np.int32)
+    block_tf_bytes = np.empty(n_blocks, dtype=np.int32)
+    block_max = np.empty(n_blocks, dtype=np.float64)
+    for i, (s, e) in enumerate(zip(starts, ends)):
+        db = varbyte_encode(deltas[s:e])
+        tb = varbyte_encode(tfs[s:e].astype(np.uint64))
+        doc_parts.append(db)
+        tf_parts.append(tb)
+        block_doc_bytes[i] = len(db)
+        block_tf_bytes[i] = len(tb)
+        block_max[i] = float(np.max(tfnorms[s:e]))
+    return EncodedPostings(
+        count=int(n),
+        first_doc=int(doc_ids[0]),
+        doc_blob=b"".join(doc_parts),
+        tf_blob=b"".join(tf_parts),
+        block_n=block_n,
+        block_last_doc=block_last,
+        block_doc_bytes=block_doc_bytes,
+        block_tf_bytes=block_tf_bytes,
+        block_max_tfnorm=block_max,
+    )
+
+
+def decode_block(
+    enc: EncodedPostings, i: int, doc_offsets: np.ndarray, tf_offsets: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode block i -> (doc_ids int64, tfs int64).
+
+    ``doc_offsets``/``tf_offsets`` are the cumulative byte offsets
+    (see :func:`block_offsets`) so callers can random-access blocks.
+    """
+    db = np.frombuffer(enc.doc_blob, dtype=np.uint8)[
+        doc_offsets[i] : doc_offsets[i] + enc.block_doc_bytes[i]
+    ]
+    tb = np.frombuffer(enc.tf_blob, dtype=np.uint8)[
+        tf_offsets[i] : tf_offsets[i] + enc.block_tf_bytes[i]
+    ]
+    deltas = varbyte_decode(db).astype(np.int64)
+    docs = np.cumsum(deltas)
+    tfs = varbyte_decode(tb).astype(np.int64)
+    return docs, tfs
+
+
+def block_offsets(byte_lens: np.ndarray) -> np.ndarray:
+    off = np.zeros(byte_lens.size, dtype=np.int64)
+    if byte_lens.size > 1:
+        off[1:] = np.cumsum(byte_lens[:-1])
+    return off
+
+
+def decode_postings(enc: EncodedPostings) -> tuple[np.ndarray, np.ndarray]:
+    """Full decode -> (doc_ids, tfs); round-trip identity with encode."""
+    if enc.count == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    do = block_offsets(np.asarray(enc.block_doc_bytes))
+    to = block_offsets(np.asarray(enc.block_tf_bytes))
+    docs_parts, tf_parts = [], []
+    for i in range(len(enc.block_n)):
+        d, t = decode_block(enc, i, do, to)
+        docs_parts.append(d)
+        tf_parts.append(t)
+    return np.concatenate(docs_parts), np.concatenate(tf_parts)
+
+
+def concat_encoded(parts: list[EncodedPostings]) -> EncodedPostings:
+    """Merge doc-range-disjoint encoded partials by concatenation.
+
+    Parts must be ordered by first_doc and have non-overlapping doc
+    ranges (guaranteed by the range-salting scheme: salt =
+    doc_id // range). Every block leads with an absolute doc_id, so
+    the merged blob is valid without re-encoding.
+    """
+    parts = [p for p in parts if p.count > 0]
+    if not parts:
+        return encode_postings(np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.float64))
+    for a, b in zip(parts, parts[1:]):
+        if not a.block_last_doc.size or b.first_doc <= int(a.block_last_doc[-1]):
+            raise ValueError("concat_encoded: parts overlap or are unordered")
+    return EncodedPostings(
+        count=sum(p.count for p in parts),
+        first_doc=parts[0].first_doc,
+        doc_blob=b"".join(p.doc_blob for p in parts),
+        tf_blob=b"".join(p.tf_blob for p in parts),
+        block_n=np.concatenate([p.block_n for p in parts]),
+        block_last_doc=np.concatenate([p.block_last_doc for p in parts]),
+        block_doc_bytes=np.concatenate([p.block_doc_bytes for p in parts]),
+        block_tf_bytes=np.concatenate([p.block_tf_bytes for p in parts]),
+        block_max_tfnorm=np.concatenate([p.block_max_tfnorm for p in parts]),
+    )

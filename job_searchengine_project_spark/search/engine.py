@@ -1,0 +1,140 @@
+"""Query engine: term lookup -> segment load -> block-max WAND top-k.
+
+Read path is pyarrow parquet with predicate pushdown: the segments
+table is partitioned by ``term_bucket`` (directory pruning) and sorted
+by ``term`` within files (row-group statistics pruning), so a query
+touches only the row groups holding its terms — the Spark-side
+equivalent of a term-dictionary seek. Doclens load once per index and
+memoize (the docstore is the norms file; at 10^12-doc scale this
+becomes per-doc-range shards co-resident with segment shards — see
+README scale notes).
+
+Scoring is float64, identical math and identical per-doc summation
+order (sorted by term) to the DataFrame oracle, so parity is exact to
+1e-9 with ascending-doc_id tie-break.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow.dataset as pads
+
+from job_searchengine_project_spark import BM25_B, BM25_K1
+from job_searchengine_project_spark.index import codec
+from job_searchengine_project_spark.index.build import _term_bucket_py
+from job_searchengine_project_spark.search.wand import TermCursor, wand_topk
+
+
+@dataclass
+class SearchHit:
+    doc_id: int
+    score: float
+    url: str | None = None
+
+
+class SearchEngine:
+    """Driver-side query engine over a built index directory."""
+
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, "stats.json")) as f:
+            self.stats = json.load(f)
+        self.n_docs = int(self.stats["n_docs"])
+        self.avgdl = float(self.stats["avgdl"])
+        self.term_buckets = int(self.stats["term_buckets"])
+        self._doclens: np.ndarray | None = None
+        self._urls: dict[int, str] | None = None
+
+    # --- storage access ---------------------------------------------------
+
+    def _docstore(self):
+        ds = pads.dataset(os.path.join(self.index_dir, "docstore"))
+        return ds.to_table(columns=["doc_id", "url", "doclen"])
+
+    @property
+    def doclens(self) -> np.ndarray:
+        if self._doclens is None:
+            t = self._docstore()
+            arr = np.zeros(self.n_docs, dtype=np.float64)
+            arr[t["doc_id"].to_numpy()] = t["doclen"].to_numpy()
+            self._doclens = arr
+        return self._doclens
+
+    def url_of(self, doc_id: int) -> str:
+        if self._urls is None:
+            t = self._docstore()
+            self._urls = dict(zip(t["doc_id"].to_pylist(), t["url"].to_pylist()))
+        return self._urls[doc_id]
+
+    def load_segments(self, terms: list[str]) -> dict[str, codec.EncodedPostings]:
+        """Pushdown read: only the buckets/row-groups of the query terms."""
+        terms = sorted(set(terms))
+        buckets = sorted({_term_bucket_py(t, self.term_buckets) for t in terms})
+        ds = pads.dataset(
+            os.path.join(self.index_dir, "segments"),
+            partitioning="hive",
+        )
+        expr = (pads.field("term_bucket").isin(buckets)) & (
+            pads.field("term").isin(terms)
+        )
+        tbl = ds.to_table(filter=expr)
+        out: dict[str, codec.EncodedPostings] = {}
+        for i in range(tbl.num_rows):
+            row = {c: tbl[c][i].as_py() for c in tbl.column_names}
+            out[row["term"]] = codec.EncodedPostings(
+                count=int(row["df"]),
+                first_doc=int(row["first_doc"]),
+                doc_blob=row["doc_blob"],
+                tf_blob=row["tf_blob"],
+                block_n=np.asarray(row["block_n"], dtype=np.int32),
+                block_last_doc=np.asarray(row["block_last_doc"], dtype=np.int64),
+                block_doc_bytes=np.asarray(row["block_doc_bytes"], dtype=np.int32),
+                block_tf_bytes=np.asarray(row["block_tf_bytes"], dtype=np.int32),
+                block_max_tfnorm=np.asarray(row["block_max_tfnorm"], dtype=np.float64),
+            )
+        return out
+
+    # --- scoring ------------------------------------------------------------
+
+    def _idf(self, df: int) -> float:
+        return float(np.log1p((self.n_docs - df + 0.5) / (df + 0.5)))
+
+    def search(self, query_terms: list[str], k: int = 10, with_urls: bool = True) -> list[SearchHit]:
+        """BM25 top-k via block-max WAND (ES match-OR semantics)."""
+        terms = sorted(set(query_terms))
+        segs = self.load_segments(terms)
+        if not segs:
+            return []
+        cursors = [
+            TermCursor(term=t, enc=segs[t], idf=self._idf(segs[t].count))
+            for t in terms
+            if t in segs
+        ]
+        hits = wand_topk(cursors, self.doclens, self.avgdl, k, k1=BM25_K1, b=BM25_B)
+        out = [SearchHit(doc_id=d, score=s) for d, s in hits]
+        if with_urls:
+            for h in out:
+                h.url = self.url_of(h.doc_id)
+        return out
+
+    def search_bruteforce(self, query_terms: list[str], k: int = 10) -> list[SearchHit]:
+        """Exhaustive OR scoring over decoded postings (engine-side oracle)."""
+        terms = sorted(set(query_terms))
+        segs = self.load_segments(terms)
+        acc: dict[int, float] = {}
+        for t in terms:  # sorted-term summation order == oracle
+            if t not in segs:
+                continue
+            enc = segs[t]
+            docs, tfs = codec.decode_postings(enc)
+            idf = self._idf(enc.count)
+            dls = self.doclens[docs]
+            scores = idf * (tfs / (tfs + BM25_K1 * (1.0 - BM25_B + BM25_B * dls / self.avgdl)))
+            for d, s in zip(docs.tolist(), scores.tolist()):
+                acc[d] = acc.get(d, 0.0) + s
+        top = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        return [SearchHit(doc_id=d, score=s) for d, s in top]

@@ -1,0 +1,137 @@
+"""M3/M4: segment build (salted skew split, lineage, resume) + WAND parity."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from job_searchengine_project_spark.corpus import HEAD_TERMS
+from job_searchengine_project_spark.index.build import build_index
+from job_searchengine_project_spark.index.prepare import prepare_docs
+from job_searchengine_project_spark.search.bm25 import bm25_topk_oracle
+from job_searchengine_project_spark.search.engine import SearchEngine
+
+QUERIES = [
+    ["데이터엔지니어"],            # head term (reference README body search)
+    ["spark"],
+    ["spark", "데이터엔지니어", "개발자"],   # multi-term OR over head terms
+    ["spark", "zzz_absent_term"],
+    ["zzz_absent_term"],
+]
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, webpages_small, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("idx"))
+    # tiny salt target so the head terms exercise the skew-split path
+    res = build_index(
+        spark, webpages_small, out, target_postings_per_salt=50, term_buckets=16
+    )
+    assert res.n_docs == 300
+    assert res.stages_run == ["docs", "segments"]
+    return out
+
+
+@pytest.fixture(scope="module")
+def engine(index_dir):
+    return SearchEngine(index_dir)
+
+
+@pytest.fixture(scope="module")
+def docs(webpages_small):
+    d = prepare_docs(webpages_small).cache()
+    d.count()
+    return d
+
+
+def test_head_terms_were_salt_split(spark, index_dir):
+    seg = spark.read.parquet(os.path.join(index_dir, "segments"))
+    heads = seg.filter(F.col("term").isin(list(HEAD_TERMS))).select("term", "n_parts", "df").collect()
+    assert len(heads) == len(HEAD_TERMS)
+    for r in heads:
+        assert r["n_parts"] > 1, f"head term {r['term']} was not split (df={r['df']})"
+
+
+def test_segments_reconcile_with_corpus(spark, index_dir, docs):
+    """Sum of df over terms == total postings == sum of per-doc distinct terms."""
+    seg = spark.read.parquet(os.path.join(index_dir, "segments"))
+    total_df = seg.agg(F.sum("df")).collect()[0][0]
+    expected = docs.select(F.sum(F.size("terms"))).collect()[0][0]
+    assert total_df == expected
+
+
+def test_lineage_doc_count_invariant(spark, index_dir):
+    """Reference reconciliation: sum of lineage doc counts == corpus count."""
+    lin = spark.read.parquet(os.path.join(index_dir, "lineage"))
+    docs_stage = lin.filter(F.col("stage") == "docs")
+    assert docs_stage.agg(F.sum("doc_count")).collect()[0][0] == 300
+    assert docs_stage.filter(~F.col("completed")).count() == 0
+
+
+def test_wand_matches_engine_bruteforce(engine):
+    for q in QUERIES:
+        wand = engine.search(q, k=10, with_urls=False)
+        brute = engine.search_bruteforce(q, k=10)
+        assert [h.doc_id for h in wand] == [h.doc_id for h in brute], q
+        for a, b in zip(wand, brute):
+            assert abs(a.score - b.score) < 1e-9, q
+
+
+def test_wand_matches_dataframe_oracle(engine, docs):
+    """The headline parity gate: compressed-segment WAND == built-in-Spark oracle."""
+    for q in QUERIES:
+        wand = engine.search(q, k=10, with_urls=True)
+        oracle = bm25_topk_oracle(
+            docs, q, k=10, n_docs=engine.n_docs, avgdl=engine.avgdl
+        ).collect()
+        assert [h.doc_id for h in wand] == [r["doc_id"] for r in oracle], q
+        assert [h.url for h in wand] == [r["url"] for r in oracle], q
+        for h, r in zip(wand, oracle):
+            assert abs(h.score - r["score"]) < 1e-9, q
+
+
+def test_wand_k_edge_cases(engine):
+    assert engine.search(["spark"], k=0) == []
+    all_hits = engine.search(["spark"], k=10**6, with_urls=False)
+    brute = engine.search_bruteforce(["spark"], k=10**6)
+    assert len(all_hits) == len(brute)
+    assert engine.search(["zzz_absent_term"], k=5) == []
+
+
+def test_resume_skips_completed_stages(spark, webpages_small, index_dir):
+    res2 = build_index(
+        spark, webpages_small, index_dir,
+        target_postings_per_salt=50, term_buckets=16, resume=True,
+    )
+    assert res2.stages_skipped == ["docs", "segments"]
+    assert res2.stages_run == []
+
+
+def test_resume_rebuilds_after_kill(spark, webpages_small, index_dir, engine):
+    """Kill-after-docs: drop the segments marker, resume rebuilds only segments."""
+    os.remove(os.path.join(index_dir, "_STAGE_OK_segments.json"))
+    res = build_index(
+        spark, webpages_small, index_dir,
+        target_postings_per_salt=50, term_buckets=16, resume=True,
+    )
+    assert res.stages_skipped == ["docs"]
+    assert res.stages_run == ["segments"]
+    # rebuilt segments answer identically
+    eng2 = SearchEngine(index_dir)
+    q = ["spark", "데이터엔지니어"]
+    assert [(h.doc_id, round(h.score, 12)) for h in eng2.search(q, k=10)] == [
+        (h.doc_id, round(h.score, 12)) for h in engine.search(q, k=10)
+    ]
+
+
+def test_fingerprint_invalidates_on_input_change(spark, webpages_small, index_dir):
+    changed = webpages_small.limit(200)
+    res = build_index(
+        spark, changed, index_dir,
+        target_postings_per_salt=50, term_buckets=16, resume=True,
+    )
+    assert res.stages_run == ["docs", "segments"]
+    assert res.n_docs == 200
