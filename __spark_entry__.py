@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship path: build the compressed
+inverted-index segments over the sf0.001 documents table and answer a
+BM25 top-10 via block-max WAND. ``queries()`` exposes the operator
+inventory (SURVEY.md §2 + the training-data-pipeline operators);
+``oracle_sql()`` carries the DuckDB-runnable ANSI-SQL twin of each.
 """
 
 from __future__ import annotations
@@ -12,27 +12,79 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from job_searchengine_project_spark.operators import dedup as _dedup
+from job_searchengine_project_spark.operators import fulltext as _fulltext
+from job_searchengine_project_spark.operators import relational as _relational
+from job_searchengine_project_spark.operators import similarity as _similarity
+from job_searchengine_project_spark.operators import textquality as _textquality
+from job_searchengine_project_spark.sources import multimodal as _multimodal
+from job_searchengine_project_spark.streaming import pipeline as _streaming
+
+_MODULES = (
+    _fulltext,
+    _dedup,
+    _similarity,
+    _textquality,
+    _relational,
+    _multimodal,
+    _streaming,
+)
+
+
+def _text_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4/P5 cleaning-profile parity on synthesized messy strings."""
+    from job_searchengine_project_spark.functions.cleaning import (
+        clean_banner_col,
+        clean_body_col,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    messy = F.concat(
+        F.lit("  X! ["),
+        F.substring(F.col("text"), 1, 40),
+        F.lit("] ,end\nnext ~ line."),
+    )
+    return docs.select(
+        "doc_id",
+        clean_body_col(messy).alias("body_clean"),
+        clean_banner_col(messy).alias("banner_clean"),
+    ).orderBy("doc_id")
+
+
+_TEXT_CLEANING_SQL = r"""
+WITH m AS (
+  SELECT doc_id,
+         '  X! [' || substr(text, 1, 40) || '] ,end' || chr(10) || 'next ~ line.' AS s
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(trim(regexp_replace(regexp_replace(s, '[^가-힣a-zA-Z0-9\s/]+', '', 'g'), '\s+', ' ', 'g')), '^,+|,+$', '', 'g') AS body_clean,
+       trim(regexp_replace(regexp_replace(regexp_replace(replace(s, chr(10), ','), '[^가-힣a-zA-Z0-9,\s~.]', ' ', 'g'), '\s+', ' ', 'g'), '\s*,\s*', ',', 'g')) AS banner_clean
+FROM m ORDER BY doc_id
+"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: segment build + block-max WAND BM25 top-10 at sf0.001."""
+    return _fulltext.wand_bm25_top10(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for mod in _MODULES:
+        for name, (fn, _sql) in mod.QUERIES.items():
+            out[name] = fn
+    out["text_cleaning"] = _text_cleaning
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    for mod in _MODULES:
+        for name, (_fn, sql) in mod.QUERIES.items():
+            if sql is not None:
+                out[name] = sql
+    out["text_cleaning"] = _TEXT_CLEANING_SQL
+    return out

@@ -1,0 +1,327 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, each a (Spark DataFrame fn, ANSI-SQL oracle) pair over
+the ``documents`` test table. All hash choices are md5/sha2-based so
+the DuckDB oracle reproduces them bit-for-bit (xxhash would not be).
+
+Scale notes (the part that matters at 100 TB):
+- exact dedup is one hash-shuffle with map-side combine;
+- MinHash+LSH is the scale path for near-dup: cost is O(docs x K
+  hashes) map-side + a shuffle on (band, band_hash) buckets — never
+  the O(n^2) pair space. Exact Jaccard verification touches only
+  LSH candidates (banding makes the candidate set tiny);
+- the all-pairs n-gram Jaccard op is the *correctness baseline* for
+  LSH recall; it is quadratic by design and gated to small inputs;
+- SimHash packs a doc into 60 bits; near-dup = small Hamming
+  distance, joinable on bit-band prefixes (same LSH trick).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---- shared tokenization (must match the SQL fragments verbatim) -----------
+
+def TOKS():
+    """Lazy: Column creation needs an active SparkContext."""
+    return F.split(F.col("text"), " ")
+
+_SQL_TOKS = "string_split(text, ' ')"
+
+
+def _shingles(col_tokens) -> "F.Column":
+    """Word 3-gram shingles: positions i..i+2 joined by one space.
+
+    Guarded for <3 tokens: Spark's sequence(1, 0) would DESCEND
+    (DuckDB's generate_series returns empty) — the when() keeps the
+    two sides agreeing.
+    """
+    return F.when(
+        F.size(col_tokens) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(col_tokens) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(col_tokens, i),
+                F.element_at(col_tokens, i + 1),
+                F.element_at(col_tokens, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+# NB: references a CTE column named `ts` (the token list); every SQL
+# using this fragment first computes `ts` via _SQL_TOKS.
+_SQL_SHINGLES = (
+    "list_transform(generate_series(1, greatest(len(ts) - 2, 0)), "
+    "i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])"
+)
+
+
+# ---- 1. exact dedup ----------------------------------------------------------
+
+def dedup_exact(spark, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash over a corpus with planted duplicates.
+
+    The input is documents UNION a shifted copy of its first 100 docs
+    (deterministic planted dups). Output: one canonical row per
+    distinct text: (content_hash, canonical_id, n_dups).
+    Reference analog: msgid SADD dedup (collector/collector.py:149-187)
+    as a hash-shuffle groupBy instead of a Redis set.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dup = docs.filter(F.col("doc_id") < 100).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    )
+    both = docs.unionByName(dup)
+    return (
+        both.groupBy(F.sha2(F.col("text"), 256).alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count("*").alias("n_dups"),
+        )
+        .filter(F.col("n_dups") > 1)
+        .orderBy("canonical_id")
+    )
+
+
+DEDUP_EXACT_SQL = """
+WITH unioned AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 100
+)
+SELECT sha256(text) AS content_hash,
+       min(doc_id) AS canonical_id,
+       count(*) AS n_dups
+FROM unioned
+GROUP BY sha256(text)
+HAVING count(*) > 1
+ORDER BY canonical_id
+"""
+
+
+# ---- 2. MinHash + LSH near-dup ----------------------------------------------
+
+MINHASH_K = 12
+LSH_BANDS = 4  # 3 rows per band
+JACCARD_THRESHOLD = 0.8
+
+
+def _minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, i, mh): the i-th minhash = lexicographic min of
+    md5(i || '#' || shingle) over the doc's distinct shingles."""
+    sh = (
+        docs.select("doc_id", F.explode(_shingles(TOKS())).alias("s"))
+        .distinct()
+    )
+    return (
+        sh.select("doc_id", "s", F.explode(F.sequence(F.lit(0), F.lit(MINHASH_K - 1))).alias("i"))
+        .groupBy("doc_id", "i")
+        .agg(F.min(F.md5(F.concat(F.col("i").cast("string"), F.lit("#"), F.col("s")))).alias("mh"))
+    )
+
+
+def dedup_minhash_lsh(spark, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs, exact-Jaccard verified.
+
+    shingle -> K minhashes -> band buckets (md5 of the band's hashes)
+    -> bucket self-join for candidates -> exact Jaccard over distinct
+    shingle sets -> keep >= 0.8. Output (doc_a, doc_b, jaccard).
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    sig = _minhash_signatures(docs)
+    bands = (
+        sig.groupBy("doc_id", (F.col("i") / F.lit(MINHASH_K // LSH_BANDS)).cast("int").alias("band"))
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("i", "mh"))),
+                        lambda x: x["mh"],
+                    ),
+                )
+            ).alias("bh")
+        )
+    )
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), (F.col("x.band") == F.col("y.band")) & (F.col("x.bh") == F.col("y.bh")))
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    shsets = docs.select(
+        "doc_id", F.array_distinct(_shingles(TOKS())).alias("ss")
+    )
+    return (
+        cand.join(shsets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("ss", "sa"), "doc_a")
+        .join(shsets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("ss", "sb"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sa", "sb"))
+                / F.size(F.array_union("sa", "sb")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+DEDUP_MINHASH_SQL = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS ts FROM documents),
+sh AS (SELECT DISTINCT doc_id, unnest({_SQL_SHINGLES}) AS s FROM toks),
+sig AS (
+  SELECT doc_id, i, min(md5(i::VARCHAR || '#' || s)) AS mh
+  FROM sh, range({MINHASH_K}) t(i) GROUP BY doc_id, i
+),
+bands AS (
+  SELECT doc_id, (i // {MINHASH_K // LSH_BANDS})::INT AS band,
+         md5(string_agg(mh, '|' ORDER BY i)) AS bh
+  FROM sig GROUP BY doc_id, (i // {MINHASH_K // LSH_BANDS})::INT
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y ON x.band = y.band AND x.bh = y.bh
+  WHERE x.doc_id < y.doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c JOIN sh a ON a.doc_id = c.doc_a JOIN sh b ON b.doc_id = c.doc_b AND a.s = b.s
+  GROUP BY c.doc_a, c.doc_b
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+SELECT c.doc_a, c.doc_b,
+       round(coalesce(i.n_inter, 0)::DOUBLE / (sa.n + sb.n - coalesce(i.n_inter, 0)), 4) AS jaccard
+FROM cand c
+LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+WHERE round(coalesce(i.n_inter, 0)::DOUBLE / (sa.n + sb.n - coalesce(i.n_inter, 0)), 4) >= {JACCARD_THRESHOLD}
+ORDER BY c.doc_a, c.doc_b
+"""
+
+
+# ---- 3. exact all-pairs n-gram Jaccard (LSH recall baseline) -----------------
+
+def dedup_ngram_jaccard(spark, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs by 3-gram-shingle Jaccard >= 0.8.
+
+    Quadratic-in-candidates by design — the correctness baseline that
+    measures LSH recall. The join is on shared shingles (inverted-
+    index style), not a blind cross join, so only docs sharing at
+    least one shingle pair up.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    sh = docs.select("doc_id", F.explode(_shingles(TOKS())).alias("s")).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 4),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+DEDUP_NGRAM_SQL = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS ts FROM documents),
+sh AS (SELECT DISTINCT doc_id, unnest({_SQL_SHINGLES}) AS s FROM toks),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+SELECT doc_a, doc_b,
+       round(n_inter::DOUBLE / (sa.n + sb.n - n_inter), 4) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(n_inter::DOUBLE / (sa.n + sb.n - n_inter), 4) >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+# ---- 4. SimHash --------------------------------------------------------------
+
+SIMHASH_BITS = 60  # two 30-bit halves keep all SQL arithmetic in BIGINT range
+
+
+def dedup_simhash(spark, sf_dir: str) -> DataFrame:
+    """60-bit SimHash per doc over distinct tokens, md5-derived bits.
+
+    bit_j(token) = j-th bit of the token's md5 (4 bits per hex char);
+    signature bit j = majority sign of sum over tokens of (2*bit-1).
+    Output (doc_id, simhash_hi, simhash_lo): bits 30-59 / 0-29.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    tok = docs.select("doc_id", F.explode(TOKS()).alias("tok")).distinct()
+    # j-th bit of md5(tok): hex nibble -> shift -> parity (expr form:
+    # pyspark's shiftleft/shiftright helpers take only literal shifts)
+    sgn = F.expr(
+        "(shiftright(instr('0123456789abcdef', "
+        "substring(md5(tok), cast(j / 4 as int) + 1, 1)) - 1, "
+        "cast(3 - j % 4 as int)) % 2) * 2 - 1"
+    )
+    bits = (
+        tok.select("doc_id", "tok", F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j"))
+        .withColumn("sgn", sgn)
+        .groupBy("doc_id", "j")
+        .agg(F.sum("sgn").alias("v"))
+        .withColumn("b", (F.col("v") > 0).cast("long"))
+    )
+    return (
+        bits.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.expr("CASE WHEN j >= 30 THEN b * shiftleft(1L, cast(j - 30 as int)) ELSE 0L END")
+            ).alias("simhash_hi"),
+            F.sum(
+                F.expr("CASE WHEN j < 30 THEN b * shiftleft(1L, cast(j as int)) ELSE 0L END")
+            ).alias("simhash_lo"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_SIMHASH_SQL = f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, t.tok
+  FROM documents, unnest({_SQL_TOKS}) AS t(tok)
+),
+bits AS (
+  SELECT doc_id, j,
+         CASE WHEN sum(
+           (((strpos('0123456789abcdef', substr(md5(tok), (j // 4)::INT + 1, 1)) - 1)
+             >> (3 - (j % 4))::INT) % 2) * 2 - 1
+         ) > 0 THEN 1::BIGINT ELSE 0::BIGINT END AS b
+  FROM tok, range({SIMHASH_BITS}) t(j)
+  GROUP BY doc_id, j
+)
+SELECT doc_id,
+       sum(CASE WHEN j >= 30 THEN b << (j - 30)::INT ELSE 0 END) AS simhash_hi,
+       sum(CASE WHEN j < 30 THEN b << j::INT ELSE 0 END) AS simhash_lo
+FROM bits GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
+    "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
+    "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
+}

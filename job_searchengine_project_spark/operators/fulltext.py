@@ -1,0 +1,178 @@
+"""Fulltext operators over the driver's ``documents`` test table.
+
+The tokenizer contract here (split on single spaces, keep tokens with
+length > 1) mirrors the engine's morph analyzer on this table's ascii
+corpus, and is expressed identically in Spark and the DuckDB oracle —
+so the driver's correctness gate checks the *same* semantics the real
+engine indexes.
+
+``wand_bm25_top10`` is the flagship: it runs the actual compressed-
+segment engine (build -> block-max WAND) and is oracle'd by plain SQL
+BM25 — DuckDB independently verifies the whole storage+query stack.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from job_searchengine_project_spark import BM25_B, BM25_K1
+
+QUERY_TERMS = ["spark", "data", "table"]
+K = 10
+
+# ---- shared Spark-side token/tf/stat pipeline --------------------------------
+
+
+def _tokens(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.length("term") > 1)
+
+
+def _bm25_scored(spark, sf_dir: str, terms: list[str]) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    toks = _tokens(docs)
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("doclen"))
+    stats = dl.agg(F.count("*").alias("n"), F.avg("doclen").alias("avgdl")).collect()[0]
+    n, avgdl = float(stats["n"]), float(stats["avgdl"])
+    tf = (
+        toks.filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    part = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(dl, "doc_id")
+        .withColumn(
+            "part",
+            F.log1p((F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            * (
+                F.col("tf")
+                / (
+                    F.col("tf")
+                    + F.lit(BM25_K1)
+                    * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("doclen") / F.lit(avgdl))
+                )
+            ),
+        )
+    )
+    return (
+        part.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("term", "part"))).alias("ps"))
+        .withColumn("score", F.round(F.aggregate("ps", F.lit(0.0), lambda a, x: a + x["part"]), 4))
+        .select("doc_id", "score")
+    )
+
+
+def _bm25_sql(terms: list[str], limit: int | None) -> str:
+    terms_sql = ", ".join(f"'{t}'" for t in terms)
+    tail = (
+        f"ORDER BY score DESC, doc_id LIMIT {limit}" if limit else "ORDER BY doc_id"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.tok AS term
+  FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+  WHERE length(t.tok) > 1
+),
+dl AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(doclen) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term IN ({terms_sql}) GROUP BY doc_id, term),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         round(sum(ln(1 + (s.n - dft.df + 0.5) / (dft.df + 0.5))
+             * (tf.tf / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.doclen / s.avgdl)))), 4) AS score
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, score FROM scored {tail}
+"""
+
+
+def bm25_scores(spark, sf_dir: str) -> DataFrame:
+    """BM25 score for every matched doc (boundary-free oracle form)."""
+    return _bm25_scored(spark, sf_dir, QUERY_TERMS).orderBy("doc_id")
+
+
+def bm25_top10(spark, sf_dir: str) -> DataFrame:
+    """BM25 top-10 (desc score, asc doc_id) — pure DataFrame path."""
+    return (
+        _bm25_scored(spark, sf_dir, QUERY_TERMS)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(K)
+    )
+
+
+def term_df_top20(spark, sf_dir: str) -> DataFrame:
+    """Document frequency per term, top 20 (the build's df aggregation)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return (
+        _tokens(docs)
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(20)
+    )
+
+
+TERM_DF_SQL = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, t.tok AS term
+  FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+  WHERE length(t.tok) > 1
+)
+SELECT term, count(*) AS df FROM toks GROUP BY term ORDER BY df DESC, term LIMIT 20
+"""
+
+_ENGINE_CACHE: dict[str, object] = {}
+
+
+def _engine_for(spark: SparkSession, sf_dir: str):
+    """Build (once per sf_dir+mtime) a real segment index over the
+    documents table and return a SearchEngine on it."""
+    from job_searchengine_project_spark.index.build import build_index
+    from job_searchengine_project_spark.search.engine import SearchEngine
+
+    key = os.path.abspath(sf_dir)
+    if key not in _ENGINE_CACHE:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        pages = docs.select(
+            F.format_string("doc://%08d", F.col("doc_id")).alias("url"),
+            F.col("text"),
+        )
+        out = os.path.join(
+            tempfile.gettempdir(),
+            "jse_idx_" + key.replace(os.sep, "_"),
+        )
+        build_index(spark, pages, out, analyzer="morph", resume=True)
+        _ENGINE_CACHE[key] = SearchEngine(out)
+    return _ENGINE_CACHE[key]
+
+
+def wand_bm25_top10(spark, sf_dir: str) -> DataFrame:
+    """Flagship: compressed-segment block-max WAND top-10, independently
+    verified by the DuckDB SQL BM25 oracle."""
+    eng = _engine_for(spark, sf_dir)
+    # over-fetch, then rank on (rounded score, doc_id) exactly like the
+    # SQL oracle does, so rounding ties at the k-boundary can't diverge
+    hits = eng.search(QUERY_TERMS, k=20 * K, with_urls=True)
+    rows = sorted(
+        ((int(h.url.split("doc://")[1]), round(h.score, 4)) for h in hits),
+        key=lambda r: (-r[1], r[0]),
+    )[:K]
+    return spark.createDataFrame(rows, "doc_id bigint, score double")
+
+
+QUERIES = {
+    "bm25_scores": (bm25_scores, _bm25_sql(QUERY_TERMS, None)),
+    "bm25_top10": (bm25_top10, _bm25_sql(QUERY_TERMS, K)),
+    "term_df_top20": (term_df_top20, TERM_DF_SQL),
+    "wand_bm25_top10": (wand_bm25_top10, _bm25_sql(QUERY_TERMS, K)),
+}

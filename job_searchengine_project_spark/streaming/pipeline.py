@@ -1,0 +1,115 @@
+"""Structured Streaming variants of the reference's micro-batch daemons.
+
+The reference is a hand-rolled Kafka micro-batch pipeline
+(consumer/consumer.py poll loops, manual sync offset commits,
+at-least-once + idempotent-id sinks — SURVEY.md §2.9). The Spark
+equivalents here:
+
+- ``stream_ingest_pages``: file-source stream over a web-pages
+  directory -> extract/tokenize -> sink, with checkpointing standing
+  in for Kafka's committed offsets (T2/T3). Uses availableNow so a
+  batch run drains everything — testable without a broker; a Kafka
+  source is a one-line swap of ``readStream.format``.
+- ``stream_event_window_counts``: event-time tumbling window with
+  watermark (the windowed-agg capability the reference lacks, T9).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from job_searchengine_project_spark.corpus import WEBPAGES_SCHEMA
+from job_searchengine_project_spark.functions.extract import extract_text
+from job_searchengine_project_spark.functions.tokenize import tokenize_morph
+
+
+def stream_ingest_pages(
+    spark: SparkSession,
+    pages_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Stream web pages -> extracted+tokenized parquet, exactly-once
+    via checkpoint + deterministic doc identity (sha256(url))."""
+    pages = (
+        spark.readStream.schema(WEBPAGES_SCHEMA)
+        .parquet(pages_dir)
+    )
+    out = pages.select(
+        F.sha2(F.col("url"), 256).alias("doc_uid"),
+        "url",
+        extract_text(F.col("html")).alias("text"),
+        tokenize_morph(F.col("text")).alias("morph"),
+        "lang",
+    )
+    return (
+        out.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_event_window_counts(
+    spark: SparkSession,
+    events_path: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+):
+    """Event-time tumbling-window counts with late-data watermark.
+
+    Returns the started query (memory sink named 'event_windows');
+    call ``q.processAllAvailable()`` then read the table.
+    """
+    static = spark.read.parquet(events_path)
+    events = spark.readStream.schema(static.schema).parquet(events_path)
+    # parquet ts is TIMESTAMP_NTZ; watermarks need an instant type
+    # (session TZ is pinned UTC, so the cast is value-preserving)
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+    return (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("event_windows")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def event_window_counts_batch(spark, sf_dir: str) -> DataFrame:
+    """Driver query: the streaming windowed agg, drained via
+    availableNow and returned as a DataFrame (oracle: date_trunc SQL)."""
+    import os
+    import tempfile
+
+    # the file stream source wants a directory; stage a symlink
+    stage = os.path.join(
+        tempfile.gettempdir(), "jse_stream_" + os.path.abspath(sf_dir).replace(os.sep, "_")
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(os.path.abspath(sf_dir), "events.parquet"), link)
+    q = stream_event_window_counts(spark, stage)
+    q.awaitTermination()
+    return spark.table("event_windows").orderBy("window_start", "event_type")
+
+
+EVENT_WINDOW_SQL = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n, round(sum(value), 4) AS total_value
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+ORDER BY window_start, event_type
+"""
+
+QUERIES = {
+    "event_window_counts": (event_window_counts_batch, EVENT_WINDOW_SQL),
+}
