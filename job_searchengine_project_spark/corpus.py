@@ -47,13 +47,20 @@ WEBPAGES_SCHEMA = T.StructType(
 
 
 def _build_vocab(vocab_size: int, seed: int) -> list[str]:
-    """Zipf-ranked bilingual vocabulary; deterministic in (size, seed)."""
+    """Zipf-ranked bilingual vocabulary; deterministic in (size, seed).
+
+    HEAD_TERMS sit at mid-Zipf ranks (not 1-3): their high df comes
+    from the explicit per-doc floor in the generator, producing the
+    skewed-but-not-stopword profile (df 25-45%) the salted-shuffle
+    path is designed for. Ranks 1-3 would make them appear in ~every
+    180-token doc — saturation, not skew.
+    """
     rng = np.random.Generator(np.random.Philox(key=np.uint64(seed)))
-    vocab: list[str] = list(HEAD_TERMS)
-    seen = set(vocab)
+    words: list[str] = []
+    seen = set(HEAD_TERMS)
     syllables = np.arange(0xAC00, 0xD7A4)  # 가-힣
     letters = np.array(list("abcdefghijklmnopqrstuvwxyz"))
-    while len(vocab) < vocab_size:
+    while len(words) < vocab_size - len(HEAD_TERMS):
         if rng.random() < 0.5:
             n = int(rng.integers(2, 5))
             w = "".join(chr(c) for c in rng.choice(syllables, size=n))
@@ -62,7 +69,9 @@ def _build_vocab(vocab_size: int, seed: int) -> list[str]:
             w = "".join(rng.choice(letters, size=n))
         if w not in seen:
             seen.add(w)
-            vocab.append(w)
+            words.append(w)
+    head_rank = min(60, max(3, len(words) // 4))
+    vocab = words[:head_rank] + list(HEAD_TERMS) + words[head_rank:]
     return vocab
 
 

@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 from dataclasses import dataclass
 
 import numpy as np
@@ -94,76 +95,99 @@ def _commit_stage(out_dir: str, stage: str, fingerprint: str, **metrics) -> None
     os.replace(tmp, _marker_path(out_dir, stage))  # atomic commit
 
 
-def _encode_group(pdf: pd.DataFrame, avgdl: float, block_size: int) -> pd.DataFrame:
-    """applyInPandas kernel: one (term[, salt]) group -> one encoded row."""
-    term = pdf["term"].iloc[0]
-    salt = int(pdf["salt"].iloc[0])
-    order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
-    docs = pdf["doc_id"].to_numpy()[order].astype(np.int64)
-    tfs = pdf["tf"].to_numpy()[order].astype(np.int64)
-    dls = pdf["doclen"].to_numpy()[order].astype(np.float64)
+def _enc_to_row(term: str, enc: codec.EncodedPostings, n_parts: int) -> dict:
+    return {
+        "term": term,
+        "df": enc.count,
+        "first_doc": enc.first_doc,
+        "doc_blob": enc.doc_blob,
+        "tf_blob": enc.tf_blob,
+        "block_n": enc.block_n.tolist(),
+        "block_last_doc": enc.block_last_doc.tolist(),
+        "block_doc_bytes": enc.block_doc_bytes.tolist(),
+        "block_tf_bytes": enc.block_tf_bytes.tolist(),
+        "block_max_tfnorm": enc.block_max_tfnorm.tolist(),
+        "n_parts": n_parts,
+        "bytes_written": len(enc.doc_blob) + len(enc.tf_blob),
+    }
+
+
+_PARTIAL_COLS = [
+    "term", "salt", "df", "first_doc", "doc_blob", "tf_blob", "block_n",
+    "block_last_doc", "block_doc_bytes", "block_tf_bytes",
+    "block_max_tfnorm", "n_parts", "bytes_written",
+]
+
+
+def _encode_partition(batches, avgdl: float, block_size: int):
+    """mapInPandas kernel: encode every (term, salt) group in the
+    partition. One Arrow round-trip per partition; the group loop is
+    numpy slicing over lexsorted arrays (per-group cost ~µs, vs ~ms
+    for per-group applyInPandas dispatch)."""
+    pdf = pd.concat(list(batches), ignore_index=True)
+    if pdf.empty:
+        return
+    terms_codes, terms_uniq = pd.factorize(pdf["term"], sort=False)
+    salts = pdf["salt"].to_numpy()
+    docs = pdf["doc_id"].to_numpy(dtype=np.int64)
+    tfs = pdf["tf"].to_numpy(dtype=np.int64)
+    dls = pdf["doclen"].to_numpy(dtype=np.float64)
     tfn = tfs / (tfs + BM25_K1 * (1.0 - BM25_B + BM25_B * (dls / avgdl)))
-    enc = codec.encode_postings(docs, tfs, tfn, block_size=block_size)
-    return pd.DataFrame(
-        [
-            {
-                "term": term,
-                "salt": salt,
-                "df": enc.count,
-                "first_doc": enc.first_doc,
-                "doc_blob": enc.doc_blob,
-                "tf_blob": enc.tf_blob,
-                "block_n": enc.block_n.tolist(),
-                "block_last_doc": enc.block_last_doc.tolist(),
-                "block_doc_bytes": enc.block_doc_bytes.tolist(),
-                "block_tf_bytes": enc.block_tf_bytes.tolist(),
-                "block_max_tfnorm": enc.block_max_tfnorm.tolist(),
-                "n_parts": 1,
-                "bytes_written": len(enc.doc_blob) + len(enc.tf_blob),
-            }
-        ]
+
+    order = np.lexsort((docs, salts, terms_codes))
+    tc, sa, docs, tfs, tfn = (
+        terms_codes[order], salts[order], docs[order], tfs[order], tfn[order]
     )
+    # group boundaries where (term, salt) changes
+    change = np.empty(tc.size, dtype=bool)
+    change[0] = True
+    change[1:] = (tc[1:] != tc[:-1]) | (sa[1:] != sa[:-1])
+    starts = np.flatnonzero(change)
+    ends = np.append(starts[1:], tc.size)
+
+    rows = []
+    for s, e in zip(starts, ends):
+        enc = codec.encode_postings(docs[s:e], tfs[s:e], tfn[s:e], block_size=block_size)
+        row = _enc_to_row(str(terms_uniq[tc[s]]), enc, 1)
+        row["salt"] = int(sa[s])
+        rows.append(row)
+    yield pd.DataFrame(rows, columns=_PARTIAL_COLS)
 
 
-def _merge_group(pdf: pd.DataFrame, term_buckets: int) -> pd.DataFrame:
-    """applyInPandas kernel: concat a term's doc-range-disjoint partials."""
-    term = pdf["term"].iloc[0]
-    pdf = pdf.sort_values("first_doc")
-    if len(pdf) == 1:
-        row = pdf.iloc[0].to_dict()
-    else:
-        parts = [
-            codec.EncodedPostings(
-                count=int(r.df),
-                first_doc=int(r.first_doc),
-                doc_blob=bytes(r.doc_blob),
-                tf_blob=bytes(r.tf_blob),
-                block_n=np.asarray(r.block_n, dtype=np.int32),
-                block_last_doc=np.asarray(r.block_last_doc, dtype=np.int64),
-                block_doc_bytes=np.asarray(r.block_doc_bytes, dtype=np.int32),
-                block_tf_bytes=np.asarray(r.block_tf_bytes, dtype=np.int32),
-                block_max_tfnorm=np.asarray(r.block_max_tfnorm, dtype=np.float64),
-            )
-            for r in pdf.itertuples()
-        ]
-        enc = codec.concat_encoded(parts)
-        row = {
-            "term": term,
-            "df": enc.count,
-            "first_doc": enc.first_doc,
-            "doc_blob": enc.doc_blob,
-            "tf_blob": enc.tf_blob,
-            "block_n": enc.block_n.tolist(),
-            "block_last_doc": enc.block_last_doc.tolist(),
-            "block_doc_bytes": enc.block_doc_bytes.tolist(),
-            "block_tf_bytes": enc.block_tf_bytes.tolist(),
-            "block_max_tfnorm": enc.block_max_tfnorm.tolist(),
-            "n_parts": len(parts),
-            "bytes_written": len(enc.doc_blob) + len(enc.tf_blob),
-        }
-    row.pop("salt", None)
-    row["term_bucket"] = _term_bucket_py(term, term_buckets)
-    return pd.DataFrame([row])
+def _merge_partition(batches, term_buckets: int):
+    """mapInPandas kernel: concat each term's doc-range-disjoint
+    partials (ordered by first_doc). Input rows are compressed blobs —
+    this shuffle + loop only ever touches encoded bytes."""
+    pdf = pd.concat(list(batches), ignore_index=True)
+    if pdf.empty:
+        return
+    pdf = pdf.sort_values(["term", "first_doc"], kind="stable")
+    rows = []
+    for term, grp in pdf.groupby("term", sort=False):
+        if len(grp) == 1:
+            row = grp.iloc[0].to_dict()
+            row.pop("salt", None)
+            row["doc_blob"] = bytes(row["doc_blob"])
+            row["tf_blob"] = bytes(row["tf_blob"])
+        else:
+            parts = [
+                codec.EncodedPostings(
+                    count=int(r.df),
+                    first_doc=int(r.first_doc),
+                    doc_blob=bytes(r.doc_blob),
+                    tf_blob=bytes(r.tf_blob),
+                    block_n=np.asarray(r.block_n, dtype=np.int32),
+                    block_last_doc=np.asarray(r.block_last_doc, dtype=np.int64),
+                    block_doc_bytes=np.asarray(r.block_doc_bytes, dtype=np.int32),
+                    block_tf_bytes=np.asarray(r.block_tf_bytes, dtype=np.int32),
+                    block_max_tfnorm=np.asarray(r.block_max_tfnorm, dtype=np.float64),
+                )
+                for r in grp.itertuples()
+            ]
+            row = _enc_to_row(str(term), codec.concat_encoded(parts), len(parts))
+        row["term_bucket"] = _term_bucket_py(str(term), term_buckets)
+        rows.append(row)
+    yield pd.DataFrame(rows)
 
 
 def _term_bucket_py(term: str, buckets: int) -> int:
@@ -190,38 +214,80 @@ def build_index(
     os.makedirs(out_dir, exist_ok=True)
     params_fp = f"analyzer={analyzer}|block={block_size}|buckets={term_buckets}"
     stages_run, stages_skipped = [], []
+    profile = os.environ.get("JSE_BUILD_PROFILE") == "1"
+    _t = time.time()
 
-    docstore_dir = os.path.join(out_dir, "docstore")
+    def _tick(label: str) -> None:
+        nonlocal _t
+        if profile:
+            now = time.time()
+            print(f"[build] {label}: {now - _t:.2f}s", flush=True)
+            _t = now
+
     forward_dir = os.path.join(out_dir, "forward")
     segments_dir = os.path.join(out_dir, "segments")
     lineage_dir = os.path.join(out_dir, "lineage")
     stats_path = os.path.join(out_dir, "stats.json")
 
     # ---- stage "docs": analyze + persist forward index & docstore -------
-    # fingerprint on input content: count + order-independent url hash sum
-    fp_row = pages.agg(
-        F.count("*").alias("n"),
-        F.expr("bit_xor(xxhash64(url))").alias("h"),
-    ).collect()[0]
-    input_fp = f"{fp_row['n']}|{fp_row['h']}|{params_fp}"
+    # ONE scan of the input computes both the content fingerprint
+    # (count + order-independent xor of url hashes) and the per-bucket
+    # counts the dense-id assignment needs.
+    id_buckets = 256
+    bucket_rows = (
+        pages.groupBy(
+            F.pmod(F.xxhash64("url"), F.lit(id_buckets)).alias("_bucket")
+        )
+        .agg(F.count("*").alias("n"), F.expr("bit_xor(xxhash64(url))").alias("h"))
+        .collect()
+    )
+    n_input = sum(r["n"] for r in bucket_rows)
+    h_input = 0
+    for r in bucket_rows:
+        h_input ^= r["h"]
+    bucket_counts = {r["_bucket"]: r["n"] for r in bucket_rows}
+    input_fp = f"{n_input}|{h_input}|{params_fp}"
+    _tick("fingerprint+bucket-counts scan")
 
     if resume and _stage_done(out_dir, "docs", input_fp):
         stages_skipped.append("docs")
     else:
-        docs = prepare_docs(pages, analyzer=analyzer, use_extractor=use_extractor)
+        docs = prepare_docs(
+            pages, analyzer=analyzer, use_extractor=use_extractor,
+            id_buckets=id_buckets, bucket_counts=bucket_counts,
+        )
         docs.write.mode("overwrite").parquet(forward_dir)
+        _tick("tokenize+ids+forward write")
+        # the docstore IS the forward index column-pruned to
+        # (doc_id, url, doclen) — parquet column pruning makes a
+        # separate copy pure waste
         fwd = spark.read.parquet(forward_dir)
-        fwd.select("doc_id", "url", "doclen").write.mode("overwrite").parquet(docstore_dir)
-        n_docs_, avgdl_ = _write_stats(spark, fwd, stats_path, analyzer, block_size, term_buckets, input_fp)
-        _append_lineage(
-            spark, lineage_dir, stage="docs", build_fp=input_fp,
-            src=fwd.groupBy(F.spark_partition_id().alias("partition_id")).agg(
+        # one forward scan -> per-partition lineage AND global stats
+        per_part = (
+            fwd.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(
                 F.count("*").alias("doc_count"),
                 F.lit(0).cast("long").alias("term_count"),
                 F.sum("doclen").cast("long").alias("bytes_written"),
-            ),
+            )
+            .collect()
+        )
+        _tick("stats+lineage scan")
+        n_docs_ = int(sum(r["doc_count"] for r in per_part))
+        total_tokens = int(sum(r["bytes_written"] for r in per_part))
+        avgdl_ = total_tokens / max(n_docs_, 1)
+        _write_stats_dict(
+            stats_path,
+            n_docs=n_docs_, avgdl=avgdl_, total_tokens=total_tokens,
+            analyzer=analyzer, block_size=block_size,
+            term_buckets=term_buckets, fingerprint=input_fp,
+        )
+        _append_lineage(
+            spark, lineage_dir, stage="docs", build_fp=input_fp,
+            src=spark.createDataFrame(per_part),
         )
         _commit_stage(out_dir, "docs", input_fp, n_docs=n_docs_, avgdl=avgdl_)
+        _tick("docs lineage+stats write")
         stages_run.append("docs")
 
     with open(stats_path) as f:
@@ -241,12 +307,22 @@ def build_index(
             F.col("t.tf").alias("tf"),
             "doclen",
         )
-        # exact df per term; map-side combine makes this skew-immune
-        df_t = postings.groupBy("term").agg(F.count("*").alias("df"))
-        head = df_t.filter(F.col("df") > target_postings_per_salt).select(
-            "term",
-            F.ceil(F.col("df") / target_postings_per_salt).cast("int").alias("n_salts"),
+        # head-term detection from a doc SAMPLE: salting only needs df
+        # *estimates* (any salt layout merges correctly); sampling keeps
+        # this scan ~constant-cost as the corpus grows. Map-side combine
+        # makes the agg itself skew-immune.
+        frac = min(1.0, 100_000 / max(n_docs, 1))
+        sampled = fwd.sample(fraction=frac, seed=42) if frac < 1.0 else fwd
+        df_est = (
+            sampled.select(F.explode("terms").alias("t"))
+            .groupBy(F.col("t.term").alias("term"))
+            .agg((F.count("*") / F.lit(frac)).alias("df_est"))
         )
+        head = df_est.filter(F.col("df_est") > target_postings_per_salt).select(
+            "term",
+            F.ceil(F.col("df_est") / target_postings_per_salt).cast("int").alias("n_salts"),
+        )
+        _tick("df sample plan")
         range_per_salt = F.ceil(F.lit(n_docs) / F.col("n_salts"))
         salted = (
             postings.join(F.broadcast(head), "term", "left")
@@ -259,17 +335,19 @@ def build_index(
             )
             .drop("n_salts")
         )
-        # groupBy(term, salt) IS the salted repartition-by-term shuffle;
-        # applyInPandas hash-partitions on the grouping keys.
-        partials = (
-            salted.groupBy("term", "salt")
-            .applyInPandas(
-                lambda pdf: _encode_group(pdf, avgdl=avgdl, block_size=block_size),
-                schema=PARTIAL_SCHEMA,
-            )
+        # the salted repartition-by-term shuffle, then PARTITION-wise
+        # encode (one Python/Arrow call per partition, numpy group loop
+        # inside — not one call per term: per-group applyInPandas
+        # overhead dominates with Zipfian vocabularies)
+        shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        partials = salted.repartition(shuffle_n, "term", "salt").mapInPandas(
+            lambda it: _encode_partition(it, avgdl=avgdl, block_size=block_size),
+            schema=PARTIAL_SCHEMA,
         )
-        segments = partials.groupBy("term").applyInPandas(
-            lambda pdf: _merge_group(pdf, term_buckets=term_buckets),
+        # merge shuffle moves only compressed blobs (the point of
+        # salting-then-encoding); ragged-tail blocks concat directly
+        segments = partials.repartition(shuffle_n, "term").mapInPandas(
+            lambda it: _merge_partition(it, term_buckets=term_buckets),
             schema=SEGMENT_SCHEMA,
         )
         (
@@ -279,22 +357,23 @@ def build_index(
             .partitionBy("term_bucket")
             .parquet(segments_dir)
         )
+        _tick("encode+merge+segments write")
         seg = spark.read.parquet(segments_dir)
+        per_bucket = seg.groupBy(F.col("term_bucket").alias("partition_id")).agg(
+            F.sum("df").alias("doc_count"),
+            F.count("*").alias("term_count"),
+            F.sum("bytes_written").alias("bytes_written"),
+        ).collect()
         _append_lineage(
             spark, lineage_dir, stage="segments", build_fp=input_fp,
-            src=seg.groupBy(F.col("term_bucket").alias("partition_id")).agg(
-                F.sum("df").alias("doc_count"),
-                F.count("*").alias("term_count"),
-                F.sum("bytes_written").alias("bytes_written"),
-            ),
+            src=spark.createDataFrame(per_bucket),
         )
-        agg = seg.agg(
-            F.count("*").alias("n_terms"), F.sum("df").alias("total_postings")
-        ).collect()[0]
         _commit_stage(
             out_dir, "segments", input_fp,
-            n_terms=int(agg["n_terms"]), total_postings=int(agg["total_postings"]),
+            n_terms=int(sum(r["term_count"] for r in per_bucket)),
+            total_postings=int(sum(r["doc_count"] for r in per_bucket)),
         )
+        _tick("segments lineage")
         stages_run.append("segments")
 
     with open(_marker_path(out_dir, "segments")) as f:
@@ -310,28 +389,25 @@ def build_index(
     )
 
 
-def _write_stats(spark, fwd, stats_path, analyzer, block_size, term_buckets, fp):
-    row = fwd.agg(
-        F.count("*").alias("n"),
-        F.avg("doclen").alias("avgdl"),
-        F.sum("doclen").alias("total_tokens"),
-    ).collect()[0]
+def _write_stats_dict(
+    stats_path, *, n_docs, avgdl, total_tokens, analyzer, block_size,
+    term_buckets, fingerprint,
+):
     stats = {
-        "n_docs": int(row["n"]),
-        "avgdl": float(row["avgdl"]),
-        "total_tokens": int(row["total_tokens"]),
+        "n_docs": int(n_docs),
+        "avgdl": float(avgdl),
+        "total_tokens": int(total_tokens),
         "analyzer": analyzer,
         "block_size": block_size,
         "term_buckets": term_buckets,
         "k1": BM25_K1,
         "b": BM25_B,
-        "fingerprint": fp,
+        "fingerprint": fingerprint,
     }
     tmp = stats_path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(stats, f)
     os.replace(tmp, stats_path)
-    return stats["n_docs"], stats["avgdl"]
 
 
 def _append_lineage(spark, lineage_dir, stage: str, build_fp: str, src: DataFrame):

@@ -23,10 +23,19 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def assign_doc_ids(df: DataFrame, id_col: str = "url", buckets: int = 256) -> DataFrame:
-    """Add a dense ``doc_id`` long column, deterministic in ``id_col``."""
+def assign_doc_ids(
+    df: DataFrame,
+    id_col: str = "url",
+    buckets: int = 256,
+    bucket_counts: dict[int, int] | None = None,
+) -> DataFrame:
+    """Add a dense ``doc_id`` long column, deterministic in ``id_col``.
+
+    ``bucket_counts`` (bucket -> row count) may be precomputed by the
+    caller to fold the counting scan into another job over the input.
+    """
     bucketed = df.withColumn("_bucket", F.pmod(F.xxhash64(F.col(id_col)), F.lit(buckets)))
-    counts = {
+    counts = bucket_counts or {
         r["_bucket"]: r["n"]
         for r in bucketed.groupBy("_bucket").agg(F.count("*").alias("n")).collect()
     }

@@ -13,6 +13,11 @@ document table the index build and the BM25 oracle both consume:
   term per doc reaches any later shuffle, not one per token instance);
 - ``doclen`` is the total token count (BM25's |d|), computed JVM-side
   with ``F.aggregate`` over the tf structs.
+
+Shuffle hygiene: tokenization happens BEFORE the doc-id shuffle and
+``html``/``text`` are dropped map-side, so the only wide rows ever
+shuffled are (url, terms, doclen) — at web scale the raw html column
+is 3-10x the token data and must never cross an exchange.
 """
 
 from __future__ import annotations
@@ -30,15 +35,16 @@ def prepare_docs(
     analyzer: str = "morph",
     use_extractor: bool = False,
     id_buckets: int = 256,
+    bucket_counts: dict[int, int] | None = None,
 ) -> DataFrame:
     text_col = extract_text(F.col("html")) if use_extractor else F.col("text")
     tf_udf = make_term_freqs_udf(analyzer)
-    docs = assign_doc_ids(pages, "url", buckets=id_buckets)
-    return docs.select(
-        "doc_id",
-        "url",
-        tf_udf(text_col).alias("terms"),
+    narrow = pages.select(
+        "url", tf_udf(text_col).alias("terms")
     ).withColumn(
         "doclen",
         F.aggregate(F.col("terms"), F.lit(0), lambda acc, x: acc + x["tf"]),
     )
+    return assign_doc_ids(
+        narrow, "url", buckets=id_buckets, bucket_counts=bucket_counts
+    ).select("doc_id", "url", "terms", "doclen")

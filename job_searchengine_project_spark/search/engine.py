@@ -48,11 +48,13 @@ class SearchEngine:
         self.term_buckets = int(self.stats["term_buckets"])
         self._doclens: np.ndarray | None = None
         self._urls: dict[int, str] | None = None
+        self._segments_ds: pads.Dataset | None = None
 
     # --- storage access ---------------------------------------------------
 
     def _docstore(self):
-        ds = pads.dataset(os.path.join(self.index_dir, "docstore"))
+        # the docstore is the forward index, column-pruned by pyarrow
+        ds = pads.dataset(os.path.join(self.index_dir, "forward"))
         return ds.to_table(columns=["doc_id", "url", "doclen"])
 
     @property
@@ -74,10 +76,14 @@ class SearchEngine:
         """Pushdown read: only the buckets/row-groups of the query terms."""
         terms = sorted(set(terms))
         buckets = sorted({_term_bucket_py(t, self.term_buckets) for t in terms})
-        ds = pads.dataset(
-            os.path.join(self.index_dir, "segments"),
-            partitioning="hive",
-        )
+        if self._segments_ds is None:
+            # dataset discovery (directory listing + schema) once per
+            # engine — the per-query work is only the pruned reads
+            self._segments_ds = pads.dataset(
+                os.path.join(self.index_dir, "segments"),
+                partitioning="hive",
+            )
+        ds = self._segments_ds
         expr = (pads.field("term_bucket").isin(buckets)) & (
             pads.field("term").isin(terms)
         )
@@ -103,23 +109,78 @@ class SearchEngine:
     def _idf(self, df: int) -> float:
         return float(np.log1p((self.n_docs - df + 0.5) / (df + 0.5)))
 
-    def search(self, query_terms: list[str], k: int = 10, with_urls: bool = True) -> list[SearchHit]:
-        """BM25 top-k via block-max WAND (ES match-OR semantics)."""
+    # above this many candidate postings per *selective* profile, the
+    # document-at-a-time Python WAND loop loses to one vectorized
+    # numpy pass (same trade Lucene makes between BlockMaxWAND and
+    # exhaustive bulk scorers)
+    DENSE_POSTINGS_CUTOFF = 50_000
+
+    def search(
+        self,
+        query_terms: list[str],
+        k: int = 10,
+        with_urls: bool = True,
+        strategy: str = "auto",
+    ) -> list[SearchHit]:
+        """BM25 top-k (ES match-OR semantics). Exact under every
+        strategy; `auto` picks block-max WAND for selective queries and
+        the vectorized term-at-a-time kernel for stopword-dense ones."""
         terms = sorted(set(query_terms))
         segs = self.load_segments(terms)
         if not segs:
             return []
-        cursors = [
-            TermCursor(term=t, enc=segs[t], idf=self._idf(segs[t].count))
-            for t in terms
-            if t in segs
-        ]
-        hits = wand_topk(cursors, self.doclens, self.avgdl, k, k1=BM25_K1, b=BM25_B)
+        if strategy == "auto":
+            total = sum(s.count for s in segs.values())
+            strategy = "exhaustive" if total > self.DENSE_POSTINGS_CUTOFF else "wand"
+        if strategy == "wand":
+            cursors = [
+                TermCursor(term=t, enc=segs[t], idf=self._idf(segs[t].count))
+                for t in terms
+                if t in segs
+            ]
+            hits = wand_topk(cursors, self.doclens, self.avgdl, k, k1=BM25_K1, b=BM25_B)
+        elif strategy == "exhaustive":
+            hits = self._exhaustive_topk(segs, k)
+        else:
+            raise ValueError(f"unknown strategy: {strategy}")
         out = [SearchHit(doc_id=d, score=s) for d, s in hits]
         if with_urls:
             for h in out:
                 h.url = self.url_of(h.doc_id)
         return out
+
+    def _exhaustive_topk(self, segs: dict, k: int) -> list[tuple[int, float]]:
+        """Vectorized term-at-a-time OR scoring (exact, oracle sum order).
+
+        Decodes every query-term posting list, concatenates in sorted-
+        term order, and segment-sums per doc with ``np.add.reduceat``
+        after a stable sort — so each doc's contributions add in term
+        order, bit-identical to the DataFrame oracle and to WAND.
+        """
+        doc_parts, score_parts = [], []
+        for t in sorted(segs):
+            enc = segs[t]
+            docs, tfs = codec.decode_postings(enc)
+            idf = self._idf(enc.count)
+            dls = self.doclens[docs]
+            score_parts.append(
+                idf * (tfs / (tfs + BM25_K1 * (1.0 - BM25_B + BM25_B * dls / self.avgdl)))
+            )
+            doc_parts.append(docs)
+        all_docs = np.concatenate(doc_parts)
+        all_scores = np.concatenate(score_parts)
+        order = np.argsort(all_docs, kind="stable")  # stable: keeps term order per doc
+        d = all_docs[order]
+        s = all_scores[order]
+        starts = np.flatnonzero(np.concatenate(([True], d[1:] != d[:-1])))
+        uniq = d[starts]
+        sums = np.add.reduceat(s, starts)
+        if k >= uniq.size:
+            idx = np.arange(uniq.size)
+        else:
+            idx = np.argpartition(-sums, k)[:k]
+        cand = sorted(zip(uniq[idx].tolist(), sums[idx].tolist()), key=lambda x: (-x[1], x[0]))
+        return cand[:k]
 
     def search_bruteforce(self, query_terms: list[str], k: int = 10) -> list[SearchHit]:
         """Exhaustive OR scoring over decoded postings (engine-side oracle)."""

@@ -73,11 +73,12 @@ def test_lineage_doc_count_invariant(spark, index_dir):
 
 def test_wand_matches_engine_bruteforce(engine):
     for q in QUERIES:
-        wand = engine.search(q, k=10, with_urls=False)
-        brute = engine.search_bruteforce(q, k=10)
-        assert [h.doc_id for h in wand] == [h.doc_id for h in brute], q
-        for a, b in zip(wand, brute):
-            assert abs(a.score - b.score) < 1e-9, q
+        for strategy in ("wand", "exhaustive", "auto"):
+            got = engine.search(q, k=10, with_urls=False, strategy=strategy)
+            brute = engine.search_bruteforce(q, k=10)
+            assert [h.doc_id for h in got] == [h.doc_id for h in brute], (q, strategy)
+            for a, b in zip(got, brute):
+                assert abs(a.score - b.score) < 1e-9, (q, strategy)
 
 
 def test_wand_matches_dataframe_oracle(engine, docs):
@@ -112,6 +113,10 @@ def test_resume_skips_completed_stages(spark, webpages_small, index_dir):
 
 def test_resume_rebuilds_after_kill(spark, webpages_small, index_dir, engine):
     """Kill-after-docs: drop the segments marker, resume rebuilds only segments."""
+    q = ["spark", "데이터엔지니어"]
+    # a SearchEngine is a snapshot reader — capture results BEFORE the
+    # rebuild replaces the files under it
+    before = [(h.doc_id, round(h.score, 12)) for h in engine.search(q, k=10)]
     os.remove(os.path.join(index_dir, "_STAGE_OK_segments.json"))
     res = build_index(
         spark, webpages_small, index_dir,
@@ -121,10 +126,7 @@ def test_resume_rebuilds_after_kill(spark, webpages_small, index_dir, engine):
     assert res.stages_run == ["segments"]
     # rebuilt segments answer identically
     eng2 = SearchEngine(index_dir)
-    q = ["spark", "데이터엔지니어"]
-    assert [(h.doc_id, round(h.score, 12)) for h in eng2.search(q, k=10)] == [
-        (h.doc_id, round(h.score, 12)) for h in engine.search(q, k=10)
-    ]
+    assert [(h.doc_id, round(h.score, 12)) for h in eng2.search(q, k=10)] == before
 
 
 def test_fingerprint_invalidates_on_input_change(spark, webpages_small, index_dir):
