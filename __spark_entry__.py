@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from job_searchengine_project_spark.operators import dedup as _dedup
+from job_searchengine_project_spark.operators import enrichment as _enrichment
 from job_searchengine_project_spark.operators import fulltext as _fulltext
 from job_searchengine_project_spark.operators import relational as _relational
 from job_searchengine_project_spark.operators import similarity as _similarity
@@ -24,6 +25,7 @@ from job_searchengine_project_spark.streaming import pipeline as _streaming
 
 _MODULES = (
     _fulltext,
+    _enrichment,
     _dedup,
     _similarity,
     _textquality,

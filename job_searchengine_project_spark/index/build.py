@@ -124,7 +124,10 @@ def _encode_partition(batches, avgdl: float, block_size: int):
     partition. One Arrow round-trip per partition; the group loop is
     numpy slicing over lexsorted arrays (per-group cost ~µs, vs ~ms
     for per-group applyInPandas dispatch)."""
-    pdf = pd.concat(list(batches), ignore_index=True)
+    parts = list(batches)
+    if not parts:  # empty shuffle partition (partitions > groups)
+        return
+    pdf = pd.concat(parts, ignore_index=True)
     if pdf.empty:
         return
     terms_codes, terms_uniq = pd.factorize(pdf["term"], sort=False)
@@ -158,7 +161,10 @@ def _merge_partition(batches, term_buckets: int):
     """mapInPandas kernel: concat each term's doc-range-disjoint
     partials (ordered by first_doc). Input rows are compressed blobs —
     this shuffle + loop only ever touches encoded bytes."""
-    pdf = pd.concat(list(batches), ignore_index=True)
+    parts = list(batches)
+    if not parts:  # empty shuffle partition (partitions > groups)
+        return
+    pdf = pd.concat(parts, ignore_index=True)
     if pdf.empty:
         return
     pdf = pdf.sort_values(["term", "first_doc"], kind="stable")

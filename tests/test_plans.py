@@ -1,0 +1,67 @@
+"""Physical-plan hygiene: pushdown, pruning, broadcast — asserted.
+
+At 100 TB these plan properties ARE the performance model; a silent
+regression (a filter that stops pushing, a scan that reads all
+columns) must fail here, not on a cluster.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from job_searchengine_project_spark.plans.explain import (
+    has_broadcast_join,
+    pushed_filters,
+    read_schema_columns,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_filter_pushes_to_parquet_scan(spark):
+    df = spark.read.parquet(f"{SF}/documents.parquet").filter(F.col("doc_id") < 10)
+    pf = pushed_filters(df)
+    assert pf and any("LessThan(doc_id,10)" in p for p in pf), pf
+
+
+def test_projection_prunes_scan_columns(spark):
+    df = spark.read.parquet(f"{SF}/lineitem.parquet").select("l_orderkey", "l_quantity")
+    cols = read_schema_columns(df)
+    assert cols == [["l_orderkey", "l_quantity"]], cols
+
+
+def test_oracle_join_broadcasts_small_side(spark):
+    from job_searchengine_project_spark.operators.relational import revenue_by_nation
+
+    df = revenue_by_nation(spark, SF)
+    assert has_broadcast_join(df)
+
+
+def test_segment_scan_prunes_by_term_bucket(spark, tmp_path):
+    """The query path's segment read must partition-prune on
+    term_bucket and push the term filter."""
+    from job_searchengine_project_spark.corpus import generate_webpages
+    from job_searchengine_project_spark.index.build import build_index
+
+    pages = generate_webpages(spark, n_docs=60, vocab_size=120, seed=5)
+    out = str(tmp_path / "idx")
+    build_index(spark, pages, out, term_buckets=8)
+    seg = spark.read.parquet(f"{out}/segments").filter(
+        (F.col("term_bucket") == 3) & (F.col("term") == "spark")
+    )
+    pf = pushed_filters(seg)
+    assert pf and any("EqualTo(term,spark)" in p for p in pf), pf
+    # partition filter shows as pruned partitions, not data filters
+    from job_searchengine_project_spark.plans.explain import plan_str
+
+    assert "PartitionFilters" in plan_str(seg)
+
+
+def test_bm25_oracle_single_wide_shuffle(spark):
+    """The oracle's df-per-term join must be broadcast (no shuffle of
+    the big postings side for a <=|q|-row dimension)."""
+    from job_searchengine_project_spark.operators.fulltext import bm25_scores
+
+    df = bm25_scores(spark, SF)
+    assert has_broadcast_join(df)
