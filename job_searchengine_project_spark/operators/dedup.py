@@ -325,3 +325,94 @@ QUERIES = {
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
 }
+
+
+# ---- 5. SimHash Hamming near-dup join ----------------------------------------
+
+HAMMING_MAX = 6
+SIMHASH_BANDS = 6  # 10 bits per band over the 60-bit signature
+
+
+def simhash_hamming_pairs(spark, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= 6, found via
+    bit-band LSH: the 60-bit signature splits into 6 bands of 10 bits;
+    pairs sharing any band are candidates (a pair within Hamming 5 of
+    a 6-band split shares >= 1 exact band by pigeonhole), then exact
+    Hamming = bit_count(xor) filters."""
+    sig = dedup_simhash(spark, sf_dir)
+    bands = sig.select(
+        "doc_id", "simhash_hi", "simhash_lo",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BANDS - 1))).alias("band"),
+    ).withColumn(
+        "band_val",
+        F.expr(
+            "CASE WHEN band < 3 THEN shiftright(simhash_lo, cast(band * 10 as int)) % 1024 "
+            "ELSE shiftright(simhash_hi, cast((band - 3) * 10 as int)) % 1024 END"
+        ),
+    )
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.band_val") == F.col("y.band_val"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"),
+            F.col("x.simhash_hi").alias("ha"), F.col("x.simhash_lo").alias("la"),
+            F.col("y.simhash_hi").alias("hb"), F.col("y.simhash_lo").alias("lb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.expr("bit_count(ha ^ hb) + bit_count(la ^ lb)").cast("int"),
+        )
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+DEDUP_SIMHASH_HAMMING_SQL = f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, t.tok
+  FROM documents, unnest({_SQL_TOKS}) AS t(tok)
+),
+bits AS (
+  SELECT doc_id, j,
+         CASE WHEN sum(
+           (((strpos('0123456789abcdef', substr(md5(tok), (j // 4)::INT + 1, 1)) - 1)
+             >> (3 - (j % 4))::INT) % 2) * 2 - 1
+         ) > 0 THEN 1::BIGINT ELSE 0::BIGINT END AS b
+  FROM tok, range({SIMHASH_BITS}) t(j)
+  GROUP BY doc_id, j
+),
+sig AS (
+  SELECT doc_id,
+         sum(CASE WHEN j >= 30 THEN b << (j - 30)::INT ELSE 0 END) AS hi,
+         sum(CASE WHEN j < 30 THEN b << j::INT ELSE 0 END) AS lo
+  FROM bits GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, hi, lo, band,
+         CASE WHEN band < 3 THEN (lo >> (band * 10)::INT) % 1024
+              ELSE (hi >> ((band - 3) * 10)::INT) % 1024 END AS band_val
+  FROM sig, range({SIMHASH_BANDS}) t(band)
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         x.hi AS ha, x.lo AS la, y.hi AS hb, y.lo AS lb
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.band_val = y.band_val AND x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b,
+       (bit_count(xor(ha, hb)) + bit_count(xor(la, lb)))::INT AS hamming
+FROM cand
+WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= {HAMMING_MAX}
+ORDER BY doc_a, doc_b
+"""
+
+QUERIES["simhash_hamming_pairs"] = (simhash_hamming_pairs, DEDUP_SIMHASH_HAMMING_SQL)

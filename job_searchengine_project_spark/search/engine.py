@@ -182,6 +182,25 @@ class SearchEngine:
         cand = sorted(zip(uniq[idx].tolist(), sums[idx].tolist()), key=lambda x: (-x[1], x[0]))
         return cand[:k]
 
+    def search_text(self, query: str, k: int = 10, **kw) -> list[SearchHit]:
+        """ES `match` semantics: analyze the query string with the
+        SAME analyzer as the indexed field (schema/es/es.sh:36-46 —
+        2-gram fields get 2-gram'd queries, morph fields get
+        morph-analyzed queries), then OR the terms."""
+        from job_searchengine_project_spark.functions.tokenize import (
+            tokenize_2gram_py,
+            tokenize_morph_py,
+        )
+
+        analyzer = self.stats.get("analyzer", "morph")
+        if analyzer == "2gram":
+            terms = tokenize_2gram_py(query)
+        else:
+            terms = tokenize_morph_py(query, dedup=True)
+        if not terms:
+            return []
+        return self.search(terms, k=k, **kw)
+
     def search_bruteforce(self, query_terms: list[str], k: int = 10) -> list[SearchHit]:
         """Exhaustive OR scoring over decoded postings (engine-side oracle)."""
         terms = sorted(set(query_terms))

@@ -83,6 +83,58 @@ def stream_event_window_counts(
     )
 
 
+def stream_first_seen_dedup(
+    spark: SparkSession,
+    src_dir: str,
+    schema,
+    key_col: str = "msgid",
+    queryName: str = "first_seen",
+):
+    """Custom stateful operator: cross-batch first-seen dedup.
+
+    The reference keeps a Redis SET of msgids so replayed/duplicate
+    records are dropped across micro-batches (collector.py:149-187,
+    T6 keyed state). Spark-native equivalent: per-key state in
+    ``applyInPandasWithState`` — emit a key's row only the first time
+    the key is ever seen; afterwards the state store suppresses it.
+    State survives restarts via the checkpoint (not used in this
+    memory-sink smoke shape).
+    """
+    import pandas as pd
+
+    def first_seen(key, pdfs, state):
+        if state.exists:
+            return iter(())  # already emitted in an earlier batch
+        first = None
+        for pdf in pdfs:
+            if len(pdf) and first is None:
+                first = pdf.iloc[[0]]
+        if first is None:
+            return iter(())
+        state.update((1,))
+        return iter([first[[key_col]].assign(n_new=1)])
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # one micro-batch per file
+        .parquet(src_dir)
+    )
+    out = stream.groupBy(key_col).applyInPandasWithState(
+        first_seen,
+        outputStructType=f"{key_col} string, n_new int",
+        stateStructType="seen int",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+    return (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def event_window_counts_batch(spark, sf_dir: str) -> DataFrame:
     """Driver query: the streaming windowed agg, drained via
     availableNow and returned as a DataFrame (oracle: date_trunc SQL)."""

@@ -1,0 +1,73 @@
+"""2-gram field path, query-string analysis, distributed query parity."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from job_searchengine_project_spark.functions.tokenize import tokenize_2gram_py
+from job_searchengine_project_spark.index.build import build_index
+from job_searchengine_project_spark.search.distributed import search_distributed
+from job_searchengine_project_spark.search.engine import SearchEngine
+
+
+@pytest.fixture(scope="module")
+def twogram_index(spark, webpages_small, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("idx2g"))
+    res = build_index(
+        spark, webpages_small.limit(120), out,
+        analyzer="2gram", target_postings_per_salt=2000, term_buckets=16,
+    )
+    assert res.n_docs == 120
+    return out
+
+
+def test_2gram_index_and_query_analysis(twogram_index):
+    """ES two_gram_analyzer end-to-end: the query string is 2-gram'd
+    with the same analyzer as the field (schema/es/es.sh:16-29)."""
+    eng = SearchEngine(twogram_index)
+    assert eng.stats["analyzer"] == "2gram"
+    query = "데이터엔지니어"
+    hits = eng.search_text(query, k=10, with_urls=False)
+    # equivalent manual path: analyze then search
+    manual = eng.search(tokenize_2gram_py(query), k=10, with_urls=False)
+    assert [(h.doc_id, h.score) for h in hits] == [(h.doc_id, h.score) for h in manual]
+    assert hits  # the head term appears in >20% of docs
+    brute = eng.search_bruteforce(tokenize_2gram_py(query), k=10)
+    assert [h.doc_id for h in hits] == [h.doc_id for h in brute]
+
+
+def test_2gram_query_crosses_whitespace(twogram_index):
+    """ngram token_chars=[] means grams cross spaces — reference-faithful."""
+    eng = SearchEngine(twogram_index)
+    grams = tokenize_2gram_py("a b")
+    assert grams == ["a ", " b"]
+    assert eng.search(grams, k=5, with_urls=False)  # space-grams are indexed
+
+
+def test_empty_query_text(twogram_index):
+    eng = SearchEngine(twogram_index)
+    assert eng.search_text("", k=5) == []
+    assert eng.search_text("x", k=5) == []  # single char -> no 2-grams
+
+
+@pytest.fixture(scope="module")
+def morph_index(spark, webpages_small, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("idxm"))
+    build_index(spark, webpages_small, out, target_postings_per_salt=50, term_buckets=16)
+    return out
+
+
+def test_distributed_search_matches_driver_engine(spark, morph_index):
+    eng = SearchEngine(morph_index)
+    for q in (["spark"], ["spark", "데이터엔지니어", "개발자"]):
+        driver_hits = eng.search(q, k=10, with_urls=True)
+        dist = search_distributed(spark, morph_index, q, k=10).collect()
+        assert [r["doc_id"] for r in dist] == [h.doc_id for h in driver_hits]
+        assert [r["url"] for r in dist] == [h.url for h in driver_hits]
+        for r, h in zip(dist, driver_hits):
+            assert abs(r["score"] - h.score) < 1e-9
+
+
+def test_distributed_search_absent_term(spark, morph_index):
+    assert search_distributed(spark, morph_index, ["zzz_nope"], k=5).count() == 0

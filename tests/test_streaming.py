@@ -44,3 +44,32 @@ def test_stream_extraction_matches_ground_truth(spark, webpages_small, tmp_path)
     truth = webpages_small.select("url", F.col("text").alias("truth"))
     mism = got.join(truth, "url").filter(F.col("text") != F.col("truth")).count()
     assert mism == 0
+
+
+def test_stateful_first_seen_dedup(spark, tmp_path):
+    """Keyed state across micro-batches: duplicate msgids in LATER
+    batches are suppressed (the Redis SADD dedup, Spark-native)."""
+    import pandas as pd
+
+    src = str(tmp_path / "msgs")
+    b1 = spark.createDataFrame(
+        pd.DataFrame({"msgid": ["a", "b", "c", "a"], "v": [1, 2, 3, 4]})
+    )
+    b1.coalesce(1).write.mode("overwrite").parquet(src)
+    b2 = spark.createDataFrame(
+        pd.DataFrame({"msgid": ["b", "d", "a"], "v": [5, 6, 7]})
+    )
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    from job_searchengine_project_spark.streaming.pipeline import (
+        stream_first_seen_dedup,
+    )
+
+    q = stream_first_seen_dedup(
+        spark, src, b1.schema, key_col="msgid", queryName="fs_test"
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT msgid FROM fs_test").collect()
+    got = sorted(r["msgid"] for r in rows)
+    # every key exactly once, regardless of batch boundaries and dups
+    assert got == ["a", "b", "c", "d"]
