@@ -216,6 +216,8 @@ def build_index(
     target_postings_per_salt: int = 200_000,
     term_buckets: int = 64,
     resume: bool = False,
+    checkpoint_groups: int = 1,
+    _fail_after_groups: int | None = None,  # test-only fault injection
 ) -> BuildResult:
     os.makedirs(out_dir, exist_ok=True)
     params_fp = f"analyzer={analyzer}|block={block_size}|buckets={term_buckets}"
@@ -304,7 +306,34 @@ def build_index(
     if resume and _stage_done(out_dir, "segments", input_fp):
         stages_skipped.append("segments")
     else:
+        # bucket-level resume (the reference's per-txid claim
+        # granularity, psql_create.psql:8-17): lineage rows record
+        # which term_buckets are already committed for THIS
+        # fingerprint; only the missing buckets are rebuilt, written
+        # with dynamic partition overwrite.
+        done_buckets: set[int] = set()
+        if resume and os.path.exists(lineage_dir):
+            lin_df = spark.read.option("mergeSchema", "true").parquet(lineage_dir)
+            if "build_fp" in lin_df.columns:  # pre-build_fp lineage: no bucket resume
+                done_buckets = {
+                    int(r["partition_id"])
+                    for r in lin_df.filter(
+                        (F.col("stage") == "segments")
+                        & (F.col("build_fp") == input_fp)
+                        & F.col("completed")
+                    )
+                    .select("partition_id")
+                    .collect()
+                }
         fwd = spark.read.parquet(forward_dir)
+        # JVM-side twin of _term_bucket_py (equality is tested):
+        # first 8 bytes of sha256(term), big-endian, mod buckets
+        bucket_expr = F.pmod(
+            F.conv(F.substring(F.sha2(F.col("term"), 256), 1, 16), 16, 10).cast(
+                "decimal(25,0)"
+            ),
+            F.lit(term_buckets),
+        ).cast("int")
         postings = fwd.select(
             "doc_id", "doclen", F.explode("terms").alias("t")
         ).select(
@@ -312,7 +341,7 @@ def build_index(
             "doc_id",
             F.col("t.tf").alias("tf"),
             "doclen",
-        )
+        ).withColumn("term_bucket", bucket_expr)
         # head-term detection from a doc SAMPLE: salting only needs df
         # *estimates* (any salt layout merges correctly); sampling keeps
         # this scan ~constant-cost as the corpus grows. Map-side combine
@@ -341,43 +370,85 @@ def build_index(
             )
             .drop("n_salts")
         )
-        # the salted repartition-by-term shuffle, then PARTITION-wise
-        # encode (one Python/Arrow call per partition, numpy group loop
-        # inside — not one call per term: per-group applyInPandas
-        # overhead dominates with Zipfian vocabularies)
         shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        partials = salted.repartition(shuffle_n, "term", "salt").mapInPandas(
-            lambda it: _encode_partition(it, avgdl=avgdl, block_size=block_size),
-            schema=PARTIAL_SCHEMA,
-        )
-        # merge shuffle moves only compressed blobs (the point of
-        # salting-then-encoding); ragged-tail blocks concat directly
-        segments = partials.repartition(shuffle_n, "term").mapInPandas(
-            lambda it: _merge_partition(it, term_buckets=term_buckets),
-            schema=SEGMENT_SCHEMA,
-        )
-        (
-            segments.repartition("term_bucket")
-            .sortWithinPartitions("term")
-            .write.mode("overwrite")
-            .partitionBy("term_bucket")
-            .parquet(segments_dir)
-        )
-        _tick("encode+merge+segments write")
-        seg = spark.read.parquet(segments_dir)
-        per_bucket = seg.groupBy(F.col("term_bucket").alias("partition_id")).agg(
-            F.sum("df").alias("doc_count"),
-            F.count("*").alias("term_count"),
-            F.sum("bytes_written").alias("bytes_written"),
-        ).collect()
-        _append_lineage(
-            spark, lineage_dir, stage="segments", build_fp=input_fp,
-            src=spark.createDataFrame(per_bucket),
+        # buckets still to build, split into checkpoint groups: each
+        # group is one Spark job committed with dynamic partition
+        # overwrite + its lineage rows — kill between groups and a
+        # resume rebuilds only the missing buckets
+        todo = [b for b in range(term_buckets) if b not in done_buckets]
+        if not done_buckets:
+            # full (re)build: clear stale bucket dirs from any previous
+            # fingerprint — dynamic overwrite only replaces buckets the
+            # new data touches
+            import shutil
+
+            shutil.rmtree(segments_dir, ignore_errors=True)
+        groups = [
+            todo[g::checkpoint_groups] for g in range(min(checkpoint_groups, max(len(todo), 1)))
+        ]
+        prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            for gi, bucket_group in enumerate(g for g in groups if g):
+                sub = salted
+                if len(bucket_group) < term_buckets:
+                    sub = salted.filter(F.col("term_bucket").isin(bucket_group))
+                sub = sub.drop("term_bucket")
+                # the salted repartition-by-term shuffle, then
+                # PARTITION-wise encode (one Python/Arrow call per
+                # partition, numpy group loop inside — per-group
+                # applyInPandas dispatch would dominate with Zipfian
+                # vocabularies)
+                partials = sub.repartition(shuffle_n, "term", "salt").mapInPandas(
+                    lambda it: _encode_partition(it, avgdl=avgdl, block_size=block_size),
+                    schema=PARTIAL_SCHEMA,
+                )
+                # merge shuffle moves only compressed blobs (the point
+                # of salting-then-encoding); blocks concat directly
+                segments = partials.repartition(shuffle_n, "term").mapInPandas(
+                    lambda it: _merge_partition(it, term_buckets=term_buckets),
+                    schema=SEGMENT_SCHEMA,
+                )
+                (
+                    segments.repartition("term_bucket")
+                    .sortWithinPartitions("term")
+                    .write.mode("overwrite")
+                    .partitionBy("term_bucket")
+                    .parquet(segments_dir)
+                )
+                built = spark.read.parquet(segments_dir).filter(
+                    F.col("term_bucket").isin(bucket_group)
+                )
+                per_bucket = built.groupBy(
+                    F.col("term_bucket").alias("partition_id")
+                ).agg(
+                    F.sum("df").alias("doc_count"),
+                    F.count("*").alias("term_count"),
+                    F.sum("bytes_written").alias("bytes_written"),
+                ).collect()
+                _append_lineage(
+                    spark, lineage_dir, stage="segments", build_fp=input_fp,
+                    src=spark.createDataFrame(per_bucket),
+                )
+                _tick(f"segments group {gi} ({len(bucket_group)} buckets)")
+                if _fail_after_groups is not None and gi + 1 >= _fail_after_groups:
+                    raise RuntimeError("injected kill between checkpoint groups")
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+        # stage commit: totals from ALL lineage rows of this fingerprint
+        lin = (
+            spark.read.option("mergeSchema", "true").parquet(lineage_dir)
+            .filter(
+                (F.col("stage") == "segments")
+                & (F.col("build_fp") == input_fp)
+                & F.col("completed")
+            )
+            .agg(F.sum("term_count"), F.sum("doc_count"))
+            .collect()[0]
         )
         _commit_stage(
             out_dir, "segments", input_fp,
-            n_terms=int(sum(r["term_count"] for r in per_bucket)),
-            total_postings=int(sum(r["doc_count"] for r in per_bucket)),
+            n_terms=int(lin[0]), total_postings=int(lin[1]),
         )
         _tick("segments lineage")
         stages_run.append("segments")
@@ -420,6 +491,7 @@ def _append_lineage(spark, lineage_dir, stage: str, build_fp: str, src: DataFram
     """Per-partition reconciliation metrics (reference: job.hadoop_event)."""
     (
         src.withColumn("stage", F.lit(stage))
+        .withColumn("build_fp", F.lit(build_fp))
         .withColumn("content_hash", F.sha2(F.concat_ws("|",
             F.lit(build_fp), F.lit(stage), F.col("partition_id").cast("string"),
             F.col("doc_count").cast("string")), 256))

@@ -137,3 +137,51 @@ def test_fingerprint_invalidates_on_input_change(spark, webpages_small, index_di
     )
     assert res.stages_run == ["docs", "segments"]
     assert res.n_docs == 200
+
+
+def test_bucket_level_resume_after_midbuild_kill(spark, webpages_small, tmp_path):
+    """Kill BETWEEN checkpoint groups: committed buckets survive, the
+    resume rebuilds only the missing ones, and the final index answers
+    identically to a clean one-shot build."""
+    import pytest as _pytest
+
+    out = str(tmp_path / "idx_kill")
+    with _pytest.raises(RuntimeError, match="injected kill"):
+        build_index(
+            spark, webpages_small, out,
+            target_postings_per_salt=50, term_buckets=16,
+            checkpoint_groups=4, _fail_after_groups=2,
+        )
+    lin = spark.read.parquet(os.path.join(out, "lineage"))
+    committed = lin.filter(F.col("stage") == "segments").count()
+    assert 0 < committed < 16  # partial progress is durable
+    assert not os.path.exists(os.path.join(out, "_STAGE_OK_segments.json"))
+
+    res = build_index(
+        spark, webpages_small, out,
+        target_postings_per_salt=50, term_buckets=16,
+        checkpoint_groups=4, resume=True,
+    )
+    assert res.stages_skipped == ["docs"]
+    # only the NOT-yet-committed buckets were rebuilt in the resume:
+    # lineage now covers each of the 16 buckets exactly once
+    lin2 = spark.read.parquet(os.path.join(out, "lineage")).filter(
+        F.col("stage") == "segments"
+    )
+    per_bucket = {r["partition_id"]: r["doc_count"] for r in lin2.collect()}
+    assert len(per_bucket) == 16 and lin2.count() == 16
+
+    # parity with a clean build
+    clean = str(tmp_path / "idx_clean")
+    res_clean = build_index(
+        spark, webpages_small, clean,
+        target_postings_per_salt=50, term_buckets=16,
+    )
+    e1, e2 = SearchEngine(out), SearchEngine(clean)
+    assert e1.n_docs == e2.n_docs and e1.stats["fingerprint"] == e2.stats["fingerprint"]
+    for q in (["spark"], ["데이터엔지니어", "개발자"]):
+        h1 = [(h.doc_id, round(h.score, 12)) for h in e1.search(q, k=10, with_urls=False)]
+        h2 = [(h.doc_id, round(h.score, 12)) for h in e2.search(q, k=10, with_urls=False)]
+        assert h1 == h2
+    # reconciliation: lineage postings total == clean build total
+    assert sum(per_bucket.values()) == res_clean.total_postings
