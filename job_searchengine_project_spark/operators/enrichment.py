@@ -229,3 +229,54 @@ QUERIES = {
     "scalar_functions": (scalar_functions, SCALAR_FNS_SQL),
     "url_normalize": (url_normalize, URL_NORMALIZE_SQL),
 }
+
+
+# ---- P1/P2: XPath field projection + keyword-cascade banner ------------------
+
+def xpath_projection(spark, sf_dir: str) -> DataFrame:
+    """P1/P2 (crawling_class.py:205-278): XPath field extraction with
+    a first-hit-wins cascade, on synthesized job-card XML.
+
+    Docs with doc_id % 5 == 0 omit <pay> (the cascade falls through to
+    <reward>); docs with doc_id % 7 == 0 omit <title> and are REJECTED
+    (the reference raises on missing required fields).
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    xml = F.concat(
+        F.lit("<job><company>co_"), F.col("source"), F.lit("</company>"),
+        F.when(F.col("doc_id") % 7 != 0,
+               F.concat(F.lit("<title>doc "), F.col("doc_id").cast("string"), F.lit("</title>"))
+               ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 != 0,
+               F.concat(F.lit("<pay>"), (F.col("doc_id") * 10).cast("string"), F.lit("</pay>"))
+               ).otherwise(F.lit("")),
+        F.lit("<reward>"), (F.col("doc_id") + 1).cast("string"), F.lit("</reward></job>"),
+    )
+    proj = docs.select("doc_id", xml.alias("xml")).select(
+        "doc_id",
+        F.expr("xpath_string(xml, '/job/company')").alias("company"),
+        F.expr("nullif(xpath_string(xml, '/job/title'), '')").alias("title"),
+        F.expr(
+            "coalesce(nullif(xpath_string(xml, '/job/pay'), ''),"
+            " nullif(xpath_string(xml, '/job/reward'), ''))"
+        ).alias("pay"),
+    )
+    # required-field rejection (reference: raise -> row dropped)
+    return proj.filter(F.col("title").isNotNull()).orderBy("doc_id")
+
+
+# the oracle reconstructs the same projection from the generation rule
+# (DuckDB has no xpath; the synthesized XML makes the expectation
+# derivable in plain SQL — the Spark side still exercises real xpath)
+XPATH_SQL = """
+SELECT doc_id,
+       'co_' || source AS company,
+       'doc ' || doc_id::VARCHAR AS title,
+       CASE WHEN doc_id % 5 != 0 THEN (doc_id * 10)::VARCHAR
+            ELSE (doc_id + 1)::VARCHAR END AS pay
+FROM documents
+WHERE doc_id % 7 != 0
+ORDER BY doc_id
+"""
+
+QUERIES["xpath_projection"] = (xpath_projection, XPATH_SQL)
