@@ -45,6 +45,7 @@ BUILD_REPEATS = int(os.environ.get("SPARK_GRAFT_BUILD_REPEATS", "3"))
 HEADLINE = [
     "bm25_top10",
     "wand_bm25_top10",
+    "wand_2gram_top10",
     "term_df_top20",
     "dedup_exact",
     "dedup_minhash_lsh",

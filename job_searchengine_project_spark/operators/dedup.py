@@ -110,16 +110,35 @@ JACCARD_THRESHOLD = 0.8
 
 
 def _minhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, i, mh): the i-th minhash = lexicographic min of
-    md5(i || '#' || shingle) over the doc's distinct shingles."""
+    """(doc_id, sig array<string>): sig[i] = lexicographic min of
+    md5(i || '#' || shingle) over the doc's distinct shingles.
+
+    The K hashes are computed once per DISTINCT shingle (they repeat
+    heavily across near-dup docs), then per-doc signatures are
+    elementwise array minima — no docs x shingles x K row explosion.
+    """
     sh = (
         docs.select("doc_id", F.explode(_shingles(TOKS())).alias("s"))
         .distinct()
     )
+    ssig = sh.select("s").distinct().withColumn(
+        "mhs",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(MINHASH_K - 1)),
+            lambda i: F.md5(F.concat(i.cast("string"), F.lit("#"), F.col("s"))),
+        ),
+    )
+    top = F.array_repeat(F.lit("g"), MINHASH_K)  # > any md5 hex char
     return (
-        sh.select("doc_id", "s", F.explode(F.sequence(F.lit(0), F.lit(MINHASH_K - 1))).alias("i"))
-        .groupBy("doc_id", "i")
-        .agg(F.min(F.md5(F.concat(F.col("i").cast("string"), F.lit("#"), F.col("s")))).alias("mh"))
+        sh.join(ssig, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.aggregate(
+                F.collect_list("mhs"),
+                top,
+                lambda acc, x: F.zip_with(acc, x, lambda a, b: F.least(a, b)),
+            ).alias("sig")
+        )
     )
 
 
@@ -132,19 +151,20 @@ def dedup_minhash_lsh(spark, sf_dir: str) -> DataFrame:
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     sig = _minhash_signatures(docs)
-    bands = (
-        sig.groupBy("doc_id", (F.col("i") / F.lit(MINHASH_K // LSH_BANDS)).cast("int").alias("band"))
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    F.transform(
-                        F.sort_array(F.collect_list(F.struct("i", "mh"))),
-                        lambda x: x["mh"],
-                    ),
-                )
-            ).alias("bh")
-        )
+    rows_per_band = MINHASH_K // LSH_BANDS
+    bands = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(F.sequence(F.lit(0), F.lit(LSH_BANDS - 1))).alias("band"),
+    ).select(
+        "doc_id",
+        "band",
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.slice(F.col("sig"), F.col("band") * rows_per_band + 1, F.lit(rows_per_band)),
+            )
+        ).alias("bh"),
     )
     cand = (
         bands.alias("x")
@@ -270,32 +290,41 @@ def dedup_simhash(spark, sf_dir: str) -> DataFrame:
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     tok = docs.select("doc_id", F.explode(TOKS()).alias("tok")).distinct()
-    # j-th bit of md5(tok): hex nibble -> shift -> parity (expr form:
-    # pyspark's shiftleft/shiftright helpers take only literal shifts)
-    sgn = F.expr(
-        "(shiftright(instr('0123456789abcdef', "
-        "substring(md5(tok), cast(j / 4 as int) + 1, 1)) - 1, "
-        "cast(3 - j % 4 as int)) % 2) * 2 - 1"
+    # ±1 bit vector per DISTINCT token (md5 nibble parity), computed
+    # once — then per-doc elementwise array sums. Avoids exploding
+    # docs x tokens x 60 bits into rows; everything past the distinct
+    # is JVM array arithmetic over a broadcast vocabulary.
+    sig = tok.select("tok").distinct().withColumn(
+        "bits",
+        F.expr(
+            f"transform(sequence(0, {SIMHASH_BITS - 1}), j -> "
+            "(shiftright(instr('0123456789abcdef', "
+            "substring(md5(tok), cast(j / 4 as int) + 1, 1)) - 1, "
+            "cast(3 - j % 4 as int)) % 2) * 2 - 1)"
+        ),
     )
-    bits = (
-        tok.select("doc_id", "tok", F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j"))
-        .withColumn("sgn", sgn)
-        .groupBy("doc_id", "j")
-        .agg(F.sum("sgn").alias("v"))
-        .withColumn("b", (F.col("v") > 0).cast("long"))
-    )
-    return (
-        bits.groupBy("doc_id")
+    summed = (
+        tok.join(F.broadcast(sig), "tok")
+        .groupBy("doc_id")
         .agg(
-            F.sum(
-                F.expr("CASE WHEN j >= 30 THEN b * shiftleft(1L, cast(j - 30 as int)) ELSE 0L END")
-            ).alias("simhash_hi"),
-            F.sum(
-                F.expr("CASE WHEN j < 30 THEN b * shiftleft(1L, cast(j as int)) ELSE 0L END")
-            ).alias("simhash_lo"),
+            F.aggregate(
+                F.collect_list("bits"),
+                F.expr(f"array_repeat(0, {SIMHASH_BITS})"),
+                lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+            ).alias("v")
         )
-        .orderBy("doc_id")
     )
+    return summed.select(
+        "doc_id",
+        F.expr(
+            "aggregate(sequence(30, 59), 0L, (a, j) -> "
+            "a + CASE WHEN v[j] > 0 THEN shiftleft(1L, cast(j - 30 as int)) ELSE 0L END)"
+        ).alias("simhash_hi"),
+        F.expr(
+            "aggregate(sequence(0, 29), 0L, (a, j) -> "
+            "a + CASE WHEN v[j] > 0 THEN shiftleft(1L, cast(j as int)) ELSE 0L END)"
+        ).alias("simhash_lo"),
+    ).orderBy("doc_id")
 
 
 DEDUP_SIMHASH_SQL = f"""

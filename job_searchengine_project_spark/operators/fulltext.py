@@ -134,13 +134,13 @@ SELECT term, count(*) AS df FROM toks GROUP BY term ORDER BY df DESC, term LIMIT
 _ENGINE_CACHE: dict[str, object] = {}
 
 
-def _engine_for(spark: SparkSession, sf_dir: str):
-    """Build (once per sf_dir+mtime) a real segment index over the
+def _engine_for(spark: SparkSession, sf_dir: str, analyzer: str = "morph"):
+    """Build (once per sf_dir+analyzer) a real segment index over the
     documents table and return a SearchEngine on it."""
     from job_searchengine_project_spark.index.build import build_index
     from job_searchengine_project_spark.search.engine import SearchEngine
 
-    key = os.path.abspath(sf_dir)
+    key = f"{analyzer}:{os.path.abspath(sf_dir)}"
     if key not in _ENGINE_CACHE:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         pages = docs.select(
@@ -149,9 +149,9 @@ def _engine_for(spark: SparkSession, sf_dir: str):
         )
         out = os.path.join(
             tempfile.gettempdir(),
-            "jse_idx_" + key.replace(os.sep, "_"),
+            f"jse_idx_{analyzer}_" + key.replace(os.sep, "_"),
         )
-        build_index(spark, pages, out, analyzer="morph", resume=True)
+        build_index(spark, pages, out, analyzer=analyzer, resume=True)
         _ENGINE_CACHE[key] = SearchEngine(out)
     return _ENGINE_CACHE[key]
 
@@ -170,9 +170,52 @@ def wand_bm25_top10(spark, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "doc_id bigint, score double")
 
 
+TWOGRAM_QUERY = "spark"  # analyzed to ['sp','pa','ar','rk'] on both sides
+
+
+def wand_2gram_top10(spark, sf_dir: str) -> DataFrame:
+    """The reference's ES body_text field end-to-end: 2-gram analyzed
+    index (schema/es/es.sh:16-29), query string analyzed with the SAME
+    analyzer (search_text), block-max segments, BM25 top-10 — with an
+    independent plain-SQL 2-gram BM25 oracle in DuckDB."""
+    eng = _engine_for(spark, sf_dir, analyzer="2gram")
+    hits = eng.search_text(TWOGRAM_QUERY, k=20 * K, with_urls=True)
+    rows = sorted(
+        ((int(h.url.split("doc://")[1]), round(h.score, 4)) for h in hits),
+        key=lambda r: (-r[1], r[0]),
+    )[:K]
+    return spark.createDataFrame(rows, "doc_id bigint, score double")
+
+
+def _twogram_sql(query: str, limit: int) -> str:
+    grams = sorted({query.lower()[i : i + 2] for i in range(len(query) - 1)})
+    grams_sql = ", ".join(f"'{g}'" for g in grams)
+    return f"""
+WITH g AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, length(lower(text)) - 1),
+                i -> substr(lower(text), i::INT, 2))) AS term
+  FROM documents WHERE length(text) >= 2
+),
+dl AS (SELECT doc_id, count(*) AS doclen FROM g GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(doclen) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM g WHERE term IN ({grams_sql}) GROUP BY doc_id, term),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         round(sum(ln(1 + (s.n - dft.df + 0.5) / (dft.df + 0.5))
+             * (tf.tf / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.doclen / s.avgdl)))), 4) AS score
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT {limit}
+"""
+
+
 QUERIES = {
     "bm25_scores": (bm25_scores, _bm25_sql(QUERY_TERMS, None)),
     "bm25_top10": (bm25_top10, _bm25_sql(QUERY_TERMS, K)),
     "term_df_top20": (term_df_top20, TERM_DF_SQL),
     "wand_bm25_top10": (wand_bm25_top10, _bm25_sql(QUERY_TERMS, K)),
+    "wand_2gram_top10": (wand_2gram_top10, _twogram_sql(TWOGRAM_QUERY, K)),
 }
