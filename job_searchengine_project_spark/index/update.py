@@ -1,0 +1,169 @@
+"""Incremental index update: append new documents to a built index.
+
+The reference ingests continuously (new postings discovered per crawl
+cycle); its ES `_id=msgid` upserts make re-index idempotent. Here the
+equivalent is a batch append:
+
+- new docs get dense ids continuing after the existing corpus
+  (doc-range disjointness is what makes the merge a concatenation —
+  every block leads with an absolute doc id, codec.concat_encoded);
+- new postings are encoded with the SAME frozen ``avgdl`` as the
+  initial build (the Lucene-norms trade: stored per-posting tf-norms
+  are not retroactively recomputed; scores stay exact w.r.t. the
+  index's recorded stats, and the oracle parity gate passes the same
+  frozen stats). Query-time idf uses the UPDATED doc count;
+- only term_buckets containing new terms are rewritten (dynamic
+  partition overwrite), merged term-by-term with the existing rows via
+  the same partition-wise merge kernel;
+- forward/docstore rows append; stats + lineage record the update.
+
+Caller contract: new pages' urls are not already indexed (dedup
+upstream — J1; the reference guarantees this with the msgid set).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from job_searchengine_project_spark.index.build import (
+    PARTIAL_SCHEMA,
+    SEGMENT_SCHEMA,
+    _append_lineage,
+    _encode_partition,
+    _merge_partition,
+    _write_stats_dict,
+)
+from job_searchengine_project_spark.index.prepare import prepare_docs
+
+
+def update_index(
+    spark: SparkSession,
+    new_pages: DataFrame,
+    out_dir: str,
+    target_postings_per_salt: int = 200_000,
+) -> dict:
+    stats_path = os.path.join(out_dir, "stats.json")
+    with open(stats_path) as f:
+        stats = json.load(f)
+    n_old = int(stats["n_docs"])
+    avgdl = float(stats["avgdl"])  # frozen (see module docstring)
+    analyzer = stats["analyzer"]
+    block_size = int(stats["block_size"])
+    term_buckets = int(stats["term_buckets"])
+
+    forward_dir = os.path.join(out_dir, "forward")
+    segments_dir = os.path.join(out_dir, "segments")
+
+    # --- new docs: ids continue after the existing range ------------------
+    docs_new = prepare_docs(new_pages, analyzer=analyzer).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(n_old)
+    )
+    docs_new.write.mode("append").parquet(forward_dir)
+    fwd_new = spark.read.parquet(forward_dir).filter(F.col("doc_id") >= n_old)
+    agg = fwd_new.agg(
+        F.count("*").alias("m"), F.sum("doclen").alias("tok")
+    ).collect()[0]
+    m, new_tokens = int(agg["m"]), int(agg["tok"])
+
+    # --- encode new postings (frozen avgdl) -------------------------------
+    postings = fwd_new.select(
+        "doc_id", "doclen", F.explode("terms").alias("t")
+    ).select(F.col("t.term").alias("term"), "doc_id", F.col("t.tf").alias("tf"), "doclen")
+    frac = min(1.0, 100_000 / max(m, 1))
+    sampled = fwd_new.sample(fraction=frac, seed=42) if frac < 1.0 else fwd_new
+    df_est = (
+        sampled.select(F.explode("terms").alias("t"))
+        .groupBy(F.col("t.term").alias("term"))
+        .agg((F.count("*") / F.lit(frac)).alias("df_est"))
+    )
+    head = df_est.filter(F.col("df_est") > target_postings_per_salt).select(
+        "term",
+        F.ceil(F.col("df_est") / target_postings_per_salt).cast("int").alias("n_salts"),
+    )
+    range_per_salt = F.ceil(F.lit(m) / F.col("n_salts"))
+    salted = (
+        postings.join(F.broadcast(head), "term", "left")
+        .withColumn("n_salts", F.coalesce(F.col("n_salts"), F.lit(1)))
+        .withColumn(
+            "salt",
+            F.when(F.col("n_salts") == 1, F.lit(0)).otherwise(
+                ((F.col("doc_id") - n_old) / range_per_salt).cast("int")
+            ),
+        )
+        .drop("n_salts")
+    )
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    new_partials = salted.repartition(shuffle_n, "term", "salt").mapInPandas(
+        lambda it: _encode_partition(it, avgdl=avgdl, block_size=block_size),
+        schema=PARTIAL_SCHEMA,
+    )
+    # pre-merge the new batch per term so bucket detection sees one row
+    # per term, then re-expose as a "partial" (salt=1) for the big merge
+    new_segments = new_partials.repartition(shuffle_n, "term").mapInPandas(
+        lambda it: _merge_partition(it, term_buckets=term_buckets),
+        schema=SEGMENT_SCHEMA,
+    ).cache()
+    touched = sorted(
+        r["term_bucket"]
+        for r in new_segments.select("term_bucket").distinct().collect()
+    )
+    if not touched:
+        new_segments.unpersist()
+        return {"added_docs": m, "touched_buckets": 0}
+
+    # --- merge: existing rows of touched buckets + the new rows -----------
+    def as_partial(df: DataFrame, salt: int) -> DataFrame:
+        return df.select(
+            "term", F.lit(salt).alias("salt"), "df", "first_doc", "doc_blob",
+            "tf_blob", "block_n", "block_last_doc", "block_doc_bytes",
+            "block_tf_bytes", "block_max_tfnorm", "n_parts", "bytes_written",
+        )
+
+    existing = spark.read.parquet(segments_dir).filter(
+        F.col("term_bucket").isin(touched)
+    )
+    combined = as_partial(existing, 0).unionByName(as_partial(new_segments, 1))
+    merged = combined.repartition(shuffle_n, "term").mapInPandas(
+        lambda it: _merge_partition(it, term_buckets=term_buckets),
+        schema=SEGMENT_SCHEMA,
+    )
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            merged.repartition("term_bucket")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .partitionBy("term_bucket")
+            .parquet(segments_dir)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    new_segments.unpersist()
+
+    # --- stats + lineage ----------------------------------------------------
+    _write_stats_dict(
+        stats_path,
+        n_docs=n_old + m,
+        avgdl=avgdl,  # frozen; recorded as-is so oracle uses the same value
+        total_tokens=int(stats["total_tokens"]) + new_tokens,
+        analyzer=analyzer,
+        block_size=block_size,
+        term_buckets=term_buckets,
+        fingerprint=stats["fingerprint"] + f"+update{m}",
+    )
+    _append_lineage(
+        spark,
+        os.path.join(out_dir, "lineage"),
+        stage="update",
+        build_fp=stats["fingerprint"] + f"+update{m}",
+        src=spark.createDataFrame(
+            [(int(b), int(m), 0, 0) for b in touched],
+            "partition_id int, doc_count long, term_count long, bytes_written long",
+        ),
+    )
+    return {"added_docs": m, "touched_buckets": len(touched)}

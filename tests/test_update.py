@@ -1,0 +1,67 @@
+"""Incremental index update: append a batch, stay rank-identical to
+the oracle computed over the combined corpus with the index's frozen
+stats."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from job_searchengine_project_spark.index.build import build_index
+from job_searchengine_project_spark.index.prepare import prepare_docs
+from job_searchengine_project_spark.index.update import update_index
+from job_searchengine_project_spark.search.bm25 import bm25_topk_oracle
+from job_searchengine_project_spark.search.engine import SearchEngine
+
+
+@pytest.fixture(scope="module")
+def updated_index(spark, webpages_small, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("idx_upd"))
+    a = webpages_small.filter(F.col("warc_ts") < F.lit("2023-11-14 22:16:40"))
+    b = webpages_small.subtract(a)
+    na, nb = a.count(), b.count()
+    assert na > 0 and nb > 0 and na + nb == 300
+    build_index(spark, a, out, target_postings_per_salt=50, term_buckets=16)
+    res = update_index(spark, b, out, target_postings_per_salt=50)
+    assert res["added_docs"] == nb and res["touched_buckets"] > 0
+    return out, a, b
+
+
+def test_update_extends_corpus(spark, updated_index):
+    out, a, b = updated_index
+    eng = SearchEngine(out)
+    assert eng.n_docs == 300
+    # forward holds both batches, ids dense 0..299
+    fwd = spark.read.parquet(f"{out}/forward")
+    ids = sorted(r["doc_id"] for r in fwd.select("doc_id").collect())
+    assert ids == list(range(300))
+
+
+def test_updated_index_matches_frozen_stats_oracle(spark, updated_index):
+    """Engine over (A build + B update) == DataFrame oracle over A∪B
+    scored with the index's recorded (frozen-avgdl) stats — the same
+    contract Lucene keeps when old segments' norms aren't rewritten."""
+    out, a, b = updated_index
+    eng = SearchEngine(out)
+    n_a = a.count()
+    docs_all = prepare_docs(a).unionByName(
+        prepare_docs(b).withColumn("doc_id", F.col("doc_id") + F.lit(n_a))
+    )
+    for q in (["spark"], ["spark", "데이터엔지니어"], ["개발자"]):
+        hits = eng.search(q, k=10, with_urls=True)
+        oracle = bm25_topk_oracle(
+            docs_all, q, k=10, n_docs=eng.n_docs, avgdl=eng.avgdl
+        ).collect()
+        assert [h.doc_id for h in hits] == [r["doc_id"] for r in oracle], q
+        assert [h.url for h in hits] == [r["url"] for r in oracle], q
+        for h, r in zip(hits, oracle):
+            assert abs(h.score - r["score"]) < 1e-9
+
+
+def test_update_hits_docs_from_both_batches(spark, updated_index):
+    out, a, b = updated_index
+    eng = SearchEngine(out)
+    n_a = a.count()
+    hits = eng.search(["spark"], k=300, with_urls=False)
+    got_ids = {h.doc_id for h in hits}
+    assert any(i < n_a for i in got_ids) and any(i >= n_a for i in got_ids)
