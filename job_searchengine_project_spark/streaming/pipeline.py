@@ -149,9 +149,17 @@ def event_window_counts_batch(spark, sf_dir: str) -> DataFrame:
     link = os.path.join(stage, "events.parquet")
     if not os.path.exists(link):
         os.symlink(os.path.join(os.path.abspath(sf_dir), "events.parquet"), link)
-    q = stream_event_window_counts(spark, stage)
-    q.awaitTermination()
-    return spark.table("event_windows").orderBy("window_start", "event_type")
+    # windows are computed on instants; pin UTC so the NTZ->instant cast
+    # and the rendered window_start agree with the (TZ-naive) oracle
+    # even under a non-UTC caller session
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        q = stream_event_window_counts(spark, stage)
+        q.awaitTermination()
+        return spark.table("event_windows").orderBy("window_start", "event_type")
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
 
 
 EVENT_WINDOW_SQL = """
