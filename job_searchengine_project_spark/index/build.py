@@ -386,13 +386,35 @@ def build_index(
         groups = [
             todo[g::checkpoint_groups] for g in range(min(checkpoint_groups, max(len(todo), 1)))
         ]
+        groups = [g for g in groups if g]
+        # with >1 checkpoint group, stage the salted postings ONCE
+        # (partitioned by group) so each group's job reads only its
+        # pruned slice — re-running the explode+salt per group would
+        # multiply the heaviest scan by the group count
+        staged_dir = os.path.join(out_dir, "_staged_postings")
+        if len(groups) > 1:
+            group_of = {b: gi for gi, bs in enumerate(groups) for b in bs}
+            gmap = F.create_map(*[F.lit(x) for kv in sorted(group_of.items()) for x in kv])
+            (
+                salted.withColumn("ckpt_group", gmap[F.col("term_bucket")])
+                .filter(F.col("ckpt_group").isNotNull())
+                .write.mode("overwrite")
+                .partitionBy("ckpt_group")
+                .parquet(staged_dir)
+            )
+            _tick("stage salted postings")
         prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
-            for gi, bucket_group in enumerate(g for g in groups if g):
-                sub = salted
-                if len(bucket_group) < term_buckets:
+            for gi, bucket_group in enumerate(groups):
+                if len(groups) > 1:
+                    sub = spark.read.parquet(staged_dir).filter(
+                        F.col("ckpt_group") == gi
+                    ).drop("ckpt_group")
+                elif len(bucket_group) < term_buckets:
                     sub = salted.filter(F.col("term_bucket").isin(bucket_group))
+                else:
+                    sub = salted
                 sub = sub.drop("term_bucket")
                 # the salted repartition-by-term shuffle, then
                 # PARTITION-wise encode (one Python/Arrow call per
@@ -435,6 +457,10 @@ def build_index(
                     raise RuntimeError("injected kill between checkpoint groups")
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+        if len(groups) > 1:
+            import shutil
+
+            shutil.rmtree(staged_dir, ignore_errors=True)
         # stage commit: totals from ALL lineage rows of this fingerprint
         lin = (
             spark.read.option("mergeSchema", "true").parquet(lineage_dir)
