@@ -71,3 +71,26 @@ def test_distributed_search_matches_driver_engine(spark, morph_index):
 
 def test_distributed_search_absent_term(spark, morph_index):
     assert search_distributed(spark, morph_index, ["zzz_nope"], k=5).count() == 0
+
+
+def test_sharded_distributed_wand_matches_driver(spark, morph_index):
+    """Doc-range-sharded layout: per-shard executor-side WAND + global
+    top-k merge is rank- and score-identical to the driver engine."""
+    from job_searchengine_project_spark.index.sharded import (
+        build_sharded_segments,
+        search_sharded,
+    )
+
+    out = build_sharded_segments(spark, morph_index, n_shards=4)
+    import os
+    shard_dirs = [d for d in os.listdir(out) if d.startswith("shard=")]
+    assert len(shard_dirs) == 4
+
+    eng = SearchEngine(morph_index)
+    for q in (["spark"], ["spark", "데이터엔지니어", "개발자"], ["zzz_nope"]):
+        driver_hits = eng.search(q, k=10, with_urls=True, strategy="wand")
+        dist = search_sharded(spark, morph_index, q, k=10).collect()
+        assert [r["doc_id"] for r in dist] == [h.doc_id for h in driver_hits], q
+        assert [r["url"] for r in dist] == [h.url for h in driver_hits], q
+        for r, h in zip(dist, driver_hits):
+            assert abs(r["score"] - h.score) < 1e-9
