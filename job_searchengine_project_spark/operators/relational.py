@@ -282,3 +282,92 @@ QUERIES = {
     "pricing_summary": (pricing_summary, PRICING_SQL),
     "revenue_by_nation": (revenue_by_nation, REVENUE_SQL),
 }
+
+
+# sessionization — lag + gap-flag cumulative sum (the classic
+# event-stream window composition; batch twin of session_window)
+def sessionize(spark, sf_dir: str) -> DataFrame:
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ: go through unix seconds via an instant cast
+    # (TZ-cancelling — the same wall time converts back out)
+    epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    gap = epoch - F.lag(epoch).over(w)
+    sess = (
+        events.withColumn("new_sess", F.when(gap.isNull() | (gap > 3600), 1).otherwise(0))
+        .withColumn("session_no", F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ))
+    )
+    return (
+        sess.groupBy("user_id", "session_no")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+        .orderBy("user_id", "session_no")
+    )
+
+
+SESSIONIZE_SQL = """
+WITH g AS (
+  SELECT user_id, event_id, value, ts,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
+                   OR epoch(ts) - lag(epoch(ts)) OVER w > 3600
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, event_id, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM g
+)
+SELECT user_id, session_no, count(*) AS n_events,
+       round(sum(value), 4) AS session_value
+FROM s GROUP BY user_id, session_no ORDER BY user_id, session_no
+"""
+
+
+# the composed training-data gate: quality filter -> language filter
+# -> exact-dup drop, in one declarative plan (what a 100 TB curation
+# pipeline runs before tokenization)
+def training_corpus_filter(spark, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks)
+    digit_ratio = (
+        F.length("text") - F.length(F.regexp_replace("text", "[0-9]", ""))
+    ) / F.length("text")
+    gated = docs.filter(
+        (n_tok >= 20) & (digit_ratio < 0.3) & (F.col("lang").isin("en", "de"))
+    )
+    w = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
+    return (
+        gated.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", F.size(F.split(F.col("text"), " ")).alias("n_tokens"))
+        .orderBy("doc_id")
+    )
+
+
+TRAINING_FILTER_SQL = """
+WITH gated AS (
+  SELECT doc_id, lang, text,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 20
+    AND (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / length(text) < 0.3
+    AND lang IN ('en', 'de')
+),
+dedup AS (
+  SELECT doc_id, lang, n_tokens,
+         row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+  FROM gated
+)
+SELECT doc_id, lang, n_tokens FROM dedup WHERE rn = 1 ORDER BY doc_id
+"""
+
+QUERIES["sessionize"] = (sessionize, SESSIONIZE_SQL)
+QUERIES["training_corpus_filter"] = (training_corpus_filter, TRAINING_FILTER_SQL)
