@@ -185,3 +185,24 @@ def test_bucket_level_resume_after_midbuild_kill(spark, webpages_small, tmp_path
         assert h1 == h2
     # reconciliation: lineage postings total == clean build total
     assert sum(per_bucket.values()) == res_clean.total_postings
+
+
+def test_build_is_bit_deterministic(spark, webpages_small, tmp_path):
+    """Two independent builds of the same input produce byte-identical
+    posting blobs per term — the whole-pipeline determinism guarantee
+    (content-derived ids, deterministic salts, stable kernels)."""
+    outs = []
+    for name in ("d1", "d2"):
+        out = str(tmp_path / name)
+        build_index(spark, webpages_small, out,
+                    target_postings_per_salt=50, term_buckets=16)
+        outs.append(out)
+    a = {
+        r["term"]: (bytes(r["doc_blob"]).hex(), bytes(r["tf_blob"]).hex(), r["df"])
+        for r in spark.read.parquet(f"{outs[0]}/segments").collect()
+    }
+    b = {
+        r["term"]: (bytes(r["doc_blob"]).hex(), bytes(r["tf_blob"]).hex(), r["df"])
+        for r in spark.read.parquet(f"{outs[1]}/segments").collect()
+    }
+    assert a == b
