@@ -121,7 +121,8 @@ def _minhash_signatures(docs: DataFrame) -> DataFrame:
     elementwise array minima — no docs x shingles x K row explosion.
     """
     sh = (
-        docs.select("doc_id", F.explode(_shingles(TOKS())).alias("s"))
+        docs.withColumn("ss", TOKS())
+        .select("doc_id", F.explode(_shingles(F.col("ss"))).alias("s"))
         .distinct()
     )
     ssig = sh.select("s").distinct().withColumn(
@@ -176,8 +177,8 @@ def dedup_minhash_lsh(spark, sf_dir: str) -> DataFrame:
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    shsets = docs.select(
-        "doc_id", F.array_distinct(_shingles(TOKS())).alias("ss")
+    shsets = docs.withColumn("toks", TOKS()).select(
+        "doc_id", F.array_distinct(_shingles(F.col("toks"))).alias("ss")
     )
     return (
         cand.join(shsets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("ss", "sa"), "doc_a")
@@ -241,7 +242,11 @@ def dedup_ngram_jaccard(spark, sf_dir: str) -> DataFrame:
     least one shingle pair up.
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    sh = docs.select("doc_id", F.explode(_shingles(TOKS())).alias("s")).distinct()
+    sh = (
+        docs.withColumn("ss", TOKS())
+        .select("doc_id", F.explode(_shingles(F.col("ss"))).alias("s"))
+        .distinct()
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
         sh.alias("a")
