@@ -371,3 +371,51 @@ SELECT doc_id, lang, n_tokens FROM dedup WHERE rn = 1 ORDER BY doc_id
 
 QUERIES["sessionize"] = (sessionize, SESSIONIZE_SQL)
 QUERIES["training_corpus_filter"] = (training_corpus_filter, TRAINING_FILTER_SQL)
+
+
+# exact percentiles per group (analytic agg; Spark `percentile` and
+# DuckDB `quantile_cont` share the interpolated definition)
+def value_percentiles(spark, sf_dir: str) -> DataFrame:
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+            F.round(F.min("value"), 4).alias("vmin"),
+            F.round(F.max("value"), 4).alias("vmax"),
+        )
+        .orderBy("event_type")
+    )
+
+
+PERCENTILES_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90,
+       round(min(value), 4) AS vmin,
+       round(max(value), 4) AS vmax
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# rollup: per-(type, user-bucket) counts with subtotals + grand total
+def rollup_counts(spark, sf_dir: str) -> DataFrame:
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ub = F.pmod(F.col("user_id"), F.lit(4)).cast("int").alias("user_bucket")
+    return (
+        events.select("event_type", ub)
+        .rollup("event_type", "user_bucket")
+        .agg(F.count("*").alias("n"))
+        .orderBy("event_type", "user_bucket")
+    )
+
+
+ROLLUP_SQL = """
+SELECT event_type, (user_id % 4)::INT AS user_bucket, count(*) AS n
+FROM events GROUP BY ROLLUP (event_type, (user_id % 4)::INT)
+ORDER BY event_type, user_bucket
+"""
+
+QUERIES["value_percentiles"] = (value_percentiles, PERCENTILES_SQL)
+QUERIES["rollup_counts"] = (rollup_counts, ROLLUP_SQL)

@@ -31,6 +31,8 @@ def ddb():
 
 
 def _norm(v):
+    if v is None:
+        return "\x00NULL\x00"  # sortable sentinel (rollup subtotal rows)
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
