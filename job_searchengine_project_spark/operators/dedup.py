@@ -350,8 +350,8 @@ bits AS (
   GROUP BY doc_id, j
 )
 SELECT doc_id,
-       sum(CASE WHEN j >= 30 THEN b << (j - 30)::INT ELSE 0 END) AS simhash_hi,
-       sum(CASE WHEN j < 30 THEN b << j::INT ELSE 0 END) AS simhash_lo
+       sum(CASE WHEN j >= 30 THEN b << (j - 30)::INT ELSE 0 END)::BIGINT AS simhash_hi,
+       sum(CASE WHEN j < 30 THEN b << j::INT ELSE 0 END)::BIGINT AS simhash_lo
 FROM bits GROUP BY doc_id ORDER BY doc_id
 """
 

@@ -321,7 +321,7 @@ WITH g AS (
 s AS (
   SELECT user_id, event_id, value,
          sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING) AS session_no
+                             ROWS UNBOUNDED PRECEDING)::BIGINT AS session_no
   FROM g
 )
 SELECT user_id, session_no, count(*) AS n_events,
