@@ -11,19 +11,26 @@ derives the query-sharded layout from a built index:
   reused verbatim and there is NO merge stage at all;
 - shards are hive partitions (`shard=K/`), each holding all terms of
   its doc range — a shard is a self-contained mini-index;
-- query: block-max WAND runs INSIDE each shard (mapInPandas over the
-  shard's pushed-down term rows, executor-side), per-shard top-k rows
-  come back, and the global answer is orderBy(score,doc_id).limit(k)
-  — top-k is associative, and a doc lives in exactly one shard so
-  scores never split.
+- each shard's BM25 norms (doc_id -> doclen) are persisted BESIDE the
+  shard at build time (`shard_norms/shard=K/`); the query kernel loads
+  only its own shard's norms executor-side. Nothing about the forward
+  index is ever collected to the driver or broadcast.
+- query: the pushed-down term rows are repartitioned BY SHARD so every
+  shard's rows are colocated in one task (a parquet scan alone does
+  not guarantee this — Spark splits files larger than
+  spark.sql.files.maxPartitionBytes across input partitions, and WAND
+  over a subset of a shard's terms would emit partial per-doc scores
+  that the global top-k merge would NOT sum). Block-max WAND then runs
+  inside each shard, per-shard top-k rows come back, and the global
+  answer is orderBy(score,doc_id).limit(k) — top-k is associative,
+  and a doc lives in exactly one shard so scores never split.
 
 Global idf uses the per-term df summed across shards (one tiny agg).
-Doclens ship as a broadcast locally; on a real cluster each shard's
-norms live beside its segment files.
 
 Rank/score parity with the driver-side engine and the DataFrame
 oracle is exact (same float64 math, same sorted-term summation, same
-tie-break) — tested.
+tie-break) — tested, including under a pathologically small
+files.maxPartitionBytes that forces multi-split shard scans.
 """
 
 from __future__ import annotations
@@ -41,10 +48,20 @@ from job_searchengine_project_spark.index.build import (
     _encode_partition,
 )
 
+SHARDS_META = "shards_meta.json"
+NORMS_DIR = "shard_norms"
+
+
 def build_sharded_segments(
     spark: SparkSession, index_dir: str, n_shards: int = 32
 ) -> str:
-    """Derive the doc-range-sharded layout from a built index dir."""
+    """Derive the doc-range-sharded layout from a built index dir.
+
+    Writes ``shards/shard=K/`` (compressed per-shard segments),
+    ``shard_norms/shard=K/`` (that shard's doc_id -> doclen rows) and
+    ``shards_meta.json`` (n_shards + doc range width) under
+    ``index_dir``.
+    """
     with open(os.path.join(index_dir, "stats.json")) as f:
         stats = json.load(f)
     n_docs = int(stats["n_docs"])
@@ -75,7 +92,55 @@ def build_sharded_segments(
         .partitionBy("shard")
         .parquet(out)
     )
+    # per-shard norms: each shard's (doc_id, doclen) rows live beside its
+    # segment files; the query kernel reads only its own shard's file.
+    (
+        fwd.select(
+            "doc_id",
+            "doclen",
+            (F.col("doc_id") / F.lit(rng)).cast("int").alias("shard"),
+        )
+        .repartition("shard")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(os.path.join(index_dir, NORMS_DIR))
+    )
+    with open(os.path.join(index_dir, SHARDS_META), "w") as f:
+        json.dump({"n_shards": n_shards, "rng": rng, "n_docs": n_docs}, f)
     return out
+
+
+class _ShardNorms:
+    """Absolute-doc_id view over a shard-local doclen array.
+
+    ``wand_topk`` indexes norms by global doc_id; a shard only stores
+    its own range [lo, lo+len) so this shifts on access."""
+
+    __slots__ = ("arr", "lo")
+
+    def __init__(self, arr: np.ndarray, lo: int):
+        self.arr = arr
+        self.lo = lo
+
+    def __getitem__(self, doc_id):
+        return self.arr[doc_id - self.lo]
+
+
+def _load_shard_norms(norms_root: str, shard: int, rng: int, n_docs: int) -> _ShardNorms:
+    """Executor-side: read ONE shard's norms parquet into a dense local
+    array (size = that shard's doc range, never n_docs)."""
+    import pyarrow.dataset as pads
+
+    lo = shard * rng
+    hi = min(lo + rng, n_docs)
+    tbl = pads.dataset(os.path.join(norms_root, f"shard={shard}")).to_table(
+        columns=["doc_id", "doclen"]
+    )
+    arr = np.zeros(max(hi - lo, 1), dtype=np.float64)
+    d = tbl.column("doc_id").to_numpy()
+    arr[d - lo] = tbl.column("doclen").to_numpy().astype(np.float64)
+    return _ShardNorms(arr, lo)
 
 
 def search_sharded(
@@ -91,6 +156,10 @@ def search_sharded(
     n_docs = int(stats["n_docs"])
     avgdl = float(stats["avgdl"])
     k1, b = float(stats["k1"]), float(stats["b"])
+    with open(os.path.join(index_dir, SHARDS_META)) as f:
+        meta = json.load(f)
+    rng = int(meta["rng"])
+    norms_root = os.path.join(index_dir, NORMS_DIR)
 
     terms = sorted(set(query_terms))
     seg = (
@@ -105,15 +174,6 @@ def search_sharded(
     if not df_map:
         return spark.createDataFrame([], "doc_id long, score double, url string")
 
-    doclens_rows = (
-        spark.read.parquet(os.path.join(index_dir, "forward"))
-        .select("doc_id", "doclen")
-        .collect()
-    )
-    dl_arr = np.zeros(n_docs, dtype=np.float64)
-    for r in doclens_rows:
-        dl_arr[r["doc_id"]] = r["doclen"]
-    bc_dl = spark.sparkContext.broadcast(dl_arr)
     bc_df = spark.sparkContext.broadcast(df_map)
 
     def shard_topk(batches):
@@ -126,31 +186,36 @@ def search_sharded(
         pdf_all = pd.concat(parts, ignore_index=True)
         if pdf_all.empty:
             return
-        for pdf in (pdf_all,):
-            dl = bc_dl.value
-            dfm = bc_df.value
-            for _, grp in pdf.groupby("shard", sort=False):
-                cursors = []
-                for r in grp.itertuples():
-                    enc = codec.EncodedPostings(
-                        count=int(r.df),
-                        first_doc=int(r.first_doc),
-                        doc_blob=bytes(r.doc_blob),
-                        tf_blob=bytes(r.tf_blob),
-                        block_n=np.asarray(r.block_n, dtype=np.int32),
-                        block_last_doc=np.asarray(r.block_last_doc, dtype=np.int64),
-                        block_doc_bytes=np.asarray(r.block_doc_bytes, dtype=np.int32),
-                        block_tf_bytes=np.asarray(r.block_tf_bytes, dtype=np.int32),
-                        block_max_tfnorm=np.asarray(r.block_max_tfnorm, dtype=np.float64),
-                    )
-                    idf = float(np.log1p((n_docs - dfm[r.term] + 0.5) / (dfm[r.term] + 0.5)))
-                    cursors.append(TermCursor(term=r.term, enc=enc, idf=idf))
-                hits = wand_topk(cursors, dl, avgdl, k, k1=k1, b=b)
-                if hits:
-                    docs_out, scores_out = zip(*hits)
-                    yield pd.DataFrame({"doc_id": docs_out, "score": scores_out})
+        dfm = bc_df.value
+        for shard_val, grp in pdf_all.groupby("shard", sort=False):
+            norms = _load_shard_norms(norms_root, int(shard_val), rng, n_docs)
+            cursors = []
+            for r in grp.itertuples():
+                enc = codec.EncodedPostings(
+                    count=int(r.df),
+                    first_doc=int(r.first_doc),
+                    doc_blob=bytes(r.doc_blob),
+                    tf_blob=bytes(r.tf_blob),
+                    block_n=np.asarray(r.block_n, dtype=np.int32),
+                    block_last_doc=np.asarray(r.block_last_doc, dtype=np.int64),
+                    block_doc_bytes=np.asarray(r.block_doc_bytes, dtype=np.int32),
+                    block_tf_bytes=np.asarray(r.block_tf_bytes, dtype=np.int32),
+                    block_max_tfnorm=np.asarray(r.block_max_tfnorm, dtype=np.float64),
+                )
+                idf = float(np.log1p((n_docs - dfm[r.term] + 0.5) / (dfm[r.term] + 0.5)))
+                cursors.append(TermCursor(term=r.term, enc=enc, idf=idf))
+            hits = wand_topk(cursors, norms, avgdl, k, k1=k1, b=b)
+            if hits:
+                docs_out, scores_out = zip(*hits)
+                yield pd.DataFrame({"doc_id": docs_out, "score": scores_out})
 
-    partials = seg.mapInPandas(shard_topk, schema="doc_id long, score double")
+    # colocate every shard's rows in one task: a file split (files larger
+    # than maxPartitionBytes) would otherwise hand WAND a subset of the
+    # query terms and the global top-k would merge partial scores.
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    partials = seg.repartition(shuffle_n, "shard").mapInPandas(
+        shard_topk, schema="doc_id long, score double"
+    )
     top = partials.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     urls = spark.read.parquet(os.path.join(index_dir, "forward")).select("doc_id", "url")
     return (

@@ -11,9 +11,14 @@ query batches. Plan:
     -> global top-k  orderBy(score desc, doc_id).limit(k)  — top-k is
                      associative, Spark's TakeOrdered does the merge
 
-Doclens ship to executors as a broadcast (the norms file). At 10^12
-docs the doclen array shards by doc range alongside the segments; the
-broadcast stands in for that shard-local lookup in local mode.
+Norms (doc_id -> doclen) are loaded EXECUTOR-SIDE straight from the
+forward index parquet (column-pruned pyarrow read, cached per worker
+process) — the driver never collects or broadcasts them. The
+term-merged layout inherently scores postings spanning the full doc
+range, so each scoring task needs the full norms table; at 10^12 docs
+the doc-range-sharded layout (index/sharded.py), whose norms live
+beside each shard, is the query path — this one is for mid-size
+indexes and batch scoring.
 
 Scoring math, summation order (sorted term), and tie-break are
 identical to the driver engine and the DataFrame oracle — the parity
@@ -33,6 +38,32 @@ from pyspark.sql import functions as F
 from job_searchengine_project_spark import BM25_B, BM25_K1
 from job_searchengine_project_spark.index import codec
 from job_searchengine_project_spark.index.build import _term_bucket_py
+
+# per-worker-process norms cache; keyed by (index_dir, n_docs) so an
+# incremental update_index (which appends docs and bumps n_docs in
+# stats.json) naturally invalidates stale entries.
+_NORMS_CACHE: dict[tuple[str, int], np.ndarray] = {}
+
+
+def _load_norms_dense(index_dir: str, n_docs: int) -> np.ndarray:
+    """Executor-side dense doclen array from the forward index parquet.
+
+    Column-pruned pyarrow read of (doc_id, doclen) only — never the
+    terms array. Cached per Python worker process."""
+    key = (index_dir, n_docs)
+    arr = _NORMS_CACHE.get(key)
+    if arr is None:
+        import pyarrow.dataset as pads
+
+        tbl = pads.dataset(os.path.join(index_dir, "forward")).to_table(
+            columns=["doc_id", "doclen"]
+        )
+        arr = np.zeros(n_docs, dtype=np.float64)
+        arr[tbl.column("doc_id").to_numpy()] = (
+            tbl.column("doclen").to_numpy().astype(np.float64)
+        )
+        _NORMS_CACHE[key] = arr
+    return arr
 
 
 def search_distributed(
@@ -61,22 +92,13 @@ def search_distributed(
                 "block_doc_bytes", "block_tf_bytes")
     )
 
-    # norms: doc_id -> doclen, broadcast to executors
-    doclens_tbl = (
-        spark.read.parquet(os.path.join(index_dir, "forward"))
-        .select("doc_id", "doclen")
-        .collect()
-    )
-    dl_arr = np.zeros(n_docs, dtype=np.float64)
-    for r in doclens_tbl:
-        dl_arr[r["doc_id"]] = r["doclen"]
-    bc_dl = spark.sparkContext.broadcast(dl_arr)
-
     def score_partition(batches):
-        dl = bc_dl.value
+        dl = None
         for pdf in batches:
             if pdf.empty:
                 continue
+            if dl is None:  # lazy: empty partitions never touch the norms
+                dl = _load_norms_dense(index_dir, n_docs)
             # sorted-term order within the partition keeps per-doc
             # summation order identical to the oracle after the final agg
             pdf = pdf.sort_values("term", kind="stable")

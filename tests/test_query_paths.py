@@ -85,6 +85,13 @@ def test_sharded_distributed_wand_matches_driver(spark, morph_index):
     import os
     shard_dirs = [d for d in os.listdir(out) if d.startswith("shard=")]
     assert len(shard_dirs) == 4
+    # norms live beside the shards, one dir per shard
+    norms_dirs = [
+        d
+        for d in os.listdir(os.path.join(morph_index, "shard_norms"))
+        if d.startswith("shard=")
+    ]
+    assert sorted(norms_dirs) == sorted(shard_dirs)
 
     eng = SearchEngine(morph_index)
     for q in (["spark"], ["spark", "데이터엔지니어", "개발자"], ["zzz_nope"]):
@@ -94,3 +101,77 @@ def test_sharded_distributed_wand_matches_driver(spark, morph_index):
         assert [r["url"] for r in dist] == [h.url for h in driver_hits], q
         for r, h in zip(dist, driver_hits):
             assert abs(r["score"] - h.score) < 1e-9
+
+
+def test_sharded_search_survives_file_splits(spark, morph_index):
+    """Shard files larger than spark.sql.files.maxPartitionBytes are
+    split across input partitions; the per-shard repartition must put a
+    shard's term rows back into ONE task before WAND runs, or the
+    global top-k would merge partial per-doc scores without summing."""
+    from job_searchengine_project_spark.index.sharded import (
+        build_sharded_segments,
+        search_sharded,
+    )
+
+    import os
+    import shutil
+
+    build_sharded_segments(spark, morph_index, n_shards=2)
+    # rewrite the shard files with tiny parquet row groups: a default
+    # single-row-group file never actually splits rows, so this is what
+    # makes maxPartitionBytes scatter ONE shard's term rows over several
+    # input partitions (verified: without the shard repartition this
+    # scatters 'spark'+'개발자' into different tasks)
+    sp = os.path.join(morph_index, "shards")
+    tiny = os.path.join(morph_index, "shards_tiny_rg")
+    (
+        spark.read.parquet(sp)
+        .repartition("shard")
+        .write.option("parquet.block.size", "2048")
+        .mode("overwrite")
+        .partitionBy("shard")
+        .parquet(tiny)
+    )
+    shutil.rmtree(sp)
+    shutil.move(tiny, sp)
+
+    eng = SearchEngine(morph_index)
+    q = ["spark", "데이터엔지니어", "개발자"]
+    driver_hits = eng.search(q, k=10, with_urls=False, strategy="wand")
+
+    old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    old_oci = spark.conf.get("spark.sql.files.openCostInBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    try:
+        dist = search_sharded(spark, morph_index, q, k=10).collect()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+        spark.conf.set("spark.sql.files.openCostInBytes", old_oci)
+    assert [r["doc_id"] for r in dist] == [h.doc_id for h in driver_hits]
+    for r, h in zip(dist, driver_hits):
+        assert abs(r["score"] - h.score) < 1e-9
+
+
+def test_query_paths_never_collect_forward_index(spark, morph_index, monkeypatch):
+    """Neither distributed path may pull (doc_id, doclen) rows to the
+    driver — norms load executor-side (shard-local for the sharded
+    layout). The only allowed driver collect is the tiny per-term df
+    aggregate."""
+    import pyspark.sql.classic.dataframe as cdf
+
+    from job_searchengine_project_spark.index.sharded import search_sharded
+
+    collected_schemas: list[list[str]] = []
+    real_collect = cdf.DataFrame.collect
+
+    def spy(self):
+        collected_schemas.append(list(self.columns))
+        return real_collect(self)
+
+    monkeypatch.setattr(cdf.DataFrame, "collect", spy)
+    q = ["spark", "개발자"]
+    search_distributed(spark, morph_index, q, k=5).collect()
+    search_sharded(spark, morph_index, q, k=5).collect()
+    for cols in collected_schemas:
+        assert "doclen" not in cols, f"driver collected norms: {cols}"
