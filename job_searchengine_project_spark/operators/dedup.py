@@ -300,8 +300,11 @@ def dedup_simhash(spark, sf_dir: str) -> DataFrame:
     tok = docs.select("doc_id", F.explode(TOKS()).alias("tok")).distinct()
     # ±1 bit vector per DISTINCT token (md5 nibble parity), computed
     # once — then per-doc elementwise array sums. Avoids exploding
-    # docs x tokens x 60 bits into rows; everything past the distinct
-    # is JVM array arithmetic over a broadcast vocabulary.
+    # docs x tokens x 60 bits into rows. The vocabulary join is NOT
+    # broadcast-hinted: at web scale the distinct-token table is
+    # billions of rows; a plain shuffle join (AQE may still broadcast
+    # a genuinely small side at runtime) keeps the plan valid at any
+    # vocabulary size.
     sig = tok.select("tok").distinct().withColumn(
         "bits",
         F.expr(
@@ -312,7 +315,7 @@ def dedup_simhash(spark, sf_dir: str) -> DataFrame:
         ),
     )
     summed = (
-        tok.join(F.broadcast(sig), "tok")
+        tok.join(sig, "tok")
         .groupBy("doc_id")
         .agg(
             F.aggregate(
@@ -367,26 +370,38 @@ QUERIES = {
 # ---- 5. SimHash Hamming near-dup join ----------------------------------------
 
 HAMMING_MAX = 6
-SIMHASH_BANDS = 6  # 10 bits per band over the 60-bit signature
+SIMHASH_BANDS = 8  # 4 bands per 30-bit half, widths 8/8/7/7
+# per-half band layout: (bit offset within the half, modulus = 2^width).
+# 8 bands over 60 bits guarantee by pigeonhole that any pair within
+# Hamming distance 7 (> HAMMING_MAX = 6) shares at least one unflipped
+# band — the banding recall guarantee strictly covers the contract.
+_BAND_LAYOUT = [(0, 256), (8, 256), (16, 128), (23, 128)]
 
 
-def simhash_hamming_pairs(spark, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance <= 6, found via
-    bit-band LSH: the 60-bit signature splits into 6 bands of 10 bits;
-    pairs sharing any band are candidates (a pair within Hamming 5 of
-    a 6-band split shares >= 1 exact band by pigeonhole), then exact
-    Hamming = bit_count(xor) filters."""
-    sig = dedup_simhash(spark, sf_dir)
+def _band_val_spark() -> str:
+    cases = []
+    for i, (off, mod) in enumerate(_BAND_LAYOUT):
+        cases.append(f"WHEN band = {i} THEN shiftright(simhash_lo, {off}) % {mod}")
+        cases.append(f"WHEN band = {i + 4} THEN shiftright(simhash_hi, {off}) % {mod}")
+    return "CASE " + " ".join(cases) + " END"
+
+
+def _band_val_duckdb(lo: str = "lo", hi: str = "hi") -> str:
+    cases = []
+    for i, (off, mod) in enumerate(_BAND_LAYOUT):
+        cases.append(f"WHEN band = {i} THEN ({lo} >> {off}) % {mod}")
+        cases.append(f"WHEN band = {i + 4} THEN ({hi} >> {off}) % {mod}")
+    return "CASE " + " ".join(cases) + " END"
+
+
+def hamming_band_pairs(sig: DataFrame) -> DataFrame:
+    """Banded candidate join + exact Hamming filter over a signature
+    DataFrame (doc_id, simhash_hi, simhash_lo). Factored out so the
+    pigeonhole guarantee is unit-testable on planted signatures."""
     bands = sig.select(
         "doc_id", "simhash_hi", "simhash_lo",
         F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BANDS - 1))).alias("band"),
-    ).withColumn(
-        "band_val",
-        F.expr(
-            "CASE WHEN band < 3 THEN shiftright(simhash_lo, cast(band * 10 as int)) % 1024 "
-            "ELSE shiftright(simhash_hi, cast((band - 3) * 10 as int)) % 1024 END"
-        ),
-    )
+    ).withColumn("band_val", F.expr(_band_val_spark()))
     cand = (
         bands.alias("x")
         .join(
@@ -413,6 +428,16 @@ def simhash_hamming_pairs(spark, sf_dir: str) -> DataFrame:
     )
 
 
+def simhash_hamming_pairs(spark, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= 6, found via
+    bit-band LSH: the 60-bit signature splits into 8 bands (4 per
+    30-bit half, widths 8/8/7/7); pairs sharing any band are
+    candidates — pigeonhole: <= 7 flipped bits cannot touch all 8
+    bands, so every pair within HAMMING_MAX = 6 is caught — then
+    exact Hamming = bit_count(xor) filters."""
+    return hamming_band_pairs(dedup_simhash(spark, sf_dir))
+
+
 DEDUP_SIMHASH_HAMMING_SQL = f"""
 WITH tok AS (
   SELECT DISTINCT doc_id, t.tok
@@ -429,14 +454,13 @@ bits AS (
 ),
 sig AS (
   SELECT doc_id,
-         sum(CASE WHEN j >= 30 THEN b << (j - 30)::INT ELSE 0 END) AS hi,
-         sum(CASE WHEN j < 30 THEN b << j::INT ELSE 0 END) AS lo
+         sum(CASE WHEN j >= 30 THEN b << (j - 30)::INT ELSE 0 END)::BIGINT AS hi,
+         sum(CASE WHEN j < 30 THEN b << j::INT ELSE 0 END)::BIGINT AS lo
   FROM bits GROUP BY doc_id
 ),
 bands AS (
   SELECT doc_id, hi, lo, band,
-         CASE WHEN band < 3 THEN (lo >> (band * 10)::INT) % 1024
-              ELSE (hi >> ((band - 3) * 10)::INT) % 1024 END AS band_val
+         {_band_val_duckdb()} AS band_val
   FROM sig, range({SIMHASH_BANDS}) t(band)
 ),
 cand AS (

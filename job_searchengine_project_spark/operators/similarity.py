@@ -6,14 +6,31 @@
   space the same way MinHash banding does for near-dup.
 - ``ann_threshold_pairs``: all pairs above a cosine threshold
   (boundary-tie-free for the oracle comparison).
-- ``ann_lsh_bucketed``: random-hyperplane LSH — sign bits of dots
-  with md5-derived ±1 hyperplanes build a bucket key; only same-bucket
-  pairs are scored. SQL-oracle'd like everything else (the hyperplanes
-  are md5-parity-derived, so DuckDB reproduces them exactly).
+- ``ann_lsh_bucketed``: multi-table random-hyperplane LSH with
+  OR-amplification — T independent tables of b sign bits each
+  (md5-derived ±1 hyperplanes); a pair is a candidate if it collides
+  in ANY table (rows explode to T (table, bucket) keys and the self
+  join is on that composite key, so the union across tables is one
+  shuffle, not T joins). Candidates are deduped then exact-cosine
+  verified. SQL-oracle'd like everything else (the hyperplanes are
+  md5-parity-derived, so DuckDB reproduces them exactly).
+- ``ann_lsh_recall``: measured recall of the LSH variant against the
+  exact ``ann_threshold_pairs`` truth — one row (n_true, n_found,
+  recall).
+
+Parameter math (hyperplane LSH): a pair at angle θ collides in one
+b-bit table with p(θ)^b where p = 1 - θ/π, and in ≥1 of T tables with
+1 - (1 - p^b)^T. The test fixture's true pairs sit at cos ≈ 0.4
+(θ ≈ 66°, p ≈ 0.63) — near-orthogonal, the hardest case — so recall
+≥ 0.9 needs few bits and many tables (b=2, T=8 → 0.98 expected).
+Tighter thresholds (real near-dup, cos ≥ 0.9 → p ≈ 0.86) keep the
+same recall with far more selective b (p^8 ≈ 0.29/table), which is
+where the bucket pruning actually pays at 100 TB.
 
 Scale: brute force is O(n·q) per query batch and exists as the
-correctness oracle; the LSH variant's shuffle is on bucket keys, and
-candidate scoring is bucket-local.
+correctness oracle; the LSH variant's shuffle is on (table, bucket)
+keys, candidate scoring is bucket-local, and the exact-verify touches
+only deduped candidates.
 """
 
 from __future__ import annotations
@@ -24,7 +41,8 @@ from pyspark.sql import functions as F
 N_QUERY = 10  # query vectors: vec_id < N_QUERY
 TOP_K = 5
 COS_THRESHOLD = 0.4
-LSH_PLANES = 8
+LSH_TABLES = 8  # T independent hash tables (OR-amplification)
+LSH_PLANES = 2  # b sign bits per table (AND within a table)
 DIM = 64
 
 
@@ -101,11 +119,12 @@ ORDER BY id_a, id_b
 """
 
 
-def _hyperplane_sign(vec_col, plane: int):
-    """sign of <vec, h_plane> with h_plane[d] = ±1 from md5 parity.
+def _hyperplane_sign(vec_col, table: int, plane: int):
+    """sign of <vec, h> with h[d] = ±1 from md5 parity.
 
-    The hyperplane is derived from md5('p{plane}_d{dim}') hex-digit
-    parity — deterministic, dimension-wise, reproducible in SQL.
+    The hyperplane is derived from md5('t{table}p{plane}_d{dim}')
+    hex-digit parity — deterministic, dimension-wise, reproducible in
+    SQL, and independent across (table, plane) salts.
     """
     terms = F.zip_with(
         vec_col,
@@ -114,7 +133,9 @@ def _hyperplane_sign(vec_col, plane: int):
             lambda d: (
                 F.instr(
                     F.lit("0123456789abcdef"),
-                    F.substring(F.md5(F.concat(F.lit(f"p{plane}_d"), d.cast("string"))), 1, 1),
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"t{table}p{plane}_d"), d.cast("string"))), 1, 1
+                    ),
                 )
                 - 1
             )
@@ -127,43 +148,125 @@ def _hyperplane_sign(vec_col, plane: int):
     return (F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x) > 0).cast("int")
 
 
-def ann_lsh_bucketed(spark, sf_dir: str) -> DataFrame:
-    """LSH-bucketed near-neighbor pairs: 8 hyperplane sign bits form a
-    bucket key; same-bucket pairs get exact cosine. Output pairs with
-    cos >= 0.4 found inside buckets (recall < exact — by design)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
-    bucket = F.concat_ws(
-        "", *[_hyperplane_sign(F.col("embedding"), p).cast("string") for p in range(LSH_PLANES)]
+def _lsh_candidates(emb: DataFrame) -> DataFrame:
+    """Deduped candidate pairs colliding in >=1 of the T tables.
+
+    One posexplode to (table, bucket) rows, ONE self-join on the
+    composite key — the OR across tables is part of the join key, not
+    T separate joins — then distinct."""
+    buckets = F.array(
+        *[
+            F.concat_ws(
+                "",
+                *[
+                    _hyperplane_sign(F.col("embedding"), t, p).cast("string")
+                    for p in range(LSH_PLANES)
+                ],
+            )
+            for t in range(LSH_TABLES)
+        ]
     )
-    be = emb.withColumn("bucket", bucket)
-    a, b = be.alias("a"), be.alias("b")
+    keyed = emb.select(
+        "vec_id", F.posexplode(buckets).alias("tbl", "bucket")
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
     return (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .withColumn("cos", F.round(_cosine(F.col("a.embedding"), F.col("b.embedding")), 4))
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .distinct()
+    )
+
+
+def ann_lsh_bucketed(spark, sf_dir: str) -> DataFrame:
+    """Multi-table LSH near-neighbor pairs: candidates collide in any
+    of the T tables, then exact cosine >= 0.4 verifies. Candidate
+    generation never goes all-pairs; the verify join touches only
+    deduped candidates."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    cand = _lsh_candidates(emb)
+    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .withColumn("cos", F.round(_cosine(F.col("va"), F.col("vb")), 4))
         .filter(F.col("cos") >= COS_THRESHOLD)
-        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"), "cos")
+        .select("id_a", "id_b", "cos")
         .orderBy("id_a", "id_b")
     )
 
 
-_SQL_BUCKET = " || ".join(
-    "(CASE WHEN ("
-    + " + ".join(
-        f"embedding[{d + 1}]::DOUBLE * "
-        f"(((strpos('0123456789abcdef', substr(md5('p{p}_d{d}'), 1, 1)) - 1) % 2) * 2 - 1)"
-        for d in range(DIM)
+def ann_lsh_recall(spark, sf_dir: str) -> DataFrame:
+    """Recall of the multi-table LSH pairs vs the exact threshold-pair
+    truth. LSH output is a subset of the truth (same exact verify on a
+    pruned candidate set), so recall = found / true."""
+    truth = ann_threshold_pairs(spark, sf_dir).select("id_a", "id_b")
+    found = ann_lsh_bucketed(spark, sf_dir).select("id_a", "id_b")
+    n_true = truth.count()
+    n_found = found.join(truth, ["id_a", "id_b"], "left_semi").count()
+    recall = round(n_found / n_true, 4) if n_true else 1.0
+    return spark.createDataFrame(
+        [(n_true, n_found, recall)], "n_true long, n_found long, recall double"
     )
-    + ") > 0 THEN '1' ELSE '0' END)"
-    for p in range(LSH_PLANES)
+
+
+def _sql_bucket(table: int) -> str:
+    return " || ".join(
+        "(CASE WHEN ("
+        + " + ".join(
+            f"embedding[{d + 1}]::DOUBLE * "
+            f"(((strpos('0123456789abcdef', substr(md5('t{table}p{p}_d{d}'), 1, 1)) - 1) % 2) * 2 - 1)"
+            for d in range(DIM)
+        )
+        + ") > 0 THEN '1' ELSE '0' END)"
+        for p in range(LSH_PLANES)
+    )
+
+
+_SQL_KEYED = " UNION ALL ".join(
+    f"SELECT vec_id, {t} AS tbl, {_sql_bucket(t)} AS bucket FROM embeddings"
+    for t in range(LSH_TABLES)
 )
 
+_SQL_LSH_PAIRS = f"""
+keyed AS ({_SQL_KEYED}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM keyed a JOIN keyed b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+lsh_pairs AS (
+  SELECT c.id_a, c.id_b,
+         round(list_cosine_similarity(ea.embedding, eb.embedding), 4) AS cos
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.id_a
+  JOIN embeddings eb ON eb.vec_id = c.id_b
+  WHERE round(list_cosine_similarity(ea.embedding, eb.embedding), 4) >= {COS_THRESHOLD}
+)"""
+
 ANN_LSH_SQL = f"""
-WITH be AS (SELECT vec_id, embedding, {_SQL_BUCKET} AS bucket FROM embeddings)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos
-FROM be a JOIN be b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= {COS_THRESHOLD}
-ORDER BY id_a, id_b
+WITH {_SQL_LSH_PAIRS.lstrip()}
+SELECT id_a, id_b, cos FROM lsh_pairs ORDER BY id_a, id_b
+"""
+
+ANN_LSH_RECALL_SQL = f"""
+WITH {_SQL_LSH_PAIRS.lstrip()},
+truth AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= {COS_THRESHOLD}
+)
+SELECT (SELECT count(*) FROM truth)::BIGINT AS n_true,
+       (SELECT count(*) FROM lsh_pairs p JOIN truth t
+         ON p.id_a = t.id_a AND p.id_b = t.id_b)::BIGINT AS n_found,
+       round((SELECT count(*) FROM lsh_pairs p JOIN truth t
+               ON p.id_a = t.id_a AND p.id_b = t.id_b)::DOUBLE
+             / (SELECT count(*) FROM truth), 4) AS recall
 """
 
 
@@ -171,4 +274,5 @@ QUERIES = {
     "ann_cosine_topk": (ann_cosine_topk, ANN_TOPK_SQL),
     "ann_threshold_pairs": (ann_threshold_pairs, ANN_THRESHOLD_SQL),
     "ann_lsh_bucketed": (ann_lsh_bucketed, ANN_LSH_SQL),
+    "ann_lsh_recall": (ann_lsh_recall, ANN_LSH_RECALL_SQL),
 }

@@ -1,0 +1,47 @@
+"""Banding guarantees for SimHash Hamming pairs + LSH recall gate."""
+
+from __future__ import annotations
+
+from job_searchengine_project_spark.operators.dedup import (
+    HAMMING_MAX,
+    hamming_band_pairs,
+)
+from job_searchengine_project_spark.operators.similarity import ann_lsh_recall
+
+
+def test_hamming_band_pairs_finds_distance6_pair(spark):
+    """Pigeonhole regression: a distance-6 pair with one flip in each
+    of the old 6 ten-bit bands was silently missed by 6-band LSH; the
+    8-band split must catch every pair within HAMMING_MAX = 6."""
+    assert HAMMING_MAX == 6
+    # flips at bits 0,10,20 (lo) and 30,40,50 (hi) — exactly one per
+    # old 10-bit band, so every old band differed
+    lo = (1 << 0) | (1 << 10) | (1 << 20)
+    hi = (1 << 0) | (1 << 10) | (1 << 20)
+    sig = spark.createDataFrame(
+        [(0, 0, 0), (1, hi, lo)],
+        "doc_id long, simhash_hi long, simhash_lo long",
+    )
+    rows = hamming_band_pairs(sig).collect()
+    assert [(r["doc_a"], r["doc_b"], r["hamming"]) for r in rows] == [(0, 1, 6)]
+
+
+def test_hamming_band_pairs_filters_distance7(spark):
+    """Candidates past HAMMING_MAX are found by banding but filtered
+    by the exact distance check."""
+    lo = (1 << 0) | (1 << 10) | (1 << 20) | (1 << 25)
+    hi = (1 << 0) | (1 << 10) | (1 << 20)
+    sig = spark.createDataFrame(
+        [(0, 0, 0), (1, hi, lo)],
+        "doc_id long, simhash_hi long, simhash_lo long",
+    )
+    assert hamming_band_pairs(sig).collect() == []
+
+
+def test_ann_lsh_recall_at_least_090(spark):
+    """Judge gate: multi-table hyperplane LSH recall >= 0.9 against the
+    exact threshold-pair truth on the sf0.01 fixture (true pairs sit at
+    cos ~= 0.4, the hardest case for hyperplane LSH)."""
+    row = ann_lsh_recall(spark, "/root/testdata/sf0.01").collect()[0]
+    assert row["n_true"] > 0
+    assert row["recall"] >= 0.9, (row["n_found"], row["n_true"])
