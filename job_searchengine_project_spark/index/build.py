@@ -239,14 +239,21 @@ def build_index(
 
     # ---- stage "docs": analyze + persist forward index & docstore -------
     # ONE scan of the input computes both the content fingerprint
-    # (count + order-independent xor of url hashes) and the per-bucket
-    # counts the dense-id assignment needs.
+    # (count + order-independent xor of per-row hashes) and the
+    # per-bucket counts the dense-id assignment needs. The per-row hash
+    # covers url AND content (html when the extractor runs, else text):
+    # a rebuild over changed text under unchanged urls must invalidate
+    # the stage markers, or resume=True would serve a stale index.
     id_buckets = 256
+    content_src = "html" if use_extractor else "text"
     bucket_rows = (
         pages.groupBy(
             F.pmod(F.xxhash64("url"), F.lit(id_buckets)).alias("_bucket")
         )
-        .agg(F.count("*").alias("n"), F.expr("bit_xor(xxhash64(url))").alias("h"))
+        .agg(
+            F.count("*").alias("n"),
+            F.expr(f"bit_xor(xxhash64(url, {content_src}))").alias("h"),
+        )
         .collect()
     )
     n_input = sum(r["n"] for r in bucket_rows)
@@ -461,13 +468,22 @@ def build_index(
             import shutil
 
             shutil.rmtree(staged_dir, ignore_errors=True)
-        # stage commit: totals from ALL lineage rows of this fingerprint
+        # stage commit: totals from the lineage rows of this fingerprint,
+        # deduped per bucket — lineage is append-only, so a second
+        # non-resume build over identical input appends a second
+        # (identical, same-fingerprint) row per bucket; max-per-bucket
+        # keeps the totals exact instead of doubling them
         lin = (
             spark.read.option("mergeSchema", "true").parquet(lineage_dir)
             .filter(
                 (F.col("stage") == "segments")
                 & (F.col("build_fp") == input_fp)
                 & F.col("completed")
+            )
+            .groupBy("partition_id")
+            .agg(
+                F.max("term_count").alias("term_count"),
+                F.max("doc_count").alias("doc_count"),
             )
             .agg(F.sum("term_count"), F.sum("doc_count"))
             .collect()[0]

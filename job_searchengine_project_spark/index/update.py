@@ -59,6 +59,10 @@ def update_index(
     segments_dir = os.path.join(out_dir, "segments")
 
     # --- new docs: ids continue after the existing range ------------------
+    # empty-batch guard BEFORE the forward append: an empty batch must
+    # be a no-op, not a crash after a side effect
+    if not new_pages.limit(1).count():
+        return {"added_docs": 0, "touched_buckets": 0}
     docs_new = prepare_docs(new_pages, analyzer=analyzer).withColumn(
         "doc_id", F.col("doc_id") + F.lit(n_old)
     )
@@ -67,7 +71,7 @@ def update_index(
     agg = fwd_new.agg(
         F.count("*").alias("m"), F.sum("doclen").alias("tok")
     ).collect()[0]
-    m, new_tokens = int(agg["m"]), int(agg["tok"])
+    m, new_tokens = int(agg["m"]), int(agg["tok"] or 0)
 
     # --- encode new postings (frozen avgdl) -------------------------------
     postings = fwd_new.select(

@@ -178,7 +178,15 @@ class SearchEngine:
         if k >= uniq.size:
             idx = np.arange(uniq.size)
         else:
-            idx = np.argpartition(-sums, k)[:k]
+            # argpartition breaks exact ties at the k-boundary
+            # arbitrarily (duplicate texts produce bitwise-equal
+            # scores); widen the candidate set to every doc tied with
+            # the k-th score so the (-score, doc_id) sort below applies
+            # the documented asc-doc_id tie-break exactly like WAND
+            # and the oracle.
+            part = np.argpartition(-sums, k - 1)[:k]
+            kth = sums[part].min()
+            idx = np.flatnonzero(sums >= kth)
         cand = sorted(zip(uniq[idx].tolist(), sums[idx].tolist()), key=lambda x: (-x[1], x[0]))
         return cand[:k]
 

@@ -206,3 +206,55 @@ def test_build_is_bit_deterministic(spark, webpages_small, tmp_path):
         for r in spark.read.parquet(f"{outs[1]}/segments").collect()
     }
     assert a == b
+
+
+def test_resume_invalidates_on_content_change(spark, webpages_small, tmp_path):
+    """Same urls, changed text: the fingerprint hashes content, so
+    resume=True must rebuild both stages instead of serving the stale
+    index (the resume contract is deterministic-build, not same-urls)."""
+    out = str(tmp_path / "idx_content")
+    build_index(spark, webpages_small, out, target_postings_per_salt=50, term_buckets=16)
+    changed = webpages_small.withColumn(
+        "text", F.concat(F.col("text"), F.lit(" zzzinjectedterm"))
+    )
+    res = build_index(
+        spark, changed, out,
+        target_postings_per_salt=50, term_buckets=16, resume=True,
+    )
+    assert res.stages_run == ["docs", "segments"]
+    assert res.stages_skipped == []
+    eng = SearchEngine(out)
+    hits = eng.search(["zzzinjectedterm"], k=5)
+    assert hits  # the new content is queryable
+
+
+def test_rebuild_same_dir_totals_stable(spark, webpages_small, tmp_path):
+    """A second non-resume build into the same out_dir appends lineage
+    rows; the stage-commit totals must dedupe per bucket, not double."""
+    out = str(tmp_path / "idx_twice")
+    r1 = build_index(spark, webpages_small, out, target_postings_per_salt=50, term_buckets=16)
+    r2 = build_index(spark, webpages_small, out, target_postings_per_salt=50, term_buckets=16)
+    assert (r2.n_terms, r2.total_postings) == (r1.n_terms, r1.total_postings)
+
+
+def test_exhaustive_tie_break_at_k_boundary(spark, tmp_path):
+    """Duplicate texts produce bitwise-equal scores; the exhaustive
+    kernel must apply the asc-doc_id tie-break at the k-boundary
+    exactly like WAND and the brute-force oracle."""
+    out = str(tmp_path / "idx_ties")
+    pages = spark.createDataFrame(
+        [(f"https://t.test/{i}", "alpha beta gamma") for i in range(6)]
+        + [(f"https://t.test/x{i}", "delta epsilon") for i in range(3)],
+        "url string, text string",
+    )
+    build_index(spark, pages, out, target_postings_per_salt=50, term_buckets=8)
+    eng = SearchEngine(out)
+    for k in (1, 3, 5, 6):
+        ex = eng.search(["alpha"], k=k, strategy="exhaustive")
+        wd = eng.search(["alpha"], k=k, strategy="wand")
+        bf = eng.search_bruteforce(["alpha"], k=k)
+        assert [(h.doc_id, h.score) for h in ex] == [(h.doc_id, h.score) for h in wd]
+        assert [(h.doc_id, h.score) for h in ex] == [(h.doc_id, h.score) for h in bf]
+        # all six tie -> the k LOWEST doc_ids win
+        tied_ids = sorted(h.doc_id for h in eng.search(["alpha"], k=6, strategy="wand"))
+        assert [h.doc_id for h in ex] == tied_ids[:k]

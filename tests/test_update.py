@@ -65,3 +65,15 @@ def test_update_hits_docs_from_both_batches(spark, updated_index):
     hits = eng.search(["spark"], k=300, with_urls=False)
     got_ids = {h.doc_id for h in hits}
     assert any(i < n_a for i in got_ids) and any(i >= n_a for i in got_ids)
+
+
+def test_update_empty_batch_is_noop(spark, webpages_small, tmp_path):
+    """An empty batch must return a zero result without touching the
+    forward index (previously crashed AFTER appending)."""
+    out = str(tmp_path / "idx_empty_upd")
+    build_index(spark, webpages_small.limit(50), out, target_postings_per_salt=50, term_buckets=16)
+    before = spark.read.parquet(out + "/forward").count()
+    res = update_index(spark, webpages_small.limit(0), out)
+    assert res == {"added_docs": 0, "touched_buckets": 0}
+    assert spark.read.parquet(out + "/forward").count() == before
+    assert SearchEngine(out).search(["spark"], k=3)
