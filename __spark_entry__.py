@@ -20,6 +20,7 @@ from job_searchengine_project_spark.operators import fulltext as _fulltext
 from job_searchengine_project_spark.operators import relational as _relational
 from job_searchengine_project_spark.operators import similarity as _similarity
 from job_searchengine_project_spark.operators import textquality as _textquality
+from job_searchengine_project_spark.sources import avro_codec as _avro
 from job_searchengine_project_spark.sources import multimodal as _multimodal
 from job_searchengine_project_spark.streaming import pipeline as _streaming
 
@@ -31,6 +32,7 @@ _MODULES = (
     _textquality,
     _relational,
     _multimodal,
+    _avro,
     _streaming,
 )
 
