@@ -206,6 +206,42 @@ def _term_bucket_py(term: str, buckets: int) -> int:
     return int.from_bytes(h[:8], "big") % buckets
 
 
+def _url_bucket_expr(buckets: int):
+    """JVM twin of _term_bucket_py applied to url (equality tested for
+    the term variant; same expression shape)."""
+    return F.pmod(
+        F.conv(F.substring(F.sha2(F.col("url"), 256), 1, 16), 16, 10).cast(
+            "decimal(25,0)"
+        ),
+        F.lit(buckets),
+    ).cast("int")
+
+
+def _write_stored_fields(
+    pages: DataFrame, stored_dir: str, *, use_extractor: bool,
+    stored_buckets: int, mode: str = "overwrite",
+) -> None:
+    """Stored-field docstore: (url, body, <other page columns>) hash-
+    bucketed by url and sorted by url within each bucket. Body is the
+    extracted text when the extractor runs (what ES stores as _source
+    body_text), else the input text column verbatim."""
+    from job_searchengine_project_spark.functions.extract import extract_text
+
+    body_col = (
+        extract_text(F.col("html")) if use_extractor else F.col("text")
+    ).alias("body")
+    extras = [c for c in pages.columns if c not in ("url", "text", "html")]
+    (
+        pages.select("url", body_col, *extras)
+        .withColumn("sbucket", _url_bucket_expr(stored_buckets))
+        .repartition("sbucket")
+        .sortWithinPartitions("url")
+        .write.mode(mode)
+        .partitionBy("sbucket")
+        .parquet(stored_dir)
+    )
+
+
 def build_index(
     spark: SparkSession,
     pages: DataFrame,
@@ -217,6 +253,8 @@ def build_index(
     term_buckets: int = 64,
     resume: bool = False,
     checkpoint_groups: int = 1,
+    store_fields: bool = True,
+    stored_buckets: int = 64,
     _fail_after_groups: int | None = None,  # test-only fault injection
 ) -> BuildResult:
     os.makedirs(out_dir, exist_ok=True)
@@ -273,9 +311,20 @@ def build_index(
         )
         docs.write.mode("overwrite").parquet(forward_dir)
         _tick("tokenize+ids+forward write")
-        # the docstore IS the forward index column-pruned to
-        # (doc_id, url, doclen) — parquet column pruning makes a
-        # separate copy pure waste
+        if store_fields:
+            # stored-field docstore (ES _source parity, README.md:19-38):
+            # kept OUT of the forward index on purpose — the doc-id
+            # assignment shuffle must never carry body text (module
+            # docstring of index/prepare.py). Instead the stored table
+            # hash-buckets by url (sha256 twin of _term_bucket_py) and
+            # sorts by url inside each bucket, so a k-row hit list
+            # fetches fields with bucket partition pruning + url
+            # row-group pruning, no join against the corpus.
+            _write_stored_fields(
+                pages, os.path.join(out_dir, "stored"),
+                use_extractor=use_extractor, stored_buckets=stored_buckets,
+            )
+            _tick("stored fields write")
         fwd = spark.read.parquet(forward_dir)
         # one forward scan -> per-partition lineage AND global stats
         per_part = (
@@ -296,6 +345,7 @@ def build_index(
             n_docs=n_docs_, avgdl=avgdl_, total_tokens=total_tokens,
             analyzer=analyzer, block_size=block_size,
             term_buckets=term_buckets, fingerprint=input_fp,
+            store_fields=store_fields, stored_buckets=stored_buckets,
         )
         _append_lineage(
             spark, lineage_dir, stage="docs", build_fp=input_fp,
@@ -510,7 +560,7 @@ def build_index(
 
 def _write_stats_dict(
     stats_path, *, n_docs, avgdl, total_tokens, analyzer, block_size,
-    term_buckets, fingerprint,
+    term_buckets, fingerprint, store_fields=False, stored_buckets=64,
 ):
     stats = {
         "n_docs": int(n_docs),
@@ -522,6 +572,8 @@ def _write_stats_dict(
         "k1": BM25_K1,
         "b": BM25_B,
         "fingerprint": fingerprint,
+        "store_fields": bool(store_fields),
+        "stored_buckets": int(stored_buckets),
     }
     tmp = stats_path + ".tmp"
     with open(tmp, "w") as f:

@@ -148,6 +148,7 @@ def search_sharded(
     index_dir: str,
     query_terms: list[str],
     k: int = 10,
+    with_fields: bool = False,
 ) -> DataFrame:
     """Distributed block-max WAND: per-shard top-k in executors,
     associative global merge. Returns (doc_id, score, url) ranked."""
@@ -218,8 +219,13 @@ def search_sharded(
     )
     top = partials.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     urls = spark.read.parquet(os.path.join(index_dir, "forward")).select("doc_id", "url")
-    return (
+    out = (
         top.join(urls, "doc_id")
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .select("doc_id", "score", "url")
     )
+    if with_fields:
+        from job_searchengine_project_spark.search.stored import attach_stored_fields
+
+        out = attach_stored_fields(spark, index_dir, out)
+    return out

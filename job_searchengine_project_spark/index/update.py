@@ -67,6 +67,15 @@ def update_index(
         "doc_id", F.col("doc_id") + F.lit(n_old)
     )
     docs_new.write.mode("append").parquet(forward_dir)
+    if stats.get("store_fields"):
+        from job_searchengine_project_spark.index.build import _write_stored_fields
+
+        _write_stored_fields(
+            new_pages, os.path.join(out_dir, "stored"),
+            use_extractor=False,
+            stored_buckets=int(stats.get("stored_buckets", 64)),
+            mode="append",
+        )
     fwd_new = spark.read.parquet(forward_dir).filter(F.col("doc_id") >= n_old)
     agg = fwd_new.agg(
         F.count("*").alias("m"), F.sum("doclen").alias("tok")
@@ -159,6 +168,8 @@ def update_index(
         block_size=block_size,
         term_buckets=term_buckets,
         fingerprint=stats["fingerprint"] + f"+update{m}",
+        store_fields=stats.get("store_fields", False),
+        stored_buckets=stats.get("stored_buckets", 64),
     )
     _append_lineage(
         spark,

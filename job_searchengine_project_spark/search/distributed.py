@@ -71,6 +71,7 @@ def search_distributed(
     index_dir: str,
     query_terms: list[str],
     k: int = 10,
+    with_fields: bool = False,
 ) -> DataFrame:
     """BM25 top-k over the segment table, scored executor-side.
 
@@ -137,8 +138,13 @@ def search_distributed(
         .limit(k)
     )
     urls = spark.read.parquet(os.path.join(index_dir, "forward")).select("doc_id", "url")
-    return (
+    out = (
         scored.join(urls, "doc_id")
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .select("doc_id", "score", "url")
     )
+    if with_fields:
+        from job_searchengine_project_spark.search.stored import attach_stored_fields
+
+        out = attach_stored_fields(spark, index_dir, out)
+    return out

@@ -34,6 +34,7 @@ class SearchHit:
     doc_id: int
     score: float
     url: str | None = None
+    fields: dict | None = None  # stored fields (ES _source parity)
 
 
 class SearchEngine:
@@ -65,6 +66,25 @@ class SearchEngine:
             arr[t["doc_id"].to_numpy()] = t["doclen"].to_numpy()
             self._doclens = arr
         return self._doclens
+
+    def fields_of(self, doc_id: int) -> dict | None:
+        """Stored fields for one hit (ES hit _source, README.md:19-38).
+
+        Reads ONLY the hit url's hash bucket (partition pruning) and
+        filters by url inside it (the bucket is url-sorted, so parquet
+        row-group stats prune the scan) — never the whole docstore."""
+        if not self.stats.get("store_fields"):
+            return None
+        url = self.url_of(doc_id)
+        b = _term_bucket_py(url, int(self.stats.get("stored_buckets", 64)))
+        bucket_dir = os.path.join(self.index_dir, "stored", f"sbucket={b}")
+        if not os.path.isdir(bucket_dir):  # empty bucket was never written
+            return None
+        tbl = pads.dataset(bucket_dir).to_table(filter=pads.field("url") == url)
+        if tbl.num_rows == 0:
+            return None
+        row = tbl.slice(0, 1).to_pylist()[0]
+        return row
 
     def url_of(self, doc_id: int) -> str:
         if self._urls is None:
@@ -120,6 +140,7 @@ class SearchEngine:
         query_terms: list[str],
         k: int = 10,
         with_urls: bool = True,
+        with_fields: bool = False,
         strategy: str = "auto",
     ) -> list[SearchHit]:
         """BM25 top-k (ES match-OR semantics). Exact under every
@@ -144,9 +165,12 @@ class SearchEngine:
         else:
             raise ValueError(f"unknown strategy: {strategy}")
         out = [SearchHit(doc_id=d, score=s) for d, s in hits]
-        if with_urls:
+        if with_urls or with_fields:
             for h in out:
                 h.url = self.url_of(h.doc_id)
+        if with_fields:
+            for h in out:
+                h.fields = self.fields_of(h.doc_id)
         return out
 
     def _exhaustive_topk(self, segs: dict, k: int) -> list[tuple[int, float]]:

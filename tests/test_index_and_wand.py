@@ -258,3 +258,39 @@ def test_exhaustive_tie_break_at_k_boundary(spark, tmp_path):
         # all six tie -> the k LOWEST doc_ids win
         tied_ids = sorted(h.doc_id for h in eng.search(["alpha"], k=6, strategy="wand"))
         assert [h.doc_id for h in ex] == tied_ids[:k]
+
+
+@pytest.fixture(scope="module")
+def stored_index(spark, webpages_small, tmp_path_factory):
+    # fresh dir: earlier tests in this module rebuild index_dir in place
+    out = str(tmp_path_factory.mktemp("idx_stored"))
+    build_index(spark, webpages_small, out, target_postings_per_salt=50, term_buckets=16)
+    return out
+
+
+def test_stored_field_hits(spark, webpages_small, stored_index):
+    """ES hit payload parity (README.md:19-38): hits carry the full
+    stored document, not just url — body text byte-identical to the
+    input, plus the other page columns."""
+    hits = SearchEngine(stored_index).search(["spark"], k=5, with_fields=True)
+    assert hits
+    src = {r["url"]: r for r in webpages_small.collect()}
+    for h in hits:
+        assert h.fields is not None
+        assert h.fields["url"] == h.url
+        assert h.fields["body"] == src[h.url]["text"]
+        assert h.fields["lang"] == src[h.url]["lang"]
+
+
+def test_stored_fields_distributed(spark, webpages_small, stored_index):
+    from job_searchengine_project_spark.search.distributed import search_distributed
+
+    rows = search_distributed(spark, stored_index, ["spark"], k=5, with_fields=True).collect()
+    assert rows
+    src = {r["url"]: r["text"] for r in webpages_small.collect()}
+    plain = search_distributed(spark, stored_index, ["spark"], k=5).collect()
+    assert [(r["doc_id"], r["score"]) for r in rows] == [
+        (r["doc_id"], r["score"]) for r in plain
+    ]
+    for r in rows:
+        assert r["body"] == src[r["url"]]
