@@ -98,26 +98,59 @@ _TF_SCHEMA = T.ArrayType(
     )
 )
 
+_TF_POS_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("term", T.StringType()),
+            T.StructField("tf", T.IntegerType()),
+            T.StructField("pos", T.ArrayType(T.IntegerType())),
+        ]
+    )
+)
+
+
+def _token_lists(s: pd.Series, analyzer: str) -> pd.Series:
+    if analyzer == "morph":
+        return morph_tokens_series(s, dedup=False)
+    if analyzer == "2gram":
+        lowered = s.str.lower()
+        return lowered.map(lambda t: [t[i : i + 2] for i in range(len(t) - 1)])
+    raise ValueError(f"unknown analyzer: {analyzer}")
+
 
 def term_freqs_series(s: pd.Series, analyzer: str = "morph") -> pd.Series:
-    if analyzer == "morph":
-        token_lists = morph_tokens_series(s, dedup=False)
-    elif analyzer == "2gram":
-        lowered = s.str.lower()
-        token_lists = lowered.map(
-            lambda t: [t[i : i + 2] for i in range(len(t) - 1)]
-        )
-    else:
-        raise ValueError(f"unknown analyzer: {analyzer}")
-    return token_lists.map(
+    return _token_lists(s, analyzer).map(
         lambda ts: [
             {"term": term, "tf": tf} for term, tf in sorted(Counter(ts).items())
         ]
     )
 
 
-def make_term_freqs_udf(analyzer: str = "morph"):
-    """Factory: text -> array<struct<term,tf>> pandas UDF for an analyzer."""
+def _term_pos(ts: list[str]) -> list[dict]:
+    """Per-term token-stream positions (the analyzer's position order —
+    char offset for 2-grams, token index for morph)."""
+    d: dict[str, list[int]] = {}
+    for i, t in enumerate(ts):
+        d.setdefault(t, []).append(i)
+    return [
+        {"term": term, "tf": len(ps), "pos": ps} for term, ps in sorted(d.items())
+    ]
+
+
+def term_pos_series(s: pd.Series, analyzer: str = "morph") -> pd.Series:
+    return _token_lists(s, analyzer).map(_term_pos)
+
+
+def make_term_freqs_udf(analyzer: str = "morph", with_positions: bool = False):
+    """Factory: text -> array<struct<term,tf[,pos]>> pandas UDF."""
+
+    if with_positions:
+
+        @F.pandas_udf(_TF_POS_SCHEMA)
+        def term_freqs_pos(text: pd.Series) -> pd.Series:
+            return term_pos_series(text, analyzer=analyzer)
+
+        return term_freqs_pos
 
     @F.pandas_udf(_TF_SCHEMA)
     def term_freqs(text: pd.Series) -> pd.Series:

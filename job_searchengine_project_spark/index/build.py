@@ -54,7 +54,8 @@ SEGMENT_SCHEMA = (
     "doc_blob binary, tf_blob binary, "
     "block_n array<int>, block_last_doc array<long>, "
     "block_doc_bytes array<int>, block_tf_bytes array<int>, "
-    "block_max_tfnorm array<double>, n_parts int, bytes_written long"
+    "block_max_tfnorm array<double>, n_parts int, bytes_written long, "
+    "pos_blob binary, block_pos_bytes array<int>"
 )
 
 PARTIAL_SCHEMA = SEGMENT_SCHEMA.replace(
@@ -108,7 +109,9 @@ def _enc_to_row(term: str, enc: codec.EncodedPostings, n_parts: int) -> dict:
         "block_tf_bytes": enc.block_tf_bytes.tolist(),
         "block_max_tfnorm": enc.block_max_tfnorm.tolist(),
         "n_parts": n_parts,
-        "bytes_written": len(enc.doc_blob) + len(enc.tf_blob),
+        "bytes_written": len(enc.doc_blob) + len(enc.tf_blob) + len(enc.pos_blob),
+        "pos_blob": enc.pos_blob,
+        "block_pos_bytes": enc.block_pos_bytes.tolist(),
     }
 
 
@@ -116,6 +119,7 @@ _PARTIAL_COLS = [
     "term", "salt", "df", "first_doc", "doc_blob", "tf_blob", "block_n",
     "block_last_doc", "block_doc_bytes", "block_tf_bytes",
     "block_max_tfnorm", "n_parts", "bytes_written",
+    "pos_blob", "block_pos_bytes",
 ]
 
 
@@ -136,11 +140,23 @@ def _encode_partition(batches, avgdl: float, block_size: int):
     tfs = pdf["tf"].to_numpy(dtype=np.int64)
     dls = pdf["doclen"].to_numpy(dtype=np.float64)
     tfn = tfs / (tfs + BM25_K1 * (1.0 - BM25_B + BM25_B * (dls / avgdl)))
+    with_pos = "pos" in pdf.columns
 
     order = np.lexsort((docs, salts, terms_codes))
     tc, sa, docs, tfs, tfn = (
         terms_codes[order], salts[order], docs[order], tfs[order], tfn[order]
     )
+    flat_pos = p_off = None
+    if with_pos:
+        # one flat concatenation in row order; group slices via cumsum
+        pos_lists = pdf["pos"].to_numpy()[order]
+        flat_pos = (
+            np.concatenate([np.asarray(x, dtype=np.int64) for x in pos_lists])
+            if len(pos_lists)
+            else np.empty(0, dtype=np.int64)
+        )
+        p_off = np.zeros(tfs.size + 1, dtype=np.int64)
+        np.cumsum(tfs, out=p_off[1:])
     # group boundaries where (term, salt) changes
     change = np.empty(tc.size, dtype=bool)
     change[0] = True
@@ -150,7 +166,10 @@ def _encode_partition(batches, avgdl: float, block_size: int):
 
     rows = []
     for s, e in zip(starts, ends):
-        enc = codec.encode_postings(docs[s:e], tfs[s:e], tfn[s:e], block_size=block_size)
+        enc = codec.encode_postings(
+            docs[s:e], tfs[s:e], tfn[s:e], block_size=block_size,
+            positions=flat_pos[p_off[s] : p_off[e]] if with_pos else None,
+        )
         row = _enc_to_row(str(terms_uniq[tc[s]]), enc, 1)
         row["salt"] = int(sa[s])
         rows.append(row)
@@ -175,6 +194,9 @@ def _merge_partition(batches, term_buckets: int):
             row.pop("salt", None)
             row["doc_blob"] = bytes(row["doc_blob"])
             row["tf_blob"] = bytes(row["tf_blob"])
+            row["pos_blob"] = bytes(row.get("pos_blob") or b"")
+            if row.get("block_pos_bytes") is None:
+                row["block_pos_bytes"] = []
         else:
             parts = [
                 codec.EncodedPostings(
@@ -187,6 +209,12 @@ def _merge_partition(batches, term_buckets: int):
                     block_doc_bytes=np.asarray(r.block_doc_bytes, dtype=np.int32),
                     block_tf_bytes=np.asarray(r.block_tf_bytes, dtype=np.int32),
                     block_max_tfnorm=np.asarray(r.block_max_tfnorm, dtype=np.float64),
+                    pos_blob=bytes(getattr(r, "pos_blob", b"") or b""),
+                    block_pos_bytes=(
+                        np.asarray(r.block_pos_bytes, dtype=np.int32)
+                        if getattr(r, "block_pos_bytes", None) is not None
+                        else None
+                    ),
                 )
                 for r in grp.itertuples()
             ]
@@ -255,10 +283,14 @@ def build_index(
     checkpoint_groups: int = 1,
     store_fields: bool = True,
     stored_buckets: int = 64,
+    with_positions: bool = False,
     _fail_after_groups: int | None = None,  # test-only fault injection
 ) -> BuildResult:
     os.makedirs(out_dir, exist_ok=True)
-    params_fp = f"analyzer={analyzer}|block={block_size}|buckets={term_buckets}"
+    params_fp = (
+        f"analyzer={analyzer}|block={block_size}|buckets={term_buckets}"
+        + ("|pos" if with_positions else "")
+    )
     stages_run, stages_skipped = [], []
     profile = os.environ.get("JSE_BUILD_PROFILE") == "1"
     _t = time.time()
@@ -308,6 +340,7 @@ def build_index(
         docs = prepare_docs(
             pages, analyzer=analyzer, use_extractor=use_extractor,
             id_buckets=id_buckets, bucket_counts=bucket_counts,
+            with_positions=with_positions,
         )
         docs.write.mode("overwrite").parquet(forward_dir)
         _tick("tokenize+ids+forward write")
@@ -346,6 +379,7 @@ def build_index(
             analyzer=analyzer, block_size=block_size,
             term_buckets=term_buckets, fingerprint=input_fp,
             store_fields=store_fields, stored_buckets=stored_buckets,
+            positions=with_positions,
         )
         _append_lineage(
             spark, lineage_dir, stage="docs", build_fp=input_fp,
@@ -398,6 +432,7 @@ def build_index(
             "doc_id",
             F.col("t.tf").alias("tf"),
             "doclen",
+            *([F.col("t.pos").alias("pos")] if with_positions else []),
         ).withColumn("term_bucket", bucket_expr)
         # head-term detection from a doc SAMPLE: salting only needs df
         # *estimates* (any salt layout merges correctly); sampling keeps
@@ -561,6 +596,7 @@ def build_index(
 def _write_stats_dict(
     stats_path, *, n_docs, avgdl, total_tokens, analyzer, block_size,
     term_buckets, fingerprint, store_fields=False, stored_buckets=64,
+    positions=False,
 ):
     stats = {
         "n_docs": int(n_docs),
@@ -574,6 +610,7 @@ def _write_stats_dict(
         "fingerprint": fingerprint,
         "store_fields": bool(store_fields),
         "stored_buckets": int(stored_buckets),
+        "positions": bool(positions),
     }
     tmp = stats_path + ".tmp"
     with open(tmp, "w") as f:

@@ -72,9 +72,19 @@ def varbyte_decode(buf: bytes | np.ndarray) -> np.ndarray:
     return np.add.reduceat(contrib, starts)
 
 
+_EMPTY_I32 = np.empty(0, dtype=np.int32)
+
+
 @dataclass
 class EncodedPostings:
-    """One term's (partial or full) encoded posting list."""
+    """One term's (partial or full) encoded posting list.
+
+    ``pos_blob``/``block_pos_bytes`` are the OPTIONAL positional index
+    (Lucene .prx equivalent; what ES indexes for match_phrase): for
+    each posting, its within-doc token positions, delta+varbyte with
+    the same block layout as docs/tfs (the per-posting position count
+    is the tf, so no extra length stream is stored). Empty when the
+    index was built without positions."""
 
     count: int
     first_doc: int
@@ -85,6 +95,16 @@ class EncodedPostings:
     block_doc_bytes: np.ndarray  # int32  doc_blob bytes per block
     block_tf_bytes: np.ndarray   # int32  tf_blob bytes per block
     block_max_tfnorm: np.ndarray  # float64 max tf-norm per block
+    pos_blob: bytes = b""
+    block_pos_bytes: np.ndarray = None  # int32 pos_blob bytes per block
+
+    def __post_init__(self):
+        if self.block_pos_bytes is None:
+            self.block_pos_bytes = _EMPTY_I32
+
+    @property
+    def has_positions(self) -> bool:
+        return self.block_pos_bytes.size > 0
 
 
 def encode_postings(
@@ -92,12 +112,19 @@ def encode_postings(
     tfs: np.ndarray,
     tfnorms: np.ndarray,
     block_size: int = BLOCK_SIZE,
+    positions: np.ndarray | None = None,
 ) -> EncodedPostings:
     """Encode sorted (doc_id, tf) postings into delta+varbyte blocks.
 
     ``tfnorms`` are the per-posting BM25 tf-norm values (computed from
     tf, doclen, avgdl at build time); only their per-block max is
     stored.
+
+    ``positions``, when given, is the FLAT concatenation of each
+    posting's strictly-increasing within-doc token positions (posting
+    i contributes exactly tfs[i] values). They are stored
+    delta+varbyte with each posting's first position absolute, sliced
+    into the same blocks as the doc ids.
     """
     doc_ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
     tfs = np.ascontiguousarray(tfs, dtype=np.int64)
@@ -116,12 +143,29 @@ def encode_postings(
     deltas[1:] = (doc_ids[1:] - doc_ids[:-1]).astype(np.uint64)
     deltas[starts] = doc_ids[starts].astype(np.uint64)  # block-leading absolutes
 
-    doc_parts, tf_parts = [], []
+    pos_deltas = None
+    p_off = None
+    if positions is not None:
+        pos = np.ascontiguousarray(positions, dtype=np.int64)
+        if pos.size != int(tfs.sum()):
+            raise ValueError("encode_postings: positions size must equal sum(tfs)")
+        # per-posting byte offsets into the flat positions array
+        p_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(tfs, out=p_off[1:])
+        pos_deltas = np.empty(pos.size, dtype=np.uint64)
+        if pos.size:
+            pos_deltas[0] = pos[0]
+            pos_deltas[1:] = (pos[1:] - pos[:-1]).astype(np.uint64)
+            lead = p_off[:-1][tfs > 0]  # first position of each posting
+            pos_deltas[lead] = pos[lead].astype(np.uint64)
+
+    doc_parts, tf_parts, pos_parts = [], [], []
     n_blocks = starts.size
     block_n = (ends - starts).astype(np.int32)
     block_last = doc_ids[ends - 1].astype(np.int64)
     block_doc_bytes = np.empty(n_blocks, dtype=np.int32)
     block_tf_bytes = np.empty(n_blocks, dtype=np.int32)
+    block_pos_bytes = np.empty(n_blocks, dtype=np.int32) if positions is not None else None
     block_max = np.empty(n_blocks, dtype=np.float64)
     for i, (s, e) in enumerate(zip(starts, ends)):
         db = varbyte_encode(deltas[s:e])
@@ -131,6 +175,10 @@ def encode_postings(
         block_doc_bytes[i] = len(db)
         block_tf_bytes[i] = len(tb)
         block_max[i] = float(np.max(tfnorms[s:e]))
+        if pos_deltas is not None:
+            pb = varbyte_encode(pos_deltas[p_off[s] : p_off[e]])
+            pos_parts.append(pb)
+            block_pos_bytes[i] = len(pb)
     return EncodedPostings(
         count=int(n),
         first_doc=int(doc_ids[0]),
@@ -141,6 +189,8 @@ def encode_postings(
         block_doc_bytes=block_doc_bytes,
         block_tf_bytes=block_tf_bytes,
         block_max_tfnorm=block_max,
+        pos_blob=b"".join(pos_parts),
+        block_pos_bytes=block_pos_bytes,
     )
 
 
@@ -194,6 +244,25 @@ def decode_postings(enc: EncodedPostings) -> tuple[np.ndarray, np.ndarray]:
     return docs, tfs
 
 
+def decode_positions(enc: EncodedPostings, tfs: np.ndarray) -> np.ndarray:
+    """Full positions decode -> flat int64 array (posting i owns the
+    slice [cumsum(tfs)[i-1] : cumsum(tfs)[i]]). Round-trip identity
+    with :func:`encode_postings`. Same segmented-cumsum trick as
+    :func:`decode_postings`, with posting starts as the segments."""
+    if not enc.has_positions:
+        raise ValueError("decode_positions: postings were encoded without positions")
+    if enc.count == 0:
+        return np.empty(0, dtype=np.int64)
+    d = varbyte_decode(enc.pos_blob).astype(np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    starts = np.zeros(tfs.size, dtype=np.int64)
+    if tfs.size > 1:
+        starts[1:] = np.cumsum(tfs[:-1])
+    gc = np.cumsum(d)
+    base = gc[starts] - d[starts]
+    return gc - np.repeat(base, tfs)
+
+
 def concat_encoded(parts: list[EncodedPostings]) -> EncodedPostings:
     """Merge doc-range-disjoint encoded partials by concatenation.
 
@@ -208,6 +277,9 @@ def concat_encoded(parts: list[EncodedPostings]) -> EncodedPostings:
     for a, b in zip(parts, parts[1:]):
         if not a.block_last_doc.size or b.first_doc <= int(a.block_last_doc[-1]):
             raise ValueError("concat_encoded: parts overlap or are unordered")
+    with_pos = [p.has_positions for p in parts]
+    if any(with_pos) and not all(with_pos):
+        raise ValueError("concat_encoded: mixed positional and non-positional parts")
     return EncodedPostings(
         count=sum(p.count for p in parts),
         first_doc=parts[0].first_doc,
@@ -218,4 +290,10 @@ def concat_encoded(parts: list[EncodedPostings]) -> EncodedPostings:
         block_doc_bytes=np.concatenate([p.block_doc_bytes for p in parts]),
         block_tf_bytes=np.concatenate([p.block_tf_bytes for p in parts]),
         block_max_tfnorm=np.concatenate([p.block_max_tfnorm for p in parts]),
+        pos_blob=b"".join(p.pos_blob for p in parts),
+        block_pos_bytes=(
+            np.concatenate([p.block_pos_bytes for p in parts])
+            if all(with_pos)
+            else None
+        ),
     )

@@ -36,9 +36,10 @@ def prepare_docs(
     use_extractor: bool = False,
     id_buckets: int = 256,
     bucket_counts: dict[int, int] | None = None,
+    with_positions: bool = False,
 ) -> DataFrame:
     text_col = extract_text(F.col("html")) if use_extractor else F.col("text")
-    tf_udf = make_term_freqs_udf(analyzer)
+    tf_udf = make_term_freqs_udf(analyzer, with_positions=with_positions)
     narrow = pages.select(
         "url", tf_udf(text_col).alias("terms")
     ).withColumn(

@@ -70,6 +70,7 @@ def build_sharded_segments(
     rng = max(1, -(-n_docs // n_shards))  # ceil
 
     fwd = spark.read.parquet(os.path.join(index_dir, "forward"))
+    term_fields = [f.name for f in fwd.schema["terms"].dataType.elementType.fields]
     postings = fwd.select(
         "doc_id", "doclen", F.explode("terms").alias("t")
     ).select(
@@ -77,6 +78,7 @@ def build_sharded_segments(
         "doc_id",
         F.col("t.tf").alias("tf"),
         "doclen",
+        *([F.col("t.pos").alias("pos")] if "pos" in term_fields else []),
         (F.col("doc_id") / F.lit(rng)).cast("int").alias("salt"),  # = shard
     )
     shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))

@@ -63,9 +63,10 @@ def update_index(
     # be a no-op, not a crash after a side effect
     if not new_pages.limit(1).count():
         return {"added_docs": 0, "touched_buckets": 0}
-    docs_new = prepare_docs(new_pages, analyzer=analyzer).withColumn(
-        "doc_id", F.col("doc_id") + F.lit(n_old)
-    )
+    docs_new = prepare_docs(
+        new_pages, analyzer=analyzer,
+        with_positions=bool(stats.get("positions")),
+    ).withColumn("doc_id", F.col("doc_id") + F.lit(n_old))
     docs_new.write.mode("append").parquet(forward_dir)
     if stats.get("store_fields"):
         from job_searchengine_project_spark.index.build import _write_stored_fields
@@ -83,9 +84,13 @@ def update_index(
     m, new_tokens = int(agg["m"]), int(agg["tok"] or 0)
 
     # --- encode new postings (frozen avgdl) -------------------------------
+    term_fields = [f.name for f in fwd_new.schema["terms"].dataType.elementType.fields]
     postings = fwd_new.select(
         "doc_id", "doclen", F.explode("terms").alias("t")
-    ).select(F.col("t.term").alias("term"), "doc_id", F.col("t.tf").alias("tf"), "doclen")
+    ).select(
+        F.col("t.term").alias("term"), "doc_id", F.col("t.tf").alias("tf"), "doclen",
+        *([F.col("t.pos").alias("pos")] if "pos" in term_fields else []),
+    )
     frac = min(1.0, 100_000 / max(m, 1))
     sampled = fwd_new.sample(fraction=frac, seed=42) if frac < 1.0 else fwd_new
     df_est = (
@@ -130,10 +135,25 @@ def update_index(
 
     # --- merge: existing rows of touched buckets + the new rows -----------
     def as_partial(df: DataFrame, salt: int) -> DataFrame:
+        # pos columns coalesced for pre-positions indexes read with the
+        # current schema (missing parquet columns surface as NULL)
         return df.select(
             "term", F.lit(salt).alias("salt"), "df", "first_doc", "doc_blob",
             "tf_blob", "block_n", "block_last_doc", "block_doc_bytes",
             "block_tf_bytes", "block_max_tfnorm", "n_parts", "bytes_written",
+            *(
+                [
+                    F.coalesce(F.col("pos_blob"), F.lit(b"")).alias("pos_blob"),
+                    F.coalesce(
+                        F.col("block_pos_bytes"), F.array().cast("array<int>")
+                    ).alias("block_pos_bytes"),
+                ]
+                if "pos_blob" in df.columns
+                else [
+                    F.lit(b"").alias("pos_blob"),
+                    F.array().cast("array<int>").alias("block_pos_bytes"),
+                ]
+            ),
         )
 
     existing = spark.read.parquet(segments_dir).filter(
@@ -170,6 +190,7 @@ def update_index(
         fingerprint=stats["fingerprint"] + f"+update{m}",
         store_fields=stats.get("store_fields", False),
         stored_buckets=stats.get("stored_buckets", 64),
+        positions=stats.get("positions", False),
     )
     _append_lineage(
         spark,

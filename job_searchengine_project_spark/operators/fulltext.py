@@ -134,13 +134,16 @@ SELECT term, count(*) AS df FROM toks GROUP BY term ORDER BY df DESC, term LIMIT
 _ENGINE_CACHE: dict[str, object] = {}
 
 
-def _engine_for(spark: SparkSession, sf_dir: str, analyzer: str = "morph"):
-    """Build (once per sf_dir+analyzer) a real segment index over the
-    documents table and return a SearchEngine on it."""
+def _engine_for(
+    spark: SparkSession, sf_dir: str, analyzer: str = "morph",
+    positions: bool = False,
+):
+    """Build (once per sf_dir+analyzer+positions) a real segment index
+    over the documents table and return a SearchEngine on it."""
     from job_searchengine_project_spark.index.build import build_index
     from job_searchengine_project_spark.search.engine import SearchEngine
 
-    key = f"{analyzer}:{os.path.abspath(sf_dir)}"
+    key = f"{analyzer}{'+pos' if positions else ''}:{os.path.abspath(sf_dir)}"
     if key not in _ENGINE_CACHE:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         pages = docs.select(
@@ -149,9 +152,13 @@ def _engine_for(spark: SparkSession, sf_dir: str, analyzer: str = "morph"):
         )
         out = os.path.join(
             tempfile.gettempdir(),
-            f"jse_idx_{analyzer}_" + key.replace(os.sep, "_"),
+            f"jse_idx_{analyzer}{'_pos' if positions else ''}_"
+            + key.replace(os.sep, "_").replace("+", "_"),
         )
-        build_index(spark, pages, out, analyzer=analyzer, resume=True)
+        build_index(
+            spark, pages, out, analyzer=analyzer, resume=True,
+            with_positions=positions,
+        )
         _ENGINE_CACHE[key] = SearchEngine(out)
     return _ENGINE_CACHE[key]
 
@@ -212,10 +219,57 @@ SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT {limit}
 """
 
 
+PHRASE_QUERY = "spark data"  # adjacent words: ~290 docs have both words,
+# only the phrase docs have them adjacent — positions are load-bearing
+
+
+def phrase_2gram_top10(spark, sf_dir: str) -> DataFrame:
+    """ES match_phrase end-to-end over the positional 2-gram index:
+    consecutive 2-gram positions == contiguous substring, so the DuckDB
+    oracle filters by substring containment and scores the same
+    distinct-gram BM25 sum. Docs with both words NON-adjacent are the
+    adversarial mass the positional check must reject."""
+    eng = _engine_for(spark, sf_dir, analyzer="2gram", positions=True)
+    hits = eng.search_phrase(PHRASE_QUERY, k=10**9)  # all matches, then oracle-rank
+    rows = sorted(
+        ((int(h.url.split("doc://")[1]), round(h.score, 4)) for h in hits),
+        key=lambda r: (-r[1], r[0]),
+    )[:K]
+    return spark.createDataFrame(rows, "doc_id bigint, score double")
+
+
+def _phrase_2gram_sql(phrase: str, limit: int) -> str:
+    grams = sorted({phrase.lower()[i : i + 2] for i in range(len(phrase) - 1)})
+    grams_sql = ", ".join(f"'{g}'" for g in grams)
+    return f"""
+WITH g AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, length(lower(text)) - 1),
+                i -> substr(lower(text), i::INT, 2))) AS term
+  FROM documents WHERE length(text) >= 2
+),
+dl AS (SELECT doc_id, count(*) AS doclen FROM g GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(doclen) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM g WHERE term IN ({{grams_sql}}) GROUP BY doc_id, term),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+matches AS (SELECT doc_id FROM documents WHERE contains(lower(text), '{{phrase}}')),
+scored AS (
+  SELECT tf.doc_id,
+         round(sum(ln(1 + (s.n - dft.df + 0.5) / (dft.df + 0.5))
+             * (tf.tf / (tf.tf + {{k1}} * (1 - {{b}} + {{b}} * dl.doclen / s.avgdl)))), 4) AS score
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  WHERE tf.doc_id IN (SELECT doc_id FROM matches)
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT {{limit}}
+""".format(grams_sql=grams_sql, phrase=phrase.lower(), k1=BM25_K1, b=BM25_B, limit=limit)
+
+
 QUERIES = {
     "bm25_scores": (bm25_scores, _bm25_sql(QUERY_TERMS, None)),
     "bm25_top10": (bm25_top10, _bm25_sql(QUERY_TERMS, K)),
     "term_df_top20": (term_df_top20, TERM_DF_SQL),
     "wand_bm25_top10": (wand_bm25_top10, _bm25_sql(QUERY_TERMS, K)),
     "wand_2gram_top10": (wand_2gram_top10, _twogram_sql(TWOGRAM_QUERY, K)),
+    "phrase_2gram_top10": (phrase_2gram_top10, _phrase_2gram_sql(PHRASE_QUERY, K)),
 }

@@ -109,6 +109,7 @@ class SearchEngine:
         )
         tbl = ds.to_table(filter=expr)
         out: dict[str, codec.EncodedPostings] = {}
+        has_pos = "pos_blob" in tbl.column_names
         for i in range(tbl.num_rows):
             row = {c: tbl[c][i].as_py() for c in tbl.column_names}
             out[row["term"]] = codec.EncodedPostings(
@@ -121,6 +122,12 @@ class SearchEngine:
                 block_doc_bytes=np.asarray(row["block_doc_bytes"], dtype=np.int32),
                 block_tf_bytes=np.asarray(row["block_tf_bytes"], dtype=np.int32),
                 block_max_tfnorm=np.asarray(row["block_max_tfnorm"], dtype=np.float64),
+                pos_blob=row.get("pos_blob") or b"" if has_pos else b"",
+                block_pos_bytes=(
+                    np.asarray(row["block_pos_bytes"], dtype=np.int32)
+                    if has_pos and row.get("block_pos_bytes")
+                    else None
+                ),
             )
         return out
 
@@ -232,6 +239,83 @@ class SearchEngine:
         if not terms:
             return []
         return self.search(terms, k=k, **kw)
+
+    def search_phrase(self, query: str, k: int = 10, **kw) -> list[SearchHit]:
+        """ES ``match_phrase`` over a positional index: the query is
+        analyzed with the index's analyzer into an ORDERED term
+        sequence; a doc matches iff some start position p has term_i at
+        p+i for every i (the reference exposes this through the 2-gram
+        analyzed body_text field, schema/es/es.sh:16-29 — consecutive
+        2-gram positions == a contiguous substring).
+
+        Scoring contract (documented, oracle-matched): matching docs
+        are ranked by the BM25 match-OR score of the phrase's DISTINCT
+        terms — the conjunctive-filter + disjunctive-score shortcut.
+        """
+        from job_searchengine_project_spark.functions.tokenize import (
+            tokenize_2gram_py,
+            tokenize_morph_py,
+        )
+
+        analyzer = self.stats.get("analyzer", "morph")
+        seq = (
+            tokenize_2gram_py(query)
+            if analyzer == "2gram"
+            else tokenize_morph_py(query, dedup=False)
+        )
+        if not seq:
+            return []
+        uniq = sorted(set(seq))
+        segs = self.load_segments(uniq)
+        if any(t not in segs for t in uniq):
+            return []  # a missing term can never form the phrase
+        if not all(segs[t].has_positions for t in uniq):
+            raise ValueError("search_phrase requires build_index(with_positions=True)")
+
+        decoded: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        max_pos = 0
+        for t in uniq:
+            docs, tfs = codec.decode_postings(segs[t])
+            pos = codec.decode_positions(segs[t], tfs)
+            if pos.size:
+                max_pos = max(max_pos, int(pos.max()))
+            decoded[t] = (docs, tfs, pos)
+        # (doc, start) composite keys: doc * M + (pos - i). M leaves the
+        # i-shift no room to bleed into a neighbor doc's real positions.
+        M = max_pos + len(seq) + 2
+        if M * (max(int(d[0].max()) for d in decoded.values()) + 1) >= (1 << 62):
+            raise OverflowError("phrase key space exceeds int64")
+        survivors: np.ndarray | None = None
+        for i, t in enumerate(seq):
+            docs, tfs, pos = decoded[t]
+            keys = np.repeat(docs, tfs) * M + (pos - i)
+            survivors = keys if survivors is None else np.intersect1d(survivors, keys)
+            if survivors.size == 0:
+                return []
+        match_docs = np.unique(survivors // M)
+
+        # BM25 over the distinct terms, restricted to matching docs
+        acc: dict[int, float] = {d: 0.0 for d in match_docs.tolist()}
+        match_set = match_docs
+        for t in uniq:  # sorted-term summation order == oracle
+            docs, tfs, _ = decoded[t]
+            sel = np.isin(docs, match_set)
+            if not sel.any():
+                continue
+            d_sel, tf_sel = docs[sel], tfs[sel].astype(np.float64)
+            idf = self._idf(segs[t].count)
+            dls = self.doclens[d_sel]
+            scores = idf * (
+                tf_sel / (tf_sel + BM25_K1 * (1.0 - BM25_B + BM25_B * dls / self.avgdl))
+            )
+            for d, s in zip(d_sel.tolist(), scores.tolist()):
+                acc[d] += s
+        top = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        out = [SearchHit(doc_id=d, score=s) for d, s in top]
+        if kw.get("with_urls", True):
+            for h in out:
+                h.url = self.url_of(h.doc_id)
+        return out
 
     def search_bruteforce(self, query_terms: list[str], k: int = 10) -> list[SearchHit]:
         """Exhaustive OR scoring over decoded postings (engine-side oracle)."""

@@ -88,3 +88,62 @@ def test_concat_rejects_overlap():
     b = encode_postings(np.array([4, 9], np.int64), np.array([1, 1], np.int64), np.array([0.1, 0.1]))
     with pytest.raises(ValueError):
         concat_encoded([a, b])
+
+
+def test_positions_roundtrip_and_concat():
+    """Positional blobs: round-trip identity and doc-range concat parity
+    (the same merge-by-concatenation invariant as docs/tfs)."""
+    import numpy as np
+
+    from job_searchengine_project_spark.index import codec
+
+    rng = np.random.default_rng(11)
+    docs = np.unique(rng.integers(0, 50_000, 2_000)).astype(np.int64)
+    tfs = rng.integers(1, 6, docs.size).astype(np.int64)
+    pos = np.concatenate(
+        [np.sort(rng.choice(4_000, size=t, replace=False)) for t in tfs]
+    ).astype(np.int64)
+    tfn = tfs / (tfs + 1.0)
+    enc = codec.encode_postings(docs, tfs, tfn, block_size=64, positions=pos)
+    assert enc.has_positions
+    d2, t2 = codec.decode_postings(enc)
+    assert np.array_equal(codec.decode_positions(enc, t2), pos)
+
+    m = docs.size // 3
+    poff = np.concatenate([[0], np.cumsum(tfs)])
+    parts = [
+        codec.encode_postings(docs[:m], tfs[:m], tfn[:m], 64, positions=pos[: poff[m]]),
+        codec.encode_postings(docs[m:], tfs[m:], tfn[m:], 64, positions=pos[poff[m] :]),
+    ]
+    cc = codec.concat_encoded(parts)
+    d3, t3 = codec.decode_postings(cc)
+    assert np.array_equal(d3, docs)
+    assert np.array_equal(codec.decode_positions(cc, t3), pos)
+
+
+def test_positions_size_mismatch_rejected():
+    import numpy as np
+
+    import pytest
+
+    from job_searchengine_project_spark.index import codec
+
+    docs = np.array([1, 5], dtype=np.int64)
+    tfs = np.array([2, 1], dtype=np.int64)
+    with pytest.raises(ValueError, match="positions"):
+        codec.encode_postings(docs, tfs, tfs / 2.0, positions=np.array([0, 1]))
+
+
+def test_concat_rejects_mixed_positional():
+    import numpy as np
+
+    import pytest
+
+    from job_searchengine_project_spark.index import codec
+
+    docs = np.array([1], dtype=np.int64)
+    tfs = np.array([1], dtype=np.int64)
+    a = codec.encode_postings(docs, tfs, tfs / 2.0, positions=np.array([3]))
+    b = codec.encode_postings(docs + 10, tfs, tfs / 2.0)
+    with pytest.raises(ValueError, match="mixed"):
+        codec.concat_encoded([a, b])
