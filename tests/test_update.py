@@ -77,3 +77,49 @@ def test_update_empty_batch_is_noop(spark, webpages_small, tmp_path):
     assert res == {"added_docs": 0, "touched_buckets": 0}
     assert spark.read.parquet(out + "/forward").count() == before
     assert SearchEngine(out).search(["spark"], k=3)
+
+
+def test_compaction_after_sequential_updates(spark, webpages_small, tmp_path):
+    """Three sequential updates fragment term blocks; compact_index
+    restores full block fill with rank- AND score-identical results
+    (tf-norms recomputed from stored doclens + frozen avgdl)."""
+    from job_searchengine_project_spark.index.compact import compact_index
+
+    out = str(tmp_path / "idx_compact")
+    parts = [
+        webpages_small.filter(F.pmod(F.xxhash64("url"), F.lit(4)) == i)
+        for i in range(4)
+    ]
+    build_index(spark, parts[0], out, target_postings_per_salt=50,
+                term_buckets=16, block_size=8)
+    for b in parts[1:]:
+        update_index(spark, b, out, target_postings_per_salt=50)
+
+    seg_before = spark.read.parquet(out + "/segments")
+    frag_before = seg_before.filter(
+        F.size("block_n") > F.ceil(F.col("df") / F.lit(8)).cast("int")
+    ).count()
+    df_sum_before = seg_before.agg(F.sum("df")).collect()[0][0]
+    assert frag_before > 0  # updates really fragmented the blocks
+
+    q = ["spark", "데이터엔지니어", "개발자"]
+    eng = SearchEngine(out)
+    before = [(h.doc_id, h.score) for h in eng.search(q, k=20, strategy="wand")]
+    before_ex = [(h.doc_id, h.score) for h in eng.search(q, k=20, strategy="exhaustive")]
+
+    res = compact_index(spark, out)
+    assert res["compacted_terms"] == frag_before
+    assert res["touched_buckets"] > 0
+
+    seg_after = spark.read.parquet(out + "/segments")
+    assert seg_after.filter(
+        F.size("block_n") > F.ceil(F.col("df") / F.lit(8)).cast("int")
+    ).count() == 0
+    # postings preserved exactly
+    assert seg_after.agg(F.sum("df")).collect()[0][0] == df_sum_before
+
+    eng2 = SearchEngine(out)
+    assert [(h.doc_id, h.score) for h in eng2.search(q, k=20, strategy="wand")] == before
+    assert [(h.doc_id, h.score) for h in eng2.search(q, k=20, strategy="exhaustive")] == before_ex
+    # second compaction is a no-op
+    assert compact_index(spark, out) == {"compacted_terms": 0, "touched_buckets": 0}
