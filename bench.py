@@ -46,6 +46,7 @@ HEADLINE = [
     "bm25_top10",
     "wand_bm25_top10",
     "wand_2gram_top10",
+    "phrase_2gram_top10",
     "term_df_top20",
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -122,28 +123,54 @@ def main() -> None:
     thr_big, times_big = _build_best(N_SCALE_BIG, corpus_dir, idx_dir)
     efficiency = thr_big / ((N_SCALE_BIG / N_SCALE) * thr_small)
 
+    # checkpoint_groups durability tax: same input/cores, 4 resumable
+    # checkpoint groups (4 salted-postings reuses + 4 bucket-group
+    # commits) vs the best single-shot time at the same core count
+    from job_searchengine_project_spark.index.build import build_index as _bi
+
+    spark_ck = _session(N_SCALE_BIG)
+    try:
+        ck_dir = idx_dir + "_ck"
+        shutil.rmtree(ck_dir, ignore_errors=True)
+        t0 = time.time()
+        _bi(spark_ck, spark_ck.read.parquet(corpus_dir), ck_dir,
+            analyzer="morph", checkpoint_groups=4)
+        t_ckpt = time.time() - t0
+        shutil.rmtree(ck_dir, ignore_errors=True)
+    finally:
+        spark_ck.stop()
+    ckpt_tax = t_ckpt / min(times_big) - 1.0
+
     # query p50 over the built index: realistic mix of selective
     # (mid-Zipf) and dense (head-term) queries, warm engine
     from job_searchengine_project_spark.corpus import HEAD_TERMS, _build_vocab
     from job_searchengine_project_spark.search.engine import SearchEngine
 
     vocab = _build_vocab(max(2000, BENCH_DOCS // 5), 42)
+    V = len(vocab)  # clamp: small BENCH_DOCS -> small vocab
     mix = [
-        [vocab[200], vocab[1000]],
-        [vocab[500], vocab[2000], vocab[5000]],
-        [HEAD_TERMS[0], vocab[300]],
+        [vocab[200 % V], vocab[1000 % V]],
+        [vocab[500 % V], vocab[2000 % V], vocab[5000 % V]],
+        [HEAD_TERMS[0], vocab[300 % V]],
         list(HEAD_TERMS),
-        [vocab[150]],
+        [vocab[150 % V]],
     ]
     eng = SearchEngine(idx_dir)
     eng.search(list(HEAD_TERMS), k=10, with_urls=False)  # warm caches
-    lat = []
-    for i in range(QUERY_RUNS):
-        t0 = time.time()
-        eng.search(mix[i % len(mix)], k=10, with_urls=False)
-        lat.append(time.time() - t0)
-    lat.sort()
-    p50_ms = 1000.0 * lat[len(lat) // 2]
+
+    def _p50(strategy: str) -> float:
+        lat = []
+        for i in range(QUERY_RUNS):
+            t0 = time.time()
+            eng.search(mix[i % len(mix)], k=10, with_urls=False, strategy=strategy)
+            lat.append(time.time() - t0)
+        lat.sort()
+        return 1000.0 * lat[len(lat) // 2]
+
+    p50_auto = _p50("auto")
+    p50_wand = _p50("wand")
+    p50_exhaustive = _p50("exhaustive")
+    p50_ms = p50_auto
 
     # headline operator queries at SF_DIR
     import __spark_entry__ as entrymod
@@ -176,6 +203,9 @@ def main() -> None:
             "scaling_efficiency": round(efficiency, 3),
         },
         "query_p50_ms": round(p50_ms, 2),
+        "query_p50_wand_ms": round(p50_wand, 2),
+        "query_p50_exhaustive_ms": round(p50_exhaustive, 2),
+        "checkpoint_groups_tax": round(ckpt_tax, 3),
     }
     print(json.dumps(out))
 

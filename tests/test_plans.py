@@ -65,3 +65,31 @@ def test_bm25_oracle_single_wide_shuffle(spark):
 
     df = bm25_scores(spark, SF)
     assert has_broadcast_join(df)
+
+
+def test_lsh_candidate_join_is_hash_not_cartesian(spark):
+    """The multi-table LSH self-join must key on (table, bucket) —
+    an equality hash join, never a cartesian/nested-loop pair scan."""
+    from job_searchengine_project_spark.operators.similarity import ann_lsh_bucketed
+    from job_searchengine_project_spark.plans.explain import plan_str
+
+    plan = plan_str(ann_lsh_bucketed(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_stored_fields_scan_prunes_buckets(spark, tmp_path):
+    """attach_stored_fields must reach the docstore with literal
+    sbucket partition filters and url filters, never a full scan."""
+    from job_searchengine_project_spark.corpus import generate_webpages
+    from job_searchengine_project_spark.index.build import build_index
+    from job_searchengine_project_spark.plans.explain import plan_str
+    from job_searchengine_project_spark.search.distributed import search_distributed
+
+    out = str(tmp_path / "idx_prune")
+    pages = generate_webpages(spark, n_docs=120, seed=9)
+    build_index(spark, pages, out, target_postings_per_salt=50, term_buckets=8)
+    df = search_distributed(spark, out, ["spark"], k=3, with_fields=True)
+    plan = plan_str(df)
+    assert "sbucket" in plan  # partition filter reached the stored scan
+    assert df.count() == 3
