@@ -145,6 +145,148 @@ def _load_shard_norms(norms_root: str, shard: int, rng: int, n_docs: int) -> _Sh
     return _ShardNorms(arr, lo)
 
 
+def _enc_from_row(r) -> "codec.EncodedPostings":
+    from job_searchengine_project_spark.index import codec
+
+    return codec.EncodedPostings(
+        count=int(r.df),
+        first_doc=int(r.first_doc),
+        doc_blob=bytes(r.doc_blob),
+        tf_blob=bytes(r.tf_blob),
+        block_n=np.asarray(r.block_n, dtype=np.int32),
+        block_last_doc=np.asarray(r.block_last_doc, dtype=np.int64),
+        block_doc_bytes=np.asarray(r.block_doc_bytes, dtype=np.int32),
+        block_tf_bytes=np.asarray(r.block_tf_bytes, dtype=np.int32),
+        block_max_tfnorm=np.asarray(r.block_max_tfnorm, dtype=np.float64),
+        pos_blob=bytes(getattr(r, "pos_blob", b"") or b""),
+        block_pos_bytes=(
+            np.asarray(r.block_pos_bytes, dtype=np.int32)
+            if getattr(r, "block_pos_bytes", None) is not None
+            and len(r.block_pos_bytes)
+            else None
+        ),
+    )
+
+
+def search_sharded_phrase(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    k: int = 10,
+) -> DataFrame:
+    """Distributed ES ``match_phrase`` over a positional sharded layout.
+
+    Same contract as ``SearchEngine.search_phrase`` (ordered analyzed
+    terms at consecutive positions; matches scored by distinct-term
+    BM25 sum with GLOBAL idf) — a doc lives in exactly one shard, so
+    phrase verification and scoring are shard-local and the global
+    top-k merge is associative. Parity with the driver engine is
+    tested."""
+    from job_searchengine_project_spark.functions.tokenize import (
+        tokenize_2gram_py,
+        tokenize_morph_py,
+    )
+
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        stats = json.load(f)
+    n_docs = int(stats["n_docs"])
+    avgdl = float(stats["avgdl"])
+    k1, b = float(stats["k1"]), float(stats["b"])
+    with open(os.path.join(index_dir, SHARDS_META)) as f:
+        meta = json.load(f)
+    rng = int(meta["rng"])
+    norms_root = os.path.join(index_dir, NORMS_DIR)
+
+    analyzer = stats.get("analyzer", "morph")
+    seq = (
+        tokenize_2gram_py(query)
+        if analyzer == "2gram"
+        else tokenize_morph_py(query, dedup=False)
+    )
+    empty = spark.createDataFrame([], "doc_id long, score double, url string")
+    if not seq:
+        return empty
+    uniq = sorted(set(seq))
+    seg = (
+        spark.read.parquet(os.path.join(index_dir, "shards"))
+        .filter(F.col("term").isin(uniq))
+    )
+    df_map = {
+        r["term"]: int(r["df"])
+        for r in seg.groupBy("term").agg(F.sum("df").alias("df")).collect()
+    }
+    if any(t not in df_map for t in uniq):
+        return empty  # a globally-missing term can never form the phrase
+    bc_df = spark.sparkContext.broadcast(df_map)
+
+    def shard_phrase(batches):
+        from job_searchengine_project_spark.index import codec
+
+        parts = list(batches)
+        if not parts:
+            return
+        pdf_all = pd.concat(parts, ignore_index=True)
+        if pdf_all.empty:
+            return
+        dfm = bc_df.value
+        for shard_val, grp in pdf_all.groupby("shard", sort=False):
+            by_term = {str(r.term): r for r in grp.itertuples()}
+            if any(t not in by_term for t in uniq):
+                continue  # phrase cannot occur in this shard
+            decoded = {}
+            max_pos = 0
+            for t in uniq:
+                enc = _enc_from_row(by_term[t])
+                if not enc.has_positions:
+                    raise ValueError("sharded phrase requires a positional index")
+                docs, tfs = codec.decode_postings(enc)
+                pos = codec.decode_positions(enc, tfs)
+                if pos.size:
+                    max_pos = max(max_pos, int(pos.max()))
+                decoded[t] = (docs, tfs, pos)
+            M = max_pos + len(seq) + 2
+            survivors = None
+            for i, t in enumerate(seq):
+                docs, tfs, pos = decoded[t]
+                keys = np.repeat(docs, tfs) * M + (pos - i)
+                survivors = keys if survivors is None else np.intersect1d(survivors, keys)
+                if survivors.size == 0:
+                    break
+            if survivors is None or survivors.size == 0:
+                continue
+            match_docs = np.unique(survivors // M)
+            norms = _load_shard_norms(norms_root, int(shard_val), rng, n_docs)
+            acc = {int(d): 0.0 for d in match_docs.tolist()}
+            for t in uniq:  # sorted-term summation order == driver engine
+                docs, tfs, _ = decoded[t]
+                sel = np.isin(docs, match_docs)
+                if not sel.any():
+                    continue
+                d_sel, tf_sel = docs[sel], tfs[sel].astype(np.float64)
+                idf = float(np.log1p((n_docs - dfm[t] + 0.5) / (dfm[t] + 0.5)))
+                dls = norms.arr[d_sel - norms.lo]
+                scores = idf * (tf_sel / (tf_sel + k1 * (1.0 - b + b * dls / avgdl)))
+                for d, s in zip(d_sel.tolist(), scores.tolist()):
+                    acc[d] += s
+            if acc:
+                top = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+                yield pd.DataFrame(
+                    {"doc_id": [d for d, _ in top], "score": [s for _, s in top]}
+                )
+
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    partials = seg.repartition(shuffle_n, "shard").mapInPandas(
+        shard_phrase, schema="doc_id long, score double"
+    )
+    top = partials.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    urls = spark.read.parquet(os.path.join(index_dir, "forward")).select("doc_id", "url")
+    return (
+        top.join(urls, "doc_id")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .select("doc_id", "score", "url")
+    )
+
+
 def search_sharded(
     spark: SparkSession,
     index_dir: str,

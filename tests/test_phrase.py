@@ -68,3 +68,22 @@ def test_phrase_survives_incremental_update(spark, phrase_index):
     eng = SearchEngine(phrase_index)
     urls = sorted(h.url for h in eng.search_phrase("spark data", k=10))
     assert urls == ["u0", "u4", "u5"]
+
+
+def test_sharded_phrase_matches_driver(spark, phrase_index):
+    """Distributed phrase over the positional sharded layout is rank-
+    and score-identical to the driver engine's search_phrase."""
+    from job_searchengine_project_spark.index.sharded import (
+        build_sharded_segments,
+        search_sharded_phrase,
+    )
+
+    build_sharded_segments(spark, phrase_index, n_shards=3)
+    eng = SearchEngine(phrase_index)
+    for q in ("spark data", "zzqq", "data table"):
+        driver = eng.search_phrase(q, k=10)
+        dist = search_sharded_phrase(spark, phrase_index, q, k=10).collect()
+        assert [r["doc_id"] for r in dist] == [h.doc_id for h in driver], q
+        assert [r["url"] for r in dist] == [h.url for h in driver], q
+        for r, h in zip(dist, driver):
+            assert abs(r["score"] - h.score) < 1e-9
