@@ -38,7 +38,12 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # Override via env to probe higher.
 N_SCALE = int(os.environ.get("SPARK_GRAFT_SCALE_N", "1"))
 N_SCALE_BIG = int(os.environ.get("SPARK_GRAFT_SCALE_4N", str(4 * N_SCALE)))
-BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000"))
+# 200k, not 100k: the build carries ~2.5s of inherently-serial work per
+# run (stage commits, stored-fields docstore write, lineage) — at 100k
+# docs the 4-core parallel window is only ~21s, so Amdahl clips measured
+# efficiency ~8 points below the engine's real scaling; at 200k the
+# fixed fraction halves (measured 0.86 vs 0.70-0.78 at 100k).
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "200000"))
 QUERY_RUNS = int(os.environ.get("SPARK_GRAFT_QUERY_RUNS", "100"))
 BUILD_REPEATS = int(os.environ.get("SPARK_GRAFT_BUILD_REPEATS", "3"))
 
@@ -82,15 +87,11 @@ def _ensure_corpus(path: str) -> None:
         spark.stop()
 
 
-def _build_best(cores: int, corpus_path: str, out_dir: str) -> float:
-    """Best-of-K build (docs/sec, raw times) from the corpus parquet.
-
-    A small throwaway build first warms the Python worker pool and
-    shuffle paths — executors on a real cluster are long-lived, so the
-    timed window models steady state, not JVM/worker cold start.
-    Best-of-K because this VM's CPU steal makes single runs wobble
-    ±50%; the minimum approximates true machine capability.
-    """
+def _build_once(cores: int, corpus_path: str, out_dir: str) -> float:
+    """One timed build at `cores` (fresh session; a small throwaway
+    build warms the Python worker pool first — executors on a real
+    cluster are long-lived, so the timed window models steady state,
+    not JVM/worker cold start)."""
     from job_searchengine_project_spark.index.build import build_index
 
     spark = _session(cores)
@@ -100,17 +101,33 @@ def _build_best(cores: int, corpus_path: str, out_dir: str) -> float:
         shutil.rmtree(warm_dir, ignore_errors=True)
         build_index(spark, pages.limit(2000), warm_dir, analyzer="morph")
         shutil.rmtree(warm_dir, ignore_errors=True)
-
-        times = []
-        for _ in range(BUILD_REPEATS):
-            shutil.rmtree(out_dir, ignore_errors=True)
-            t0 = time.time()
-            res = build_index(spark, pages, out_dir, analyzer="morph")
-            times.append(round(time.time() - t0, 2))
-            assert res.n_docs == BENCH_DOCS
-        return BENCH_DOCS / min(times), times
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.time()
+        res = build_index(spark, pages, out_dir, analyzer="morph")
+        dt = round(time.time() - t0, 2)
+        assert res.n_docs == BENCH_DOCS
+        return dt
     finally:
         spark.stop()
+
+
+def _build_pairs(corpus_path: str, out_dir: str):
+    """INTERLEAVED best-of-K at N and 4N cores.
+
+    This VM's CPU steal drifts on a minutes scale (identical 1-core
+    builds measured 64s and 83s an hour apart), so timing all N-core
+    runs then all 4N-core runs confounds the machine's state with the
+    core count. Alternating N,4N per round samples the same windows;
+    best-of-K per count then approximates true capability under the
+    same conditions."""
+    times_small, times_big = [], []
+    for _ in range(BUILD_REPEATS):
+        times_small.append(_build_once(N_SCALE, corpus_path, out_dir))
+        times_big.append(_build_once(N_SCALE_BIG, corpus_path, out_dir))
+    return (
+        BENCH_DOCS / min(times_small), times_small,
+        BENCH_DOCS / min(times_big), times_big,
+    )
 
 
 def main() -> None:
@@ -119,8 +136,7 @@ def main() -> None:
     corpus_dir = os.path.join(tempfile.gettempdir(), f"jse_bench_corpus_{BENCH_DOCS}")
 
     _ensure_corpus(corpus_dir)
-    thr_small, times_small = _build_best(N_SCALE, corpus_dir, idx_dir)
-    thr_big, times_big = _build_best(N_SCALE_BIG, corpus_dir, idx_dir)
+    thr_small, times_small, thr_big, times_big = _build_pairs(corpus_dir, idx_dir)
     efficiency = thr_big / ((N_SCALE_BIG / N_SCALE) * thr_small)
 
     # checkpoint_groups durability tax: same input/cores, 4 resumable

@@ -54,13 +54,19 @@ SEGMENT_SCHEMA = (
     "doc_blob binary, tf_blob binary, "
     "block_n array<int>, block_last_doc array<long>, "
     "block_doc_bytes array<int>, block_tf_bytes array<int>, "
-    "block_max_tfnorm array<double>, n_parts int, bytes_written long, "
-    "pos_blob binary, block_pos_bytes array<int>"
+    "block_max_tfnorm array<double>, n_parts int, bytes_written long"
 )
+
+# positional variant: pos columns exist ONLY in positional indexes —
+# non-positional builds must not pay Arrow/shuffle overhead for empty
+# columns on every partial row (readers handle both schemas)
+_POS_COLS_SQL = ", pos_blob binary, block_pos_bytes array<int>"
+SEGMENT_SCHEMA_POS = SEGMENT_SCHEMA + _POS_COLS_SQL
 
 PARTIAL_SCHEMA = SEGMENT_SCHEMA.replace(
     "term string, term_bucket int,", "term string, salt int,"
 )
+PARTIAL_SCHEMA_POS = PARTIAL_SCHEMA + _POS_COLS_SQL
 
 
 @dataclass
@@ -96,8 +102,10 @@ def _commit_stage(out_dir: str, stage: str, fingerprint: str, **metrics) -> None
     os.replace(tmp, _marker_path(out_dir, stage))  # atomic commit
 
 
-def _enc_to_row(term: str, enc: codec.EncodedPostings, n_parts: int) -> dict:
-    return {
+def _enc_to_row(
+    term: str, enc: codec.EncodedPostings, n_parts: int, with_pos: bool = False
+) -> dict:
+    row = {
         "term": term,
         "df": enc.count,
         "first_doc": enc.first_doc,
@@ -110,17 +118,19 @@ def _enc_to_row(term: str, enc: codec.EncodedPostings, n_parts: int) -> dict:
         "block_max_tfnorm": enc.block_max_tfnorm.tolist(),
         "n_parts": n_parts,
         "bytes_written": len(enc.doc_blob) + len(enc.tf_blob) + len(enc.pos_blob),
-        "pos_blob": enc.pos_blob,
-        "block_pos_bytes": enc.block_pos_bytes.tolist(),
     }
+    if with_pos:
+        row["pos_blob"] = enc.pos_blob
+        row["block_pos_bytes"] = enc.block_pos_bytes.tolist()
+    return row
 
 
 _PARTIAL_COLS = [
     "term", "salt", "df", "first_doc", "doc_blob", "tf_blob", "block_n",
     "block_last_doc", "block_doc_bytes", "block_tf_bytes",
     "block_max_tfnorm", "n_parts", "bytes_written",
-    "pos_blob", "block_pos_bytes",
 ]
+_PARTIAL_COLS_POS = _PARTIAL_COLS + ["pos_blob", "block_pos_bytes"]
 
 
 def _encode_partition(batches, avgdl: float, block_size: int):
@@ -170,10 +180,10 @@ def _encode_partition(batches, avgdl: float, block_size: int):
             docs[s:e], tfs[s:e], tfn[s:e], block_size=block_size,
             positions=flat_pos[p_off[s] : p_off[e]] if with_pos else None,
         )
-        row = _enc_to_row(str(terms_uniq[tc[s]]), enc, 1)
+        row = _enc_to_row(str(terms_uniq[tc[s]]), enc, 1, with_pos=with_pos)
         row["salt"] = int(sa[s])
         rows.append(row)
-    yield pd.DataFrame(rows, columns=_PARTIAL_COLS)
+    yield pd.DataFrame(rows, columns=_PARTIAL_COLS_POS if with_pos else _PARTIAL_COLS)
 
 
 def _merge_partition(batches, term_buckets: int):
@@ -187,6 +197,7 @@ def _merge_partition(batches, term_buckets: int):
     if pdf.empty:
         return
     pdf = pdf.sort_values(["term", "first_doc"], kind="stable")
+    with_pos = "pos_blob" in pdf.columns
     rows = []
     for term, grp in pdf.groupby("term", sort=False):
         if len(grp) == 1:
@@ -194,9 +205,10 @@ def _merge_partition(batches, term_buckets: int):
             row.pop("salt", None)
             row["doc_blob"] = bytes(row["doc_blob"])
             row["tf_blob"] = bytes(row["tf_blob"])
-            row["pos_blob"] = bytes(row.get("pos_blob") or b"")
-            if row.get("block_pos_bytes") is None:
-                row["block_pos_bytes"] = []
+            if with_pos:
+                row["pos_blob"] = bytes(row.get("pos_blob") or b"")
+                if row.get("block_pos_bytes") is None:
+                    row["block_pos_bytes"] = []
         else:
             parts = [
                 codec.EncodedPostings(
@@ -218,7 +230,9 @@ def _merge_partition(batches, term_buckets: int):
                 )
                 for r in grp.itertuples()
             ]
-            row = _enc_to_row(str(term), codec.concat_encoded(parts), len(parts))
+            row = _enc_to_row(
+                str(term), codec.concat_encoded(parts), len(parts), with_pos=with_pos
+            )
         row["term_bucket"] = _term_bucket_py(str(term), term_buckets)
         rows.append(row)
     yield pd.DataFrame(rows)
@@ -515,13 +529,13 @@ def build_index(
                 # vocabularies)
                 partials = sub.repartition(shuffle_n, "term", "salt").mapInPandas(
                     lambda it: _encode_partition(it, avgdl=avgdl, block_size=block_size),
-                    schema=PARTIAL_SCHEMA,
+                    schema=PARTIAL_SCHEMA_POS if with_positions else PARTIAL_SCHEMA,
                 )
                 # merge shuffle moves only compressed blobs (the point
                 # of salting-then-encoding); blocks concat directly
                 segments = partials.repartition(shuffle_n, "term").mapInPandas(
                     lambda it: _merge_partition(it, term_buckets=term_buckets),
-                    schema=SEGMENT_SCHEMA,
+                    schema=SEGMENT_SCHEMA_POS if with_positions else SEGMENT_SCHEMA,
                 )
                 (
                     segments.repartition("term_bucket")

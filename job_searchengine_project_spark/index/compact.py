@@ -32,12 +32,16 @@ from pyspark.sql import functions as F
 
 from job_searchengine_project_spark import BM25_B, BM25_K1
 from job_searchengine_project_spark.index import codec
-from job_searchengine_project_spark.index.build import SEGMENT_SCHEMA, _enc_to_row
+from job_searchengine_project_spark.index.build import (
+    SEGMENT_SCHEMA,
+    SEGMENT_SCHEMA_POS,
+    _enc_to_row,
+)
 from job_searchengine_project_spark.search.distributed import _load_norms_dense
 
 
 def _compact_partition(batches, *, block_size: int, avgdl: float,
-                       index_dir: str, n_docs: int):
+                       index_dir: str, n_docs: int, with_pos: bool):
     dl = None
     for pdf in batches:
         if pdf.empty:
@@ -81,7 +85,7 @@ def _compact_partition(batches, *, block_size: int, avgdl: float,
                 enc = codec.encode_postings(
                     docs, tfs, tfn, block_size=block_size, positions=pos
                 )
-                row = _enc_to_row(str(r.term), enc, 1)
+                row = _enc_to_row(str(r.term), enc, 1, with_pos=with_pos)
             else:
                 row = {
                     "term": r.term, "df": int(r.df), "first_doc": int(r.first_doc),
@@ -93,9 +97,12 @@ def _compact_partition(batches, *, block_size: int, avgdl: float,
                     "block_max_tfnorm": list(r.block_max_tfnorm),
                     "n_parts": int(r.n_parts),
                     "bytes_written": int(r.bytes_written),
-                    "pos_blob": bytes(getattr(r, "pos_blob", b"") or b""),
-                    "block_pos_bytes": list(getattr(r, "block_pos_bytes", []) or []),
                 }
+                if with_pos:
+                    row["pos_blob"] = bytes(getattr(r, "pos_blob", b"") or b"")
+                    row["block_pos_bytes"] = list(
+                        getattr(r, "block_pos_bytes", []) or []
+                    )
             row["term_bucket"] = int(r.term_bucket)
             rows.append(row)
         yield pd.DataFrame(rows)
@@ -123,12 +130,13 @@ def compact_index(spark: SparkSession, out_dir: str) -> dict:
 
     shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     bucket_rows = seg.filter(F.col("term_bucket").isin(touched))
+    with_pos = bool(stats.get("positions"))
     compacted = bucket_rows.repartition(shuffle_n, "term").mapInPandas(
         lambda it: _compact_partition(
             it, block_size=block_size, avgdl=avgdl,
-            index_dir=out_dir, n_docs=n_docs,
+            index_dir=out_dir, n_docs=n_docs, with_pos=with_pos,
         ),
-        schema=SEGMENT_SCHEMA,
+        schema=SEGMENT_SCHEMA_POS if with_pos else SEGMENT_SCHEMA,
     )
     prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 
 from job_searchengine_project_spark.index.build import (
     PARTIAL_SCHEMA,
+    PARTIAL_SCHEMA_POS,
     _encode_partition,
 )
 
@@ -84,7 +85,7 @@ def build_sharded_segments(
     shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     shards = postings.repartition(shuffle_n, "term", "salt").mapInPandas(
         lambda it: _encode_partition(it, avgdl=avgdl, block_size=block_size),
-        schema=PARTIAL_SCHEMA,
+        schema=PARTIAL_SCHEMA_POS if "pos" in term_fields else PARTIAL_SCHEMA,
     ).withColumnRenamed("salt", "shard")
     out = os.path.join(index_dir, "shards")
     (

@@ -31,7 +31,9 @@ from pyspark.sql import functions as F
 
 from job_searchengine_project_spark.index.build import (
     PARTIAL_SCHEMA,
+    PARTIAL_SCHEMA_POS,
     SEGMENT_SCHEMA,
+    SEGMENT_SCHEMA_POS,
     _append_lineage,
     _encode_partition,
     _merge_partition,
@@ -57,6 +59,9 @@ def update_index(
 
     forward_dir = os.path.join(out_dir, "forward")
     segments_dir = os.path.join(out_dir, "segments")
+    with_pos = bool(stats.get("positions"))
+    partial_schema = PARTIAL_SCHEMA_POS if with_pos else PARTIAL_SCHEMA
+    segment_schema = SEGMENT_SCHEMA_POS if with_pos else SEGMENT_SCHEMA
 
     # --- new docs: ids continue after the existing range ------------------
     # empty-batch guard BEFORE the forward append: an empty batch must
@@ -117,13 +122,13 @@ def update_index(
     shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     new_partials = salted.repartition(shuffle_n, "term", "salt").mapInPandas(
         lambda it: _encode_partition(it, avgdl=avgdl, block_size=block_size),
-        schema=PARTIAL_SCHEMA,
+        schema=partial_schema,
     )
     # pre-merge the new batch per term so bucket detection sees one row
     # per term, then re-expose as a "partial" (salt=1) for the big merge
     new_segments = new_partials.repartition(shuffle_n, "term").mapInPandas(
         lambda it: _merge_partition(it, term_buckets=term_buckets),
-        schema=SEGMENT_SCHEMA,
+        schema=segment_schema,
     ).cache()
     touched = sorted(
         r["term_bucket"]
@@ -135,26 +140,25 @@ def update_index(
 
     # --- merge: existing rows of touched buckets + the new rows -----------
     def as_partial(df: DataFrame, salt: int) -> DataFrame:
-        # pos columns coalesced for pre-positions indexes read with the
-        # current schema (missing parquet columns surface as NULL)
-        return df.select(
+        cols = [
             "term", F.lit(salt).alias("salt"), "df", "first_doc", "doc_blob",
             "tf_blob", "block_n", "block_last_doc", "block_doc_bytes",
             "block_tf_bytes", "block_max_tfnorm", "n_parts", "bytes_written",
-            *(
-                [
-                    F.coalesce(F.col("pos_blob"), F.lit(b"")).alias("pos_blob"),
-                    F.coalesce(
-                        F.col("block_pos_bytes"), F.array().cast("array<int>")
-                    ).alias("block_pos_bytes"),
-                ]
+        ]
+        if with_pos:
+            # coalesced so a pre-positions bucket read through the
+            # positional schema (NULL columns) still merges
+            cols += [
+                F.coalesce(F.col("pos_blob"), F.lit(b"")).alias("pos_blob")
                 if "pos_blob" in df.columns
-                else [
-                    F.lit(b"").alias("pos_blob"),
-                    F.array().cast("array<int>").alias("block_pos_bytes"),
-                ]
-            ),
-        )
+                else F.lit(b"").alias("pos_blob"),
+                F.coalesce(
+                    F.col("block_pos_bytes"), F.array().cast("array<int>")
+                ).alias("block_pos_bytes")
+                if "block_pos_bytes" in df.columns
+                else F.array().cast("array<int>").alias("block_pos_bytes"),
+            ]
+        return df.select(*cols)
 
     existing = spark.read.parquet(segments_dir).filter(
         F.col("term_bucket").isin(touched)
@@ -162,7 +166,7 @@ def update_index(
     combined = as_partial(existing, 0).unionByName(as_partial(new_segments, 1))
     merged = combined.repartition(shuffle_n, "term").mapInPandas(
         lambda it: _merge_partition(it, term_buckets=term_buckets),
-        schema=SEGMENT_SCHEMA,
+        schema=segment_schema,
     )
     prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
