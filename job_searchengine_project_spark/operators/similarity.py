@@ -270,9 +270,106 @@ SELECT (SELECT count(*) FROM truth)::BIGINT AS n_true,
 """
 
 
+# ---- IVF-Flat ----------------------------------------------------------------
+
+IVF_NLIST = 16  # coarse centroids
+IVF_NPROBE = 4  # centroid lists scanned per query
+
+
+def _ivf_assign(emb: DataFrame, centroids: DataFrame, rank_n: int, out: str) -> DataFrame:
+    """Rank centroids per vector by (round(cos,4) DESC, centroid_id) and
+    keep the top rank_n — rank 1 is the IVF list assignment, ranks
+    1..nprobe are a query's probe set. The centroid side is 16 rows,
+    broadcast; the 'training' is a deterministic sample codebook
+    (vec_id < nlist) so the DuckDB oracle reproduces it exactly — on a
+    real corpus you'd k-means the codebook, the plumbing is identical."""
+    scored = (
+        emb.join(F.broadcast(centroids), F.lit(True))
+        .withColumn("ccos", F.round(_cosine(F.col("embedding"), F.col("cv")), 4))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= rank_n)
+        .select(F.col("vec_id").alias(out), "centroid_id", "crank")
+    )
+
+
+def ann_ivf_topk(spark, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN: vectors partition into nlist=16 coarse-centroid
+    lists; each query scans only its nprobe=4 nearest lists and ranks
+    candidates by exact cosine. At scale the candidate join shuffles on
+    centroid_id (list-local scoring) instead of going all-pairs."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    centroids = emb.filter(F.col("vec_id") < IVF_NLIST).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
+    )
+    lists = _ivf_assign(emb, centroids, 1, "vec_id").drop("crank")
+    q = emb.filter(F.col("vec_id") < N_QUERY)
+    probes = _ivf_assign(q, centroids, IVF_NPROBE, "query_id").drop("crank")
+    qv = q.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    ev = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv"))
+    cand = (
+        probes.join(lists.withColumnRenamed("vec_id", "neighbor_id"), "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(ev, "neighbor_id")
+        .withColumn("cos", F.round(_cosine(F.col("qv"), F.col("nv")), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+ANN_IVF_SQL = f"""
+WITH centroids AS (
+  SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < {IVF_NLIST}
+),
+assign AS (
+  SELECT vec_id, centroid_id, row_number() OVER (
+           PARTITION BY vec_id
+           ORDER BY round(list_cosine_similarity(embedding, cv), 4) DESC, centroid_id
+         ) AS crank
+  FROM embeddings, centroids
+),
+lists AS (SELECT vec_id AS neighbor_id, centroid_id FROM assign WHERE crank = 1),
+probes AS (
+  SELECT vec_id AS query_id, centroid_id FROM assign
+  WHERE crank <= {IVF_NPROBE} AND vec_id < {N_QUERY}
+),
+cand AS (
+  SELECT DISTINCT p.query_id, l.neighbor_id
+  FROM probes p JOIN lists l USING (centroid_id)
+  WHERE l.neighbor_id != p.query_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         round(list_cosine_similarity(q.embedding, e.embedding), 4) AS cos
+  FROM cand c
+  JOIN embeddings q ON q.vec_id = c.query_id
+  JOIN embeddings e ON e.vec_id = c.neighbor_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": (ann_cosine_topk, ANN_TOPK_SQL),
     "ann_threshold_pairs": (ann_threshold_pairs, ANN_THRESHOLD_SQL),
     "ann_lsh_bucketed": (ann_lsh_bucketed, ANN_LSH_SQL),
     "ann_lsh_recall": (ann_lsh_recall, ANN_LSH_RECALL_SQL),
+    "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
 }

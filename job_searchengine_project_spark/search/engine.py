@@ -53,15 +53,17 @@ class SearchEngine:
 
     # --- storage access ---------------------------------------------------
 
-    def _docstore(self):
-        # the docstore is the forward index, column-pruned by pyarrow
-        ds = pads.dataset(os.path.join(self.index_dir, "forward"))
-        return ds.to_table(columns=["doc_id", "url", "doclen"])
+    def _forward_ds(self):
+        return pads.dataset(os.path.join(self.index_dir, "forward"))
 
     @property
     def doclens(self) -> np.ndarray:
+        # the ONE full forward read the engine keeps: WAND needs the
+        # norm of every scored doc, so the dense doclen array is the
+        # driver engine's working set (8 B/doc; the distributed paths
+        # hold it shard-local instead)
         if self._doclens is None:
-            t = self._docstore()
+            t = self._forward_ds().to_table(columns=["doc_id", "doclen"])
             arr = np.zeros(self.n_docs, dtype=np.float64)
             arr[t["doc_id"].to_numpy()] = t["doclen"].to_numpy()
             self._doclens = arr
@@ -86,10 +88,23 @@ class SearchEngine:
         row = tbl.slice(0, 1).to_pylist()[0]
         return row
 
-    def url_of(self, doc_id: int) -> str:
+    def _fetch_urls(self, doc_ids: list[int]) -> None:
+        """Memoized batch point-lookup — NEVER loads the whole url
+        column. Doc ids are assigned densely per hash bucket and the
+        forward files hold contiguous per-bucket ranges, so parquet
+        row-group statistics prune the read to the hit rows' groups."""
         if self._urls is None:
-            t = self._docstore()
-            self._urls = dict(zip(t["doc_id"].to_pylist(), t["url"].to_pylist()))
+            self._urls = {}
+        missing = [d for d in doc_ids if d not in self._urls]
+        if not missing:
+            return
+        t = self._forward_ds().to_table(
+            columns=["doc_id", "url"], filter=pads.field("doc_id").isin(missing)
+        )
+        self._urls.update(zip(t["doc_id"].to_pylist(), t["url"].to_pylist()))
+
+    def url_of(self, doc_id: int) -> str:
+        self._fetch_urls([doc_id])
         return self._urls[doc_id]
 
     def load_segments(self, terms: list[str]) -> dict[str, codec.EncodedPostings]:
@@ -173,6 +188,7 @@ class SearchEngine:
             raise ValueError(f"unknown strategy: {strategy}")
         out = [SearchHit(doc_id=d, score=s) for d, s in hits]
         if with_urls or with_fields:
+            self._fetch_urls([h.doc_id for h in out])  # one pruned read
             for h in out:
                 h.url = self.url_of(h.doc_id)
         if with_fields:
@@ -313,6 +329,7 @@ class SearchEngine:
         top = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
         out = [SearchHit(doc_id=d, score=s) for d, s in top]
         if kw.get("with_urls", True):
+            self._fetch_urls([h.doc_id for h in out])
             for h in out:
                 h.url = self.url_of(h.doc_id)
         return out

