@@ -40,7 +40,7 @@ import os
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from job_searchengine_project_spark.index.build import (
@@ -285,6 +285,102 @@ def search_sharded_phrase(
         top.join(urls, "doc_id")
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .select("doc_id", "score", "url")
+    )
+
+
+def search_sharded_batch(
+    spark: SparkSession,
+    index_dir: str,
+    queries: dict[str, list[str]],
+    k: int = 10,
+) -> DataFrame:
+    """Batch top-k: B queries answered in ONE pass over the sharded
+    segments. The scan filters to the union of all query terms, each
+    shard's rows decode once per term, and every query runs WAND over
+    shared decoded state inside the shard — the per-query marginal cost
+    is the WAND loop, not the scan/shuffle. Returns
+    (query_id, doc_id, score, url) with per-query rank order, exactly
+    equal to running search_sharded per query (tested)."""
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        stats = json.load(f)
+    n_docs = int(stats["n_docs"])
+    avgdl = float(stats["avgdl"])
+    k1, b = float(stats["k1"]), float(stats["b"])
+    with open(os.path.join(index_dir, SHARDS_META)) as f:
+        meta = json.load(f)
+    rng = int(meta["rng"])
+    norms_root = os.path.join(index_dir, NORMS_DIR)
+
+    q_terms = {qid: sorted(set(ts)) for qid, ts in queries.items()}
+    all_terms = sorted({t for ts in q_terms.values() for t in ts})
+    empty = spark.createDataFrame([], "query_id string, doc_id long, score double, url string")
+    if not all_terms:
+        return empty
+    seg = (
+        spark.read.parquet(os.path.join(index_dir, "shards"))
+        .filter(F.col("term").isin(all_terms))
+    )
+    df_map = {
+        r["term"]: int(r["df"])
+        for r in seg.groupBy("term").agg(F.sum("df").alias("df")).collect()
+    }
+    if not df_map:
+        return empty
+    bc_df = spark.sparkContext.broadcast(df_map)
+    bc_q = spark.sparkContext.broadcast(q_terms)
+
+    def shard_batch(batches):
+        from job_searchengine_project_spark.search.wand import TermCursor, wand_topk
+
+        parts = list(batches)
+        if not parts:
+            return
+        pdf_all = pd.concat(parts, ignore_index=True)
+        if pdf_all.empty:
+            return
+        dfm = bc_df.value
+        qts = bc_q.value
+        for shard_val, grp in pdf_all.groupby("shard", sort=False):
+            by_term = {str(r.term): r for r in grp.itertuples()}
+            norms = _load_shard_norms(norms_root, int(shard_val), rng, n_docs)
+            # decode-once state shared across the batch: EncodedPostings
+            # are immutable; each query gets fresh (cheap) cursors
+            encs = {t: _enc_from_row(r) for t, r in by_term.items()}
+            out_q, out_d, out_s = [], [], []
+            for qid, terms in qts.items():
+                cursors = [
+                    TermCursor(
+                        term=t,
+                        enc=encs[t],
+                        idf=float(np.log1p((n_docs - dfm[t] + 0.5) / (dfm[t] + 0.5))),
+                    )
+                    for t in terms
+                    if t in encs
+                ]
+                if not cursors:
+                    continue
+                for d, s in wand_topk(cursors, norms, avgdl, k, k1=k1, b=b):
+                    out_q.append(qid)
+                    out_d.append(d)
+                    out_s.append(s)
+            if out_q:
+                yield pd.DataFrame({"query_id": out_q, "doc_id": out_d, "score": out_s})
+
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    partials = seg.repartition(shuffle_n, "shard").mapInPandas(
+        shard_batch, schema="query_id string, doc_id long, score double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    top = (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
+    )
+    urls = spark.read.parquet(os.path.join(index_dir, "forward")).select("doc_id", "url")
+    return (
+        top.join(urls, "doc_id")
+        .orderBy("query_id", F.desc("score"), F.asc("doc_id"))
+        .select("query_id", "doc_id", "score", "url")
     )
 
 

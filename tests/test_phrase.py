@@ -87,3 +87,23 @@ def test_sharded_phrase_matches_driver(spark, phrase_index):
         assert [r["url"] for r in dist] == [h.url for h in driver], q
         for r, h in zip(dist, driver):
             assert abs(r["score"] - h.score) < 1e-9
+
+
+def test_phrase_morph_analyzer(spark, tmp_path):
+    """Positions work on the morph analyzer too (token-index positions:
+    adjacent CONTENT tokens — stopwords/len-1 tokens are not indexed,
+    so adjacency is in analyzed-token space, like ES's analyzed
+    position increments)."""
+    out = str(tmp_path / "idx_morph_pos")
+    pages = spark.createDataFrame(
+        [
+            ("u0", "big spark data pipeline"),
+            ("u1", "spark runs on data"),   # not adjacent in token space
+            ("u2", "data spark"),           # reversed
+        ],
+        "url string, text string",
+    )
+    build_index(spark, pages, out, analyzer="morph", term_buckets=8, with_positions=True)
+    eng = SearchEngine(out)
+    urls = sorted(h.url for h in eng.search_phrase("spark data", k=10))
+    assert urls == ["u0"]

@@ -175,3 +175,29 @@ def test_query_paths_never_collect_forward_index(spark, morph_index, monkeypatch
     search_sharded(spark, morph_index, q, k=5).collect()
     for cols in collected_schemas:
         assert "doclen" not in cols, f"driver collected norms: {cols}"
+
+
+def test_sharded_batch_matches_per_query(spark, morph_index):
+    """B queries in one pass == B separate search_sharded runs."""
+    from job_searchengine_project_spark.index.sharded import (
+        build_sharded_segments,
+        search_sharded,
+        search_sharded_batch,
+    )
+
+    build_sharded_segments(spark, morph_index, n_shards=3)
+    queries = {
+        "q_head": ["spark"],
+        "q_multi": ["spark", "데이터엔지니어", "개발자"],
+        "q_absent": ["zzz_nope"],
+    }
+    batch = search_sharded_batch(spark, morph_index, queries, k=7).collect()
+    got = {}
+    for r in batch:
+        got.setdefault(r["query_id"], []).append((r["doc_id"], r["score"], r["url"]))
+    for qid, terms in queries.items():
+        single = [
+            (r["doc_id"], r["score"], r["url"])
+            for r in search_sharded(spark, morph_index, terms, k=7).collect()
+        ]
+        assert got.get(qid, []) == single, qid
