@@ -219,6 +219,77 @@ SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT {limit}
 """
 
 
+def update_compact_top10(spark, sf_dir: str) -> DataFrame:
+    """The full index LIFECYCLE under the correctness gate: build over
+    the even-doc_id half, update_index with the odd half (frozen-avgdl
+    semantics), compact_index (re-encode fragmented terms), then BM25
+    top-10. The DuckDB oracle freezes avgdl to the even half and uses
+    the post-update corpus size for idf — exactly the engine's
+    documented frozen-norms contract (index/update.py docstring)."""
+    import shutil
+
+    from job_searchengine_project_spark.index.build import build_index
+    from job_searchengine_project_spark.index.compact import compact_index
+    from job_searchengine_project_spark.index.update import update_index
+    from job_searchengine_project_spark.search.engine import SearchEngine
+
+    key = f"upd:{os.path.abspath(sf_dir)}"
+    if key not in _ENGINE_CACHE:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        pages = docs.select(
+            F.format_string("doc://%08d", F.col("doc_id")).alias("url"),
+            F.col("text"),
+        )
+        out = os.path.join(
+            tempfile.gettempdir(), "jse_idx_updc_" + key.replace(os.sep, "_")
+        )
+        done = os.path.join(out, "_UPDC_DONE")
+        if not os.path.exists(done):
+            shutil.rmtree(out, ignore_errors=True)
+            even = pages.filter(F.expr("cast(substr(url, 7) as bigint) % 2 = 0"))
+            odd = pages.filter(F.expr("cast(substr(url, 7) as bigint) % 2 = 1"))
+            # small block size so the update measurably fragments blocks
+            build_index(spark, even, out, block_size=32)
+            update_index(spark, odd, out)
+            res = compact_index(spark, out)
+            assert res["compacted_terms"] > 0  # the pass must do real work
+            with open(done, "w") as f:
+                f.write("ok")
+        _ENGINE_CACHE[key] = SearchEngine(out)
+    eng = _ENGINE_CACHE[key]
+    hits = eng.search(QUERY_TERMS, k=20 * K, with_urls=True)
+    rows = sorted(
+        ((int(h.url.split("doc://")[1]), round(h.score, 4)) for h in hits),
+        key=lambda r: (-r[1], r[0]),
+    )[:K]
+    return spark.createDataFrame(rows, "doc_id bigint, score double")
+
+
+def _update_compact_sql(terms: list[str], limit: int) -> str:
+    terms_sql = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.tok AS term
+  FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+  WHERE length(t.tok) > 1
+),
+dl AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n FROM dl),
+frozen AS (SELECT avg(doclen) AS avgdl FROM dl WHERE doc_id % 2 = 0),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term IN ({terms_sql}) GROUP BY doc_id, term),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         round(sum(ln(1 + (s.n - dft.df + 0.5) / (dft.df + 0.5))
+             * (tf.tf / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.doclen / fr.avgdl)))), 4) AS score
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats s CROSS JOIN frozen fr
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT {limit}
+"""
+
+
 PHRASE_QUERY = "spark data"  # adjacent words: ~290 docs have both words,
 # only the phrase docs have them adjacent — positions are load-bearing
 
@@ -272,4 +343,5 @@ QUERIES = {
     "wand_bm25_top10": (wand_bm25_top10, _bm25_sql(QUERY_TERMS, K)),
     "wand_2gram_top10": (wand_2gram_top10, _twogram_sql(TWOGRAM_QUERY, K)),
     "phrase_2gram_top10": (phrase_2gram_top10, _phrase_2gram_sql(PHRASE_QUERY, K)),
+    "update_compact_top10": (update_compact_top10, _update_compact_sql(QUERY_TERMS, K)),
 }

@@ -12,9 +12,18 @@ equivalents here:
   source is a one-line swap of ``readStream.format``.
 - ``stream_event_window_counts``: event-time tumbling window with
   watermark (the windowed-agg capability the reference lacks, T9).
+- ``stream_live_index``: the reference's actual continuous flow —
+  crawl batches land, the index grows (consumer/consumer.py's poll ->
+  ES bulk loop). foreachBatch routes the first batch to build_index
+  and every later batch through an anti-join against already-indexed
+  urls (the reference's idempotent msgid set, collector.py:149-187)
+  into update_index — so an at-least-once REPLAYED batch is a no-op
+  and the index stays duplicate-free.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -46,6 +55,42 @@ def stream_ingest_pages(
     return (
         out.writeStream.format("parquet")
         .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_live_index(
+    spark: SparkSession,
+    pages_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    **build_kw,
+):
+    """Streaming ingest that maintains a LIVE searchable index.
+
+    First micro-batch -> ``build_index``; every later micro-batch
+    anti-joins the already-indexed urls and appends only genuinely new
+    docs via ``update_index`` (frozen-avgdl semantics). Checkpoint =
+    committed offsets; the url anti-join makes replays idempotent."""
+    from job_searchengine_project_spark.index.build import build_index
+    from job_searchengine_project_spark.index.update import update_index
+
+    pages = spark.readStream.schema(WEBPAGES_SCHEMA).parquet(pages_dir)
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        ss = batch_df.sparkSession
+        batch = batch_df.dropDuplicates(["url"])
+        if not os.path.exists(os.path.join(index_dir, "stats.json")):
+            build_index(ss, batch, index_dir, **build_kw)
+            return
+        seen = ss.read.parquet(os.path.join(index_dir, "forward")).select("url")
+        new = batch.join(seen, "url", "left_anti")
+        update_index(ss, new, index_dir)
+
+    return (
+        pages.writeStream.foreachBatch(upsert)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

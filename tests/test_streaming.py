@@ -73,3 +73,46 @@ def test_stateful_first_seen_dedup(spark, tmp_path):
     got = sorted(r["msgid"] for r in rows)
     # every key exactly once, regardless of batch boundaries and dups
     assert got == ["a", "b", "c", "d"]
+
+
+def test_stream_live_index(spark, webpages_small, tmp_path):
+    """Streaming crawl batches maintain a live searchable index:
+    batch 1 builds, batch 2 (containing one replayed duplicate url)
+    appends only the new docs, and the final index answers like a
+    fresh engine over the union corpus."""
+    import os
+
+    from job_searchengine_project_spark.search.engine import SearchEngine
+    from job_searchengine_project_spark.streaming.pipeline import stream_live_index
+
+    pages_dir = str(tmp_path / "pages_in")
+    idx = str(tmp_path / "live_idx")
+    ckpt = str(tmp_path / "live_ckpt")
+    a = webpages_small.limit(120)
+    b = webpages_small.subtract(a).limit(80)
+    a.write.mode("overwrite").parquet(pages_dir)
+
+    q = stream_live_index(
+        spark, pages_dir, idx, ckpt, target_postings_per_salt=50, term_buckets=16
+    )
+    q.awaitTermination()
+    eng1 = SearchEngine(idx)
+    assert eng1.n_docs == 120
+    assert eng1.search(["spark"], k=5)
+
+    # batch 2: 80 new docs + 1 replayed duplicate (must not double-index)
+    dup = a.limit(1)
+    b.unionByName(dup).write.mode("append").parquet(pages_dir)
+    q2 = stream_live_index(
+        spark, pages_dir, idx, ckpt, target_postings_per_salt=50, term_buckets=16
+    )
+    q2.awaitTermination()
+    eng2 = SearchEngine(idx)
+    assert eng2.n_docs == 200  # 120 + 80, duplicate dropped
+    fwd = spark.read.parquet(os.path.join(idx, "forward"))
+    assert fwd.select("url").distinct().count() == 200
+    assert fwd.count() == 200
+    # batch-2 docs are searchable
+    b_urls = {r["url"] for r in b.select("url").collect()}
+    hits = eng2.search(["spark"], k=200)
+    assert any(h.url in b_urls for h in hits)
