@@ -112,29 +112,52 @@ LSH_BANDS = 4  # 3 rows per band
 JACCARD_THRESHOLD = 0.8
 
 
-def _minhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, sig array<string>): sig[i] = lexicographic min of
-    md5(i || '#' || shingle) over the doc's distinct shingles.
+def _shingle_ids(docs: DataFrame) -> DataFrame:
+    """(doc_id, h): distinct 16-hex-char shingle ids per doc.
 
-    The K hashes are computed once per DISTINCT shingle (they repeat
-    heavily across near-dup docs), then per-doc signatures are
-    elementwise array minima — no docs x shingles x K row explosion.
-    """
-    sh = (
+    Shingle STRINGS are hashed to fixed 16-byte ids MAP-SIDE, before
+    any exchange — the distinct, the signature join, and the exact-
+    Jaccard set arithmetic all move ids, never raw n-gram text (at web
+    scale the raw shingle column is the widest thing in this plan).
+    The id is md5-derived so DuckDB reproduces it exactly; a 64-bit
+    prefix collision would have to be identical in both engines."""
+    return (
         docs.withColumn("ss", TOKS())
-        .select("doc_id", F.explode(_shingles(F.col("ss"))).alias("s"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    _shingles(F.col("ss")),
+                    lambda sgl: F.substring(F.md5(sgl), 1, 16),
+                )
+            ).alias("h"),
+        )
         .distinct()
     )
-    ssig = sh.select("s").distinct().withColumn(
+
+
+def _minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, sig array<string>): sig[i] = lexicographic min of
+    substr(md5(i || '#' || h), 1, 16) over the doc's distinct shingle
+    ids h.
+
+    The K hashes are computed once per DISTINCT shingle id (they
+    repeat heavily across near-dup docs), then per-doc signatures are
+    elementwise array minima — no docs x shingles x K row explosion,
+    and every shuffled value is a fixed 16-byte id."""
+    sh = _shingle_ids(docs)
+    ssig = sh.select("h").distinct().withColumn(
         "mhs",
         F.transform(
             F.sequence(F.lit(0), F.lit(MINHASH_K - 1)),
-            lambda i: F.md5(F.concat(i.cast("string"), F.lit("#"), F.col("s"))),
+            lambda i: F.substring(
+                F.md5(F.concat(i.cast("string"), F.lit("#"), F.col("h"))), 1, 16
+            ),
         ),
     )
     top = F.array_repeat(F.lit("g"), MINHASH_K)  # > any md5 hex char
     return (
-        sh.join(ssig, "s")
+        sh.join(ssig, "h")
         .groupBy("doc_id")
         .agg(
             F.aggregate(
@@ -178,7 +201,12 @@ def dedup_minhash_lsh(spark, sf_dir: str) -> DataFrame:
         .distinct()
     )
     shsets = docs.withColumn("toks", TOKS()).select(
-        "doc_id", F.array_distinct(_shingles(F.col("toks"))).alias("ss")
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                _shingles(F.col("toks")), lambda sgl: F.substring(F.md5(sgl), 1, 16)
+            )
+        ).alias("ss"),
     )
     return (
         cand.join(shsets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("ss", "sa"), "doc_a")
@@ -199,9 +227,9 @@ def dedup_minhash_lsh(spark, sf_dir: str) -> DataFrame:
 
 DEDUP_MINHASH_SQL = f"""
 WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS ts FROM documents),
-sh AS (SELECT DISTINCT doc_id, unnest({_SQL_SHINGLES}) AS s FROM toks),
+sh AS (SELECT DISTINCT doc_id, substr(md5(unnest({_SQL_SHINGLES})), 1, 16) AS s FROM toks),
 sig AS (
-  SELECT doc_id, i, min(md5(i::VARCHAR || '#' || s)) AS mh
+  SELECT doc_id, i, min(substr(md5(i::VARCHAR || '#' || s), 1, 16)) AS mh
   FROM sh, range({MINHASH_K}) t(i) GROUP BY doc_id, i
 ),
 bands AS (
