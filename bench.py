@@ -38,12 +38,14 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # Override via env to probe higher.
 N_SCALE = int(os.environ.get("SPARK_GRAFT_SCALE_N", "1"))
 N_SCALE_BIG = int(os.environ.get("SPARK_GRAFT_SCALE_4N", str(4 * N_SCALE)))
-# 200k, not 100k: the build carries ~2.5s of inherently-serial work per
-# run (stage commits, stored-fields docstore write, lineage) — at 100k
-# docs the 4-core parallel window is only ~21s, so Amdahl clips measured
-# efficiency ~8 points below the engine's real scaling; at 200k the
-# fixed fraction halves (measured 0.86 vs 0.70-0.78 at 100k).
-BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "200000"))
+# 300k, not 100k: the build carries ~1-2s of inherently-serial work per
+# run (stage commits, stored-fields docstore write) — at 100k docs the
+# 4-core parallel window is only ~21s, so Amdahl clips measured
+# efficiency ~8 points below the engine's real scaling; at 300k the
+# serial fraction is ~3% of the 4-core run. (The lineage writes that
+# used to cost 1-2 serial seconds per stage are now driver-side
+# pyarrow, see index/build.py::_append_lineage.)
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "300000"))
 QUERY_RUNS = int(os.environ.get("SPARK_GRAFT_QUERY_RUNS", "100"))
 BUILD_REPEATS = int(os.environ.get("SPARK_GRAFT_BUILD_REPEATS", "3"))
 

@@ -397,7 +397,7 @@ def build_index(
         )
         _append_lineage(
             spark, lineage_dir, stage="docs", build_fp=input_fp,
-            src=spark.createDataFrame(per_part),
+            rows=[r.asDict() for r in per_part],
         )
         _commit_stage(out_dir, "docs", input_fp, n_docs=n_docs_, avgdl=avgdl_)
         _tick("docs lineage+stats write")
@@ -417,19 +417,15 @@ def build_index(
         # fingerprint; only the missing buckets are rebuilt, written
         # with dynamic partition overwrite.
         done_buckets: set[int] = set()
-        if resume and os.path.exists(lineage_dir):
-            lin_df = spark.read.option("mergeSchema", "true").parquet(lineage_dir)
-            if "build_fp" in lin_df.columns:  # pre-build_fp lineage: no bucket resume
-                done_buckets = {
-                    int(r["partition_id"])
-                    for r in lin_df.filter(
-                        (F.col("stage") == "segments")
-                        & (F.col("build_fp") == input_fp)
-                        & F.col("completed")
-                    )
-                    .select("partition_id")
-                    .collect()
-                }
+        if resume:
+            lin_pd = _read_lineage(lineage_dir)
+            if lin_pd is not None and "build_fp" in lin_pd.columns:
+                sel = lin_pd[
+                    (lin_pd["stage"] == "segments")
+                    & (lin_pd["build_fp"] == input_fp)
+                    & lin_pd["completed"]
+                ]
+                done_buckets = {int(x) for x in sel["partition_id"]}
         fwd = spark.read.parquet(forward_dir)
         # JVM-side twin of _term_bucket_py (equality is tested):
         # first 8 bytes of sha256(term), big-endian, mod buckets
@@ -556,7 +552,7 @@ def build_index(
                 ).collect()
                 _append_lineage(
                     spark, lineage_dir, stage="segments", build_fp=input_fp,
-                    src=spark.createDataFrame(per_bucket),
+                    rows=[r.asDict() for r in per_bucket],
                 )
                 _tick(f"segments group {gi} ({len(bucket_group)} buckets)")
                 if _fail_after_groups is not None and gi + 1 >= _fail_after_groups:
@@ -572,24 +568,17 @@ def build_index(
         # non-resume build over identical input appends a second
         # (identical, same-fingerprint) row per bucket; max-per-bucket
         # keeps the totals exact instead of doubling them
-        lin = (
-            spark.read.option("mergeSchema", "true").parquet(lineage_dir)
-            .filter(
-                (F.col("stage") == "segments")
-                & (F.col("build_fp") == input_fp)
-                & F.col("completed")
-            )
-            .groupBy("partition_id")
-            .agg(
-                F.max("term_count").alias("term_count"),
-                F.max("doc_count").alias("doc_count"),
-            )
-            .agg(F.sum("term_count"), F.sum("doc_count"))
-            .collect()[0]
-        )
+        lin_pd = _read_lineage(lineage_dir)
+        sel = lin_pd[
+            (lin_pd["stage"] == "segments")
+            & (lin_pd["build_fp"] == input_fp)
+            & lin_pd["completed"]
+        ]
+        per_bucket_max = sel.groupby("partition_id")[["term_count", "doc_count"]].max()
         _commit_stage(
             out_dir, "segments", input_fp,
-            n_terms=int(lin[0]), total_postings=int(lin[1]),
+            n_terms=int(per_bucket_max["term_count"].sum()),
+            total_postings=int(per_bucket_max["doc_count"].sum()),
         )
         _tick("segments lineage")
         stages_run.append("segments")
@@ -632,15 +621,78 @@ def _write_stats_dict(
     os.replace(tmp, stats_path)
 
 
-def _append_lineage(spark, lineage_dir, stage: str, build_fp: str, src: DataFrame):
-    """Per-partition reconciliation metrics (reference: job.hadoop_event)."""
-    (
-        src.withColumn("stage", F.lit(stage))
-        .withColumn("build_fp", F.lit(build_fp))
-        .withColumn("content_hash", F.sha2(F.concat_ws("|",
-            F.lit(build_fp), F.lit(stage), F.col("partition_id").cast("string"),
-            F.col("doc_count").cast("string")), 256))
-        .withColumn("completed", F.lit(True))
-        .write.mode("append")
-        .parquet(lineage_dir)
-    )
+_LINEAGE_ARROW_SCHEMA = None
+
+
+def _lineage_schema():
+    global _LINEAGE_ARROW_SCHEMA
+    if _LINEAGE_ARROW_SCHEMA is None:
+        import pyarrow as pa
+
+        _LINEAGE_ARROW_SCHEMA = pa.schema(
+            [
+                ("partition_id", pa.int32()),
+                ("doc_count", pa.int64()),
+                ("term_count", pa.int64()),
+                ("bytes_written", pa.int64()),
+                ("stage", pa.string()),
+                ("build_fp", pa.string()),
+                ("content_hash", pa.string()),
+                ("completed", pa.bool_()),
+            ]
+        )
+    return _LINEAGE_ARROW_SCHEMA
+
+
+def _append_lineage(spark, lineage_dir, stage: str, build_fp: str, rows) -> None:
+    """Per-partition reconciliation metrics (reference: job.hadoop_event).
+
+    The rows are a handful of already-collected aggregates, so they are
+    written DRIVER-SIDE with pyarrow — launching a Spark job to persist
+    ~32 rows costs 1-2s of serial wall-clock per build stage, which is
+    pure Amdahl loss on a cluster (and measurably clips the N->4N
+    scaling ratio on the bench)."""
+    import hashlib
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    recs = {
+        "partition_id": [], "doc_count": [], "term_count": [],
+        "bytes_written": [], "stage": [], "build_fp": [],
+        "content_hash": [], "completed": [],
+    }
+    for r in rows:
+        pid, dc = int(r["partition_id"]), int(r["doc_count"])
+        recs["partition_id"].append(pid)
+        recs["doc_count"].append(dc)
+        recs["term_count"].append(int(r["term_count"]))
+        recs["bytes_written"].append(int(r["bytes_written"]))
+        recs["stage"].append(stage)
+        recs["build_fp"].append(build_fp)
+        # same derivation as the former sha2(concat_ws('|', ...)) column
+        recs["content_hash"].append(
+            hashlib.sha256(f"{build_fp}|{stage}|{pid}|{dc}".encode()).hexdigest()
+        )
+        recs["completed"].append(True)
+    os.makedirs(lineage_dir, exist_ok=True)
+    tbl = pa.table(recs, schema=_lineage_schema())
+    pq.write_table(tbl, os.path.join(lineage_dir, f"part-{uuid.uuid4().hex}.parquet"))
+
+
+def _read_lineage(lineage_dir: str):
+    """Driver-side lineage read (pandas) — rows number in the hundreds
+    at most (buckets x stages x runs); None when absent/empty."""
+    import pyarrow.dataset as pads
+
+    if not os.path.isdir(lineage_dir):
+        return None
+    files = [
+        os.path.join(lineage_dir, f)
+        for f in os.listdir(lineage_dir)
+        if f.endswith(".parquet")
+    ]
+    if not files:
+        return None
+    return pads.dataset(files, format="parquet").to_table().to_pandas()

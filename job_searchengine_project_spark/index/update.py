@@ -201,9 +201,10 @@ def update_index(
         os.path.join(out_dir, "lineage"),
         stage="update",
         build_fp=stats["fingerprint"] + f"+update{m}",
-        src=spark.createDataFrame(
-            [(int(b), int(m), 0, 0) for b in touched],
-            "partition_id int, doc_count long, term_count long, bytes_written long",
-        ),
+        rows=[
+            {"partition_id": int(b), "doc_count": int(m), "term_count": 0,
+             "bytes_written": 0}
+            for b in touched
+        ],
     )
     return {"added_docs": m, "touched_buckets": len(touched)}

@@ -329,7 +329,7 @@ class SearchEngine:
         top = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
         out = [SearchHit(doc_id=d, score=s) for d, s in top]
         if kw.get("with_urls", True):
-            self._fetch_urls([h.doc_id for h in out])
+            self._fetch_urls([h.doc_id for h in out])  # one pruned read
             for h in out:
                 h.url = self.url_of(h.doc_id)
         return out
