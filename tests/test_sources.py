@@ -49,3 +49,30 @@ def test_binary_file_scan(spark):
     )
     rows = df.collect()
     assert len(rows) == 1 and rows[0]["length"] > 0 and len(rows[0]["h"]) == 64
+
+
+def test_jdbc_work_queue_call_shape(spark, monkeypatch):
+    """Docker-less JDBC contract: no database exists here, so assert
+    the exact partitioned-read options the reader is built with — a
+    single-connection read (no partitionColumn) would serialize the
+    whole queue scan through one executor."""
+    import pyspark.sql.readwriter as rw
+
+    from job_searchengine_project_spark.sources.jdbc import read_work_queue
+
+    captured: dict[str, str] = {}
+    real_option = rw.DataFrameReader.option
+
+    def spy_option(self, key, value):
+        captured[key] = str(value)
+        return real_option(self, key, value)
+
+    monkeypatch.setattr(rw.DataFrameReader, "option", spy_option)
+    monkeypatch.setattr(rw.DataFrameReader, "load", lambda self, *a, **k: None)
+    read_work_queue(spark, "jdbc:postgresql://db:5432/job", num_partitions=16)
+    assert captured["url"] == "jdbc:postgresql://db:5432/job"
+    assert captured["dbtable"] == "job.crawl_queue"
+    assert captured["partitionColumn"] == "txid"
+    assert captured["numPartitions"] == "16"
+    assert int(captured["lowerBound"]) < int(captured["upperBound"])
+    assert captured["driver"] == "org.postgresql.Driver"
