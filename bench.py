@@ -157,6 +157,11 @@ def main() -> None:
     spark_ck = _session(N_SCALE_BIG)
     try:
         ck_dir = idx_dir + "_ck"
+        # warm the worker pool exactly like every other timed window,
+        # or the tax ratio would mix durability cost with cold start
+        shutil.rmtree(ck_dir + "_w", ignore_errors=True)
+        _bi(spark_ck, spark_ck.read.parquet(corpus_dir).limit(2000), ck_dir + "_w")
+        shutil.rmtree(ck_dir + "_w", ignore_errors=True)
         shutil.rmtree(ck_dir, ignore_errors=True)
         t0 = time.time()
         _bi(spark_ck, spark_ck.read.parquet(corpus_dir), ck_dir,

@@ -393,7 +393,7 @@ def build_index(
             analyzer=analyzer, block_size=block_size,
             term_buckets=term_buckets, fingerprint=input_fp,
             store_fields=store_fields, stored_buckets=stored_buckets,
-            positions=with_positions,
+            positions=with_positions, use_extractor=use_extractor,
         )
         _append_lineage(
             spark, lineage_dir, stage="docs", build_fp=input_fp,
@@ -599,7 +599,7 @@ def build_index(
 def _write_stats_dict(
     stats_path, *, n_docs, avgdl, total_tokens, analyzer, block_size,
     term_buckets, fingerprint, store_fields=False, stored_buckets=64,
-    positions=False,
+    positions=False, use_extractor=False,
 ):
     stats = {
         "n_docs": int(n_docs),
@@ -614,6 +614,7 @@ def _write_stats_dict(
         "store_fields": bool(store_fields),
         "stored_buckets": int(stored_buckets),
         "positions": bool(positions),
+        "use_extractor": bool(use_extractor),
     }
     tmp = stats_path + ".tmp"
     with open(tmp, "w") as f:

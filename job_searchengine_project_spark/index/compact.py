@@ -41,7 +41,8 @@ from job_searchengine_project_spark.search.distributed import _load_norms_dense
 
 
 def _compact_partition(batches, *, block_size: int, avgdl: float,
-                       index_dir: str, n_docs: int, with_pos: bool):
+                       index_dir: str, n_docs: int, with_pos: bool,
+                       fingerprint: str = ""):
     dl = None
     for pdf in batches:
         if pdf.empty:
@@ -53,7 +54,7 @@ def _compact_partition(batches, *, block_size: int, avgdl: float,
             row = None
             if n_blocks > ideal:
                 if dl is None:
-                    dl = _load_norms_dense(index_dir, n_docs)
+                    dl = _load_norms_dense(index_dir, n_docs, fingerprint or None)
                 enc_in = codec.EncodedPostings(
                     count=int(r.df),
                     first_doc=int(r.first_doc),
@@ -135,6 +136,7 @@ def compact_index(spark: SparkSession, out_dir: str) -> dict:
         lambda it: _compact_partition(
             it, block_size=block_size, avgdl=avgdl,
             index_dir=out_dir, n_docs=n_docs, with_pos=with_pos,
+            fingerprint=str(stats.get("fingerprint", "")),
         ),
         schema=SEGMENT_SCHEMA_POS if with_pos else SEGMENT_SCHEMA,
     )

@@ -433,17 +433,7 @@ def search_sharded(
             norms = _load_shard_norms(norms_root, int(shard_val), rng, n_docs)
             cursors = []
             for r in grp.itertuples():
-                enc = codec.EncodedPostings(
-                    count=int(r.df),
-                    first_doc=int(r.first_doc),
-                    doc_blob=bytes(r.doc_blob),
-                    tf_blob=bytes(r.tf_blob),
-                    block_n=np.asarray(r.block_n, dtype=np.int32),
-                    block_last_doc=np.asarray(r.block_last_doc, dtype=np.int64),
-                    block_doc_bytes=np.asarray(r.block_doc_bytes, dtype=np.int32),
-                    block_tf_bytes=np.asarray(r.block_tf_bytes, dtype=np.int32),
-                    block_max_tfnorm=np.asarray(r.block_max_tfnorm, dtype=np.float64),
-                )
+                enc = _enc_from_row(r)
                 idf = float(np.log1p((n_docs - dfm[r.term] + 0.5) / (dfm[r.term] + 0.5)))
                 cursors.append(TermCursor(term=r.term, enc=enc, idf=idf))
             hits = wand_topk(cursors, norms, avgdl, k, k1=k1, b=b)

@@ -42,6 +42,37 @@ from job_searchengine_project_spark.index.build import (
 from job_searchengine_project_spark.index.prepare import prepare_docs
 
 
+def _purge_orphan_forward(forward_dir: str, n_docs: int) -> int:
+    """Crash recovery: a prior update that appended forward files but
+    died before committing stats leaves rows with doc_id >= the
+    recorded n_docs. Those ids WOULD be re-assigned to the next batch
+    (two urls per doc_id — silent score corruption), so delete them.
+    Appends create whole new files whose every row is >= that update's
+    base id, so file-level min(doc_id) >= n_docs identifies orphan
+    files exactly."""
+    import pyarrow.parquet as pq
+
+    purged = 0
+    for f in os.listdir(forward_dir):
+        if not f.endswith(".parquet"):
+            continue
+        path = os.path.join(forward_dir, f)
+        md = pq.read_metadata(path)
+        if "doc_id" not in md.schema.names:
+            return 0  # unexpected layout: do nothing
+        idx = md.schema.names.index("doc_id")
+        mins = []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return 0  # no stats: refuse to guess
+            mins.append(st.min)
+        if mins and min(mins) >= n_docs:
+            os.remove(path)
+            purged += 1
+    return purged
+
+
 def update_index(
     spark: SparkSession,
     new_pages: DataFrame,
@@ -63,13 +94,17 @@ def update_index(
     partial_schema = PARTIAL_SCHEMA_POS if with_pos else PARTIAL_SCHEMA
     segment_schema = SEGMENT_SCHEMA_POS if with_pos else SEGMENT_SCHEMA
 
-    # --- new docs: ids continue after the existing range ------------------
-    # empty-batch guard BEFORE the forward append: an empty batch must
-    # be a no-op, not a crash after a side effect
+    # --- crash recovery + empty-batch guard --------------------------------
+    # purge forward files orphaned by a previously crashed update (rows
+    # with doc_id >= the committed n_docs would collide with this
+    # batch's id range); the empty-batch check runs BEFORE any append
+    # so an empty batch is a no-op, not a crash after a side effect
+    _purge_orphan_forward(forward_dir, n_old)
     if not new_pages.limit(1).count():
         return {"added_docs": 0, "touched_buckets": 0}
+    use_extractor = bool(stats.get("use_extractor"))
     docs_new = prepare_docs(
-        new_pages, analyzer=analyzer,
+        new_pages, analyzer=analyzer, use_extractor=use_extractor,
         with_positions=bool(stats.get("positions")),
     ).withColumn("doc_id", F.col("doc_id") + F.lit(n_old))
     docs_new.write.mode("append").parquet(forward_dir)
@@ -78,7 +113,7 @@ def update_index(
 
         _write_stored_fields(
             new_pages, os.path.join(out_dir, "stored"),
-            use_extractor=False,
+            use_extractor=use_extractor,
             stored_buckets=int(stats.get("stored_buckets", 64)),
             mode="append",
         )
@@ -195,6 +230,7 @@ def update_index(
         store_fields=stats.get("store_fields", False),
         stored_buckets=stats.get("stored_buckets", 64),
         positions=stats.get("positions", False),
+        use_extractor=use_extractor,
     )
     _append_lineage(
         spark,

@@ -39,30 +39,35 @@ from job_searchengine_project_spark import BM25_B, BM25_K1
 from job_searchengine_project_spark.index import codec
 from job_searchengine_project_spark.index.build import _term_bucket_py
 
-# per-worker-process norms cache; keyed by (index_dir, n_docs) so an
-# incremental update_index (which appends docs and bumps n_docs in
-# stats.json) naturally invalidates stale entries.
-_NORMS_CACHE: dict[tuple[str, int], np.ndarray] = {}
+# per-worker-process norms cache: ONE entry per index_dir, keyed by the
+# build fingerprint recorded in stats.json — a rebuild over changed
+# content (same dir, even same doc count) or an incremental update
+# (fingerprint gains a +updateN suffix) replaces the stale entry
+# instead of serving old doclens from a reused Python worker.
+_NORMS_CACHE: dict[str, tuple[str, np.ndarray]] = {}
 
 
-def _load_norms_dense(index_dir: str, n_docs: int) -> np.ndarray:
+def _load_norms_dense(index_dir: str, n_docs: int, fingerprint: str | None = None) -> np.ndarray:
     """Executor-side dense doclen array from the forward index parquet.
 
     Column-pruned pyarrow read of (doc_id, doclen) only — never the
     terms array. Cached per Python worker process."""
-    key = (index_dir, n_docs)
-    arr = _NORMS_CACHE.get(key)
-    if arr is None:
-        import pyarrow.dataset as pads
+    if fingerprint is None:
+        with open(os.path.join(index_dir, "stats.json")) as f:
+            fingerprint = json.load(f).get("fingerprint", "")
+    hit = _NORMS_CACHE.get(index_dir)
+    if hit is not None and hit[0] == fingerprint:
+        return hit[1]
+    import pyarrow.dataset as pads
 
-        tbl = pads.dataset(os.path.join(index_dir, "forward")).to_table(
-            columns=["doc_id", "doclen"]
-        )
-        arr = np.zeros(n_docs, dtype=np.float64)
-        arr[tbl.column("doc_id").to_numpy()] = (
-            tbl.column("doclen").to_numpy().astype(np.float64)
-        )
-        _NORMS_CACHE[key] = arr
+    tbl = pads.dataset(os.path.join(index_dir, "forward")).to_table(
+        columns=["doc_id", "doclen"]
+    )
+    arr = np.zeros(n_docs, dtype=np.float64)
+    arr[tbl.column("doc_id").to_numpy()] = (
+        tbl.column("doclen").to_numpy().astype(np.float64)
+    )
+    _NORMS_CACHE[index_dir] = (fingerprint, arr)
     return arr
 
 
@@ -82,6 +87,7 @@ def search_distributed(
     n_docs = int(stats["n_docs"])
     avgdl = float(stats["avgdl"])
     term_buckets = int(stats["term_buckets"])
+    fingerprint = str(stats.get("fingerprint", ""))
 
     terms = sorted(set(query_terms))
     buckets = sorted({_term_bucket_py(t, term_buckets) for t in terms})
@@ -99,7 +105,7 @@ def search_distributed(
             if pdf.empty:
                 continue
             if dl is None:  # lazy: empty partitions never touch the norms
-                dl = _load_norms_dense(index_dir, n_docs)
+                dl = _load_norms_dense(index_dir, n_docs, fingerprint)
             # sorted-term order within the partition keeps per-doc
             # summation order identical to the oracle after the final agg
             pdf = pdf.sort_values("term", kind="stable")

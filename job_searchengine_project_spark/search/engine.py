@@ -328,10 +328,14 @@ class SearchEngine:
                 acc[d] += s
         top = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
         out = [SearchHit(doc_id=d, score=s) for d, s in top]
-        if kw.get("with_urls", True):
+        with_fields = kw.get("with_fields", False)
+        if kw.get("with_urls", True) or with_fields:
             self._fetch_urls([h.doc_id for h in out])  # one pruned read
             for h in out:
                 h.url = self.url_of(h.doc_id)
+        if with_fields:
+            for h in out:
+                h.fields = self.fields_of(h.doc_id)
         return out
 
     def search_bruteforce(self, query_terms: list[str], k: int = 10) -> list[SearchHit]:

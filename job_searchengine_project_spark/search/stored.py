@@ -41,6 +41,9 @@ def attach_stored_fields(
         spark.read.parquet(os.path.join(index_dir, "stored"))
         .filter(F.col("sbucket").isin(buckets) & F.col("url").isin(urls))
         .drop("sbucket")
+        # a replayed update append can leave duplicate url rows in the
+        # docstore; never fan out the hit list over them
+        .dropDuplicates(["url"])
     )
     hits_df = spark.createDataFrame(rows, hits.schema)
     return (

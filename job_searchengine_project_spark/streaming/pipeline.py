@@ -82,8 +82,13 @@ def stream_live_index(
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         ss = batch_df.sparkSession
         batch = batch_df.dropDuplicates(["url"])
-        if not os.path.exists(os.path.join(index_dir, "stats.json")):
-            build_index(ss, batch, index_dir, **build_kw)
+        # the FIRST-batch test is the final stage's commit marker, not
+        # stats.json: a crash between the docs and segments stages
+        # leaves stats.json behind, and a replay must finish the build
+        # (resume=True re-runs only the missing stage), not take the
+        # update path and no-op behind the url anti-join.
+        if not os.path.exists(os.path.join(index_dir, "_STAGE_OK_segments.json")):
+            build_index(ss, batch, index_dir, resume=True, **build_kw)
             return
         seen = ss.read.parquet(os.path.join(index_dir, "forward")).select("url")
         new = batch.join(seen, "url", "left_anti")

@@ -116,3 +116,39 @@ def test_stream_live_index(spark, webpages_small, tmp_path):
     b_urls = {r["url"] for r in b.select("url").collect()}
     hits = eng2.search(["spark"], k=200)
     assert any(h.url in b_urls for h in hits)
+
+
+def test_stream_live_index_replay_after_midbuild_crash(spark, webpages_small, tmp_path):
+    """A first batch that died between the docs and segments stages
+    (stats.json exists, segments marker missing) must be FINISHED by
+    the replay, not skipped by the url anti-join."""
+    import os
+    import shutil
+
+    from job_searchengine_project_spark.index.build import build_index
+    from job_searchengine_project_spark.search.engine import SearchEngine
+    from job_searchengine_project_spark.streaming.pipeline import stream_live_index
+
+    pages_dir = str(tmp_path / "pages_crash")
+    idx = str(tmp_path / "crash_idx")
+    ckpt = str(tmp_path / "crash_ckpt")
+    batch = webpages_small.limit(100)
+    batch.write.mode("overwrite").parquet(pages_dir)
+
+    # simulate the mid-build crash state: docs stage committed,
+    # segments stage not (a real crash has no segments marker, no
+    # segment files AND no segments lineage rows — lineage appends
+    # after each bucket-group write)
+    build_index(spark, batch, idx, target_postings_per_salt=50, term_buckets=16)
+    os.remove(os.path.join(idx, "_STAGE_OK_segments.json"))
+    shutil.rmtree(os.path.join(idx, "segments"))
+    shutil.rmtree(os.path.join(idx, "lineage"))
+
+    q = stream_live_index(
+        spark, pages_dir, idx, ckpt, target_postings_per_salt=50, term_buckets=16
+    )
+    q.awaitTermination()
+    assert os.path.exists(os.path.join(idx, "_STAGE_OK_segments.json"))
+    eng = SearchEngine(idx)
+    assert eng.n_docs == 100
+    assert eng.search(["spark"], k=3)  # segments exist again

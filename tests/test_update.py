@@ -123,3 +123,26 @@ def test_compaction_after_sequential_updates(spark, webpages_small, tmp_path):
     assert [(h.doc_id, h.score) for h in eng2.search(q, k=20, strategy="exhaustive")] == before_ex
     # second compaction is a no-op
     assert compact_index(spark, out) == {"compacted_terms": 0, "touched_buckets": 0}
+
+
+def test_update_purges_orphan_forward_rows(spark, webpages_small, tmp_path):
+    """A crashed prior update leaves forward rows with doc_id >= the
+    committed n_docs; the next update must purge them or two urls would
+    share each doc_id (silent score corruption)."""
+    out = str(tmp_path / "idx_orphan")
+    build_index(spark, webpages_small.limit(100), out,
+                target_postings_per_salt=50, term_buckets=16)
+    # simulate the crash: forward rows appended, stats NOT updated
+    orphan = prepare_docs(webpages_small.limit(150).subtract(webpages_small.limit(100))).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(100)
+    )
+    orphan.write.mode("append").parquet(out + "/forward")
+    assert spark.read.parquet(out + "/forward").count() == 150
+
+    batch = webpages_small.limit(180).subtract(webpages_small.limit(150))
+    res = update_index(spark, batch, out, target_postings_per_salt=50)
+    assert res["added_docs"] == 30
+    fwd = spark.read.parquet(out + "/forward")
+    assert fwd.count() == 130  # 100 + 30, orphans purged
+    assert fwd.select("doc_id").distinct().count() == 130  # no id collisions
+    assert SearchEngine(out).search(["spark"], k=3)
