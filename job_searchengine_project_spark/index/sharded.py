@@ -146,6 +146,28 @@ def _load_shard_norms(norms_root: str, shard: int, rng: int, n_docs: int) -> _Sh
     return _ShardNorms(arr, lo)
 
 
+def _attach_urls_pruned(spark: SparkSession, index_dir: str, top: DataFrame) -> DataFrame:
+    """Attach hit urls with a PUSHED doc_id isin read — never a full
+    forward scan. The input must be a final top-k (tiny: it IS the
+    query result); its doc_ids are collected and pushed into the
+    forward parquet scan as an In filter, so parquet row-group
+    statistics prune the read to the hit rows' groups (the forward
+    files hold contiguous per-bucket doc_id ranges). Same pattern as
+    the driver engine's _fetch_urls (search/engine.py) and the stored-
+    field reader (search/stored.py)."""
+    rows = top.collect()
+    if not rows:
+        return top.withColumn("url", F.lit(None).cast("string"))
+    ids = sorted({int(r["doc_id"]) for r in rows})
+    urls = (
+        spark.read.parquet(os.path.join(index_dir, "forward"))
+        .select("doc_id", "url")
+        .filter(F.col("doc_id").isin(ids))
+    )
+    hits = spark.createDataFrame(rows, top.schema)
+    return F.broadcast(hits).join(urls, "doc_id")
+
+
 def _enc_from_row(r) -> "codec.EncodedPostings":
     from job_searchengine_project_spark.index import codec
 
@@ -246,6 +268,15 @@ def search_sharded_phrase(
                     max_pos = max(max_pos, int(pos.max()))
                 decoded[t] = (docs, tfs, pos)
             M = max_pos + len(seq) + 2
+            # same int64 key-space guard as the driver engine
+            # (search/engine.py search_phrase): composite doc*M+pos
+            # keys must not wrap at extreme doc_id x position scale
+            shard_max_doc = max(
+                (int(d[0].max()) for d in decoded.values() if d[0].size),
+                default=0,
+            )
+            if M * (shard_max_doc + 1) >= (1 << 62):
+                raise OverflowError("phrase key space exceeds int64")
             survivors = None
             for i, t in enumerate(seq):
                 docs, tfs, pos = decoded[t]
@@ -280,9 +311,8 @@ def search_sharded_phrase(
         shard_phrase, schema="doc_id long, score double"
     )
     top = partials.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-    urls = spark.read.parquet(os.path.join(index_dir, "forward")).select("doc_id", "url")
     return (
-        top.join(urls, "doc_id")
+        _attach_urls_pruned(spark, index_dir, top)
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .select("doc_id", "score", "url")
     )
@@ -376,9 +406,8 @@ def search_sharded_batch(
         .filter(F.col("rank") <= k)
         .drop("rank")
     )
-    urls = spark.read.parquet(os.path.join(index_dir, "forward")).select("doc_id", "url")
     return (
-        top.join(urls, "doc_id")
+        _attach_urls_pruned(spark, index_dir, top)
         .orderBy("query_id", F.desc("score"), F.asc("doc_id"))
         .select("query_id", "doc_id", "score", "url")
     )
@@ -449,9 +478,8 @@ def search_sharded(
         shard_topk, schema="doc_id long, score double"
     )
     top = partials.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-    urls = spark.read.parquet(os.path.join(index_dir, "forward")).select("doc_id", "url")
     out = (
-        top.join(urls, "doc_id")
+        _attach_urls_pruned(spark, index_dir, top)
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .select("doc_id", "score", "url")
     )

@@ -71,20 +71,48 @@ def _load_norms_dense(index_dir: str, n_docs: int, fingerprint: str | None = Non
     return arr
 
 
+# each scoring task materializes a dense 8 B x n_docs doclen array;
+# beyond this many docs that working set is no longer a mid-size
+# index (>400 MB/worker) and the doc-range-sharded layout, whose
+# norms are shard-local, is the only sane plan
+MAX_DENSE_NORM_DOCS = 50_000_000
+
+
 def search_distributed(
     spark: SparkSession,
     index_dir: str,
     query_terms: list[str],
     k: int = 10,
     with_fields: bool = False,
+    auto_route: bool = True,
+    max_dense_docs: int = MAX_DENSE_NORM_DOCS,
 ) -> DataFrame:
     """BM25 top-k over the segment table, scored executor-side.
 
     Returns (doc_id, score, url), rank-ordered.
+
+    Routing contract: this path's working set is a dense per-worker
+    doclen array, so it is ONLY for mid-size indexes. When the index
+    has a doc-range-sharded layout (shards_meta.json), the call
+    auto-delegates to ``search_sharded`` (identical results — parity
+    tested); without one, indexes beyond ``max_dense_docs`` raise
+    instead of silently building an 8 B x n_docs array per worker.
     """
     with open(os.path.join(index_dir, "stats.json")) as f:
         stats = json.load(f)
     n_docs = int(stats["n_docs"])
+    if auto_route and os.path.exists(os.path.join(index_dir, "shards_meta.json")):
+        from job_searchengine_project_spark.index.sharded import search_sharded
+
+        return search_sharded(
+            spark, index_dir, query_terms, k=k, with_fields=with_fields
+        )
+    if n_docs > max_dense_docs:
+        raise ValueError(
+            f"search_distributed: {n_docs} docs exceeds the dense-norms bound "
+            f"({max_dense_docs}); build the sharded layout "
+            "(index.sharded.build_sharded_segments) and use search_sharded"
+        )
     avgdl = float(stats["avgdl"])
     term_buckets = int(stats["term_buckets"])
     fingerprint = str(stats.get("fingerprint", ""))
@@ -143,9 +171,10 @@ def search_distributed(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
-    urls = spark.read.parquet(os.path.join(index_dir, "forward")).select("doc_id", "url")
+    from job_searchengine_project_spark.index.sharded import _attach_urls_pruned
+
     out = (
-        scored.join(urls, "doc_id")
+        _attach_urls_pruned(spark, index_dir, scored)
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .select("doc_id", "score", "url")
     )

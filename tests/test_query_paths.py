@@ -177,6 +177,57 @@ def test_query_paths_never_collect_forward_index(spark, morph_index, monkeypatch
         assert "doclen" not in cols, f"driver collected norms: {cols}"
 
 
+def test_distributed_routes_to_sharded_layout(spark, morph_index, monkeypatch):
+    """search_distributed must delegate to the sharded path when a
+    doc-range-sharded layout exists (the dense-norms working set is
+    only for indexes without one)."""
+    import job_searchengine_project_spark.index.sharded as sh
+    from job_searchengine_project_spark.index.sharded import build_sharded_segments
+
+    build_sharded_segments(spark, morph_index, n_shards=2)
+    calls = []
+    real = sh.search_sharded
+
+    def spy(*a, **kw):
+        calls.append(True)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(sh, "search_sharded", spy)
+    out = search_distributed(spark, morph_index, ["spark"], k=3).collect()
+    assert calls, "did not route to search_sharded despite shards_meta.json"
+    assert len(out) == 3
+
+
+def test_distributed_dense_norms_bound(spark, morph_index):
+    """Without a sharded layout, indexes beyond the dense-norms bound
+    must refuse instead of materializing 8 B x n_docs per worker."""
+    with pytest.raises(ValueError, match="dense-norms bound"):
+        search_distributed(
+            spark, morph_index, ["spark"], k=3, auto_route=False, max_dense_docs=10
+        )
+
+
+def test_url_attach_is_pruned_read(spark, morph_index):
+    """The hit-url fetch must push a doc_id In filter into the forward
+    scan — a plain join against the full forward table is an O(N) scan
+    per query at web scale."""
+    from job_searchengine_project_spark.index.sharded import (
+        build_sharded_segments,
+        search_sharded,
+    )
+    from job_searchengine_project_spark.plans.explain import pushed_filters
+
+    build_sharded_segments(spark, morph_index, n_shards=2)
+    df = search_sharded(spark, morph_index, ["spark"], k=5)
+    pf = pushed_filters(df)
+    assert pf and any("In(doc_id" in p for p in pf), pf
+    df2 = search_distributed(
+        spark, morph_index, ["spark"], k=5, auto_route=False
+    )
+    pf2 = pushed_filters(df2)
+    assert pf2 and any("In(doc_id" in p for p in pf2), pf2
+
+
 def test_sharded_batch_matches_per_query(spark, morph_index):
     """B queries in one pass == B separate search_sharded runs."""
     from job_searchengine_project_spark.index.sharded import (
