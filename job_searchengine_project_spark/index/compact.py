@@ -1,19 +1,22 @@
-"""Segment compaction: re-encode fragmented posting lists.
+"""Segment compaction: fold update generations, re-encode fragmented terms.
 
-Each ``update_index`` merge appends a batch's blocks to a term's
-segment by concatenation (that is what makes updates cheap), so after
-N updates a term carries up to N underfilled trailing blocks: block
+Each ``update_index`` APPENDS a generation row per touched term
+(segment stacking — that is what makes updates O(batch)), so after G
+updates a term has up to G+1 rows, each with its own possibly
+underfilled trailing block: readers concatenate more parts, block
 metadata grows, block-max bounds lose selectivity, and WAND's deep
 skips shorten. Lucene solves this with background segment merges;
 this is the batch equivalent.
 
-Trigger: a fresh encode of df postings produces exactly
-``ceil(df / block_size)`` blocks — any term with more is fragmented.
-Compaction decodes those terms' postings (and positions, when the
-index is positional), recomputes the per-posting BM25 tf-norms from
-the stored doclens and the index's FROZEN avgdl — bit-identical to
-what the original encode computed — and re-encodes at full block
-fill. Scores are therefore unchanged; only the block layout improves.
+Trigger: a term is fragmented when it has more than one generation
+row OR more total blocks than a fresh encode of its total df
+(``ceil(df / block_size)``). Compaction concatenates the term's
+generations (doc-range-disjoint, ordered by first_doc), decodes the
+postings (and positions, when the index is positional), recomputes
+the per-posting BM25 tf-norms from the stored doclens and the index's
+FROZEN avgdl — bit-identical to what the original encode computed —
+and re-encodes ONE row at full block fill. Scores are therefore
+unchanged; only the layout improves.
 
 Only buckets containing fragmented terms are rewritten (dynamic
 partition overwrite); intact rows of those buckets pass through
@@ -40,6 +43,27 @@ from job_searchengine_project_spark.index.build import (
 from job_searchengine_project_spark.search.distributed import _load_norms_dense
 
 
+def _enc_from_tuple(r) -> codec.EncodedPostings:
+    return codec.EncodedPostings(
+        count=int(r.df),
+        first_doc=int(r.first_doc),
+        doc_blob=bytes(r.doc_blob),
+        tf_blob=bytes(r.tf_blob),
+        block_n=np.asarray(r.block_n, dtype=np.int32),
+        block_last_doc=np.asarray(r.block_last_doc, dtype=np.int64),
+        block_doc_bytes=np.asarray(r.block_doc_bytes, dtype=np.int32),
+        block_tf_bytes=np.asarray(r.block_tf_bytes, dtype=np.int32),
+        block_max_tfnorm=np.asarray(r.block_max_tfnorm, dtype=np.float64),
+        pos_blob=bytes(getattr(r, "pos_blob", b"") or b""),
+        block_pos_bytes=(
+            np.asarray(r.block_pos_bytes, dtype=np.int32)
+            if getattr(r, "block_pos_bytes", None) is not None
+            and len(r.block_pos_bytes)
+            else None
+        ),
+    )
+
+
 def _compact_partition(batches, *, block_size: int, avgdl: float,
                        index_dir: str, n_docs: int, with_pos: bool,
                        fingerprint: str = ""):
@@ -48,30 +72,21 @@ def _compact_partition(batches, *, block_size: int, avgdl: float,
         if pdf.empty:
             continue
         rows = []
-        for r in pdf.itertuples():
-            n_blocks = len(r.block_n)
-            ideal = -(-int(r.df) // block_size)  # ceil
-            row = None
-            if n_blocks > ideal:
+        # fold generations: a term's rows (all colocated — input is
+        # repartitioned by term) merge ordered by first_doc
+        pdf = pdf.sort_values(["term", "first_doc"], kind="stable")
+        for term, grp in pdf.groupby("term", sort=False):
+            tuples = list(grp.itertuples())
+            df_tot = sum(int(r.df) for r in tuples)
+            n_blocks = sum(len(r.block_n) for r in tuples)
+            ideal = -(-df_tot // block_size)  # ceil
+            if len(tuples) > 1 or n_blocks > ideal:
                 if dl is None:
                     dl = _load_norms_dense(index_dir, n_docs, fingerprint or None)
-                enc_in = codec.EncodedPostings(
-                    count=int(r.df),
-                    first_doc=int(r.first_doc),
-                    doc_blob=bytes(r.doc_blob),
-                    tf_blob=bytes(r.tf_blob),
-                    block_n=np.asarray(r.block_n, dtype=np.int32),
-                    block_last_doc=np.asarray(r.block_last_doc, dtype=np.int64),
-                    block_doc_bytes=np.asarray(r.block_doc_bytes, dtype=np.int32),
-                    block_tf_bytes=np.asarray(r.block_tf_bytes, dtype=np.int32),
-                    block_max_tfnorm=np.asarray(r.block_max_tfnorm, dtype=np.float64),
-                    pos_blob=bytes(getattr(r, "pos_blob", b"") or b""),
-                    block_pos_bytes=(
-                        np.asarray(r.block_pos_bytes, dtype=np.int32)
-                        if getattr(r, "block_pos_bytes", None) is not None
-                        and len(r.block_pos_bytes)
-                        else None
-                    ),
+                enc_in = (
+                    _enc_from_tuple(tuples[0])
+                    if len(tuples) == 1
+                    else codec.concat_encoded([_enc_from_tuple(r) for r in tuples])
                 )
                 docs, tfs = codec.decode_postings(enc_in)
                 pos = (
@@ -86,10 +101,11 @@ def _compact_partition(batches, *, block_size: int, avgdl: float,
                 enc = codec.encode_postings(
                     docs, tfs, tfn, block_size=block_size, positions=pos
                 )
-                row = _enc_to_row(str(r.term), enc, 1, with_pos=with_pos)
+                row = _enc_to_row(str(term), enc, 1, with_pos=with_pos)
             else:
+                r = tuples[0]
                 row = {
-                    "term": r.term, "df": int(r.df), "first_doc": int(r.first_doc),
+                    "term": str(term), "df": int(r.df), "first_doc": int(r.first_doc),
                     "doc_blob": bytes(r.doc_blob), "tf_blob": bytes(r.tf_blob),
                     "block_n": list(r.block_n),
                     "block_last_doc": list(r.block_last_doc),
@@ -104,7 +120,7 @@ def _compact_partition(batches, *, block_size: int, avgdl: float,
                     row["block_pos_bytes"] = list(
                         getattr(r, "block_pos_bytes", []) or []
                     )
-            row["term_bucket"] = int(r.term_bucket)
+            row["term_bucket"] = int(tuples[0].term_bucket)
             rows.append(row)
         yield pd.DataFrame(rows)
 
@@ -120,12 +136,22 @@ def compact_index(spark: SparkSession, out_dir: str) -> dict:
     segments_dir = os.path.join(out_dir, "segments")
 
     seg = spark.read.parquet(segments_dir)
-    frag = F.size("block_n") > F.ceil(F.col("df") / F.lit(block_size)).cast("int")
-    touched = sorted(
-        r["term_bucket"]
-        for r in seg.filter(frag).select("term_bucket").distinct().collect()
+    # a term needs compaction when it has >1 generation row (segment
+    # stacking appends one row per update) or its total block count
+    # exceeds a fresh full-fill encode
+    per_term = seg.groupBy("term_bucket", "term").agg(
+        F.count("*").alias("nrows"),
+        F.sum(F.size("block_n")).alias("nblocks"),
+        F.sum("df").alias("df_tot"),
     )
-    n_frag = seg.filter(frag).count()
+    frag = (F.col("nrows") > 1) | (
+        F.col("nblocks") > F.ceil(F.col("df_tot") / F.lit(block_size)).cast("int")
+    )
+    frag_rows = per_term.filter(frag).select("term_bucket").groupBy("term_bucket").agg(
+        F.count("*").alias("n")
+    ).collect()
+    touched = sorted(int(r["term_bucket"]) for r in frag_rows)
+    n_frag = int(sum(r["n"] for r in frag_rows))
     if not touched:
         return {"compacted_terms": 0, "touched_buckets": 0}
 

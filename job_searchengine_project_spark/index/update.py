@@ -1,24 +1,43 @@
-"""Incremental index update: append new documents to a built index.
+"""Incremental index update: append new documents as a new GENERATION.
 
 The reference ingests continuously (new postings discovered per crawl
 cycle); its ES `_id=msgid` upserts make re-index idempotent. Here the
-equivalent is a batch append:
+equivalent is Lucene-style segment stacking:
 
 - new docs get dense ids continuing after the existing corpus
-  (doc-range disjointness is what makes the merge a concatenation —
-  every block leads with an absolute doc id, codec.concat_encoded);
+  (doc-range disjointness is what makes multi-generation reads a
+  concatenation — every block leads with an absolute doc id,
+  codec.concat_encoded);
 - new postings are encoded with the SAME frozen ``avgdl`` as the
   initial build (the Lucene-norms trade: stored per-posting tf-norms
   are not retroactively recomputed; scores stay exact w.r.t. the
   index's recorded stats, and the oracle parity gate passes the same
   frozen stats). Query-time idf uses the UPDATED doc count;
-- only term_buckets containing new terms are rewritten (dynamic
-  partition overwrite), merged term-by-term with the existing rows via
-  the same partition-wise merge kernel;
+- the batch's postings are encoded and APPENDED as new parquet files
+  under the same ``segments/term_bucket=K/`` partitions — existing
+  segment files are never read or rewritten, so the bytes written per
+  update are O(batch), not O(index). A term touched by G updates has
+  G+1 rows in the dataset; readers merge them by blob concatenation
+  (ordered by first_doc — generations are doc-range-disjoint), and
+  ``index/compact.py`` folds generations back to one row per term;
 - forward/docstore rows append; stats + lineage record the update.
+
+Crash recovery (the reference's spine is the transactional
+`job.hadoop_event` txid table, psql_create.psql:8-17): every update is
+bracketed by a ``_PENDING_UPDATE.json`` manifest snapshotting the file
+inventory of forward/stored/segments/deleted BEFORE any append. The
+atomic ``stats.json`` replace is the commit point. ``recover_index``
+(run automatically at the start of every update) rolls a crashed
+update back by deleting files not in the snapshot — replays are then
+byte-exact re-runs, never duplicate appends (forward, stored AND
+segments). A marker whose pre-fingerprint no longer matches stats
+means the crash happened after the commit point: the update is
+durable and only the marker is dropped.
 
 Caller contract: new pages' urls are not already indexed (dedup
 upstream — J1; the reference guarantees this with the msgid set).
+``upsert_index`` (see index/tombstone.py) lifts that restriction with
+ES `_id` replacement semantics.
 """
 
 from __future__ import annotations
@@ -41,31 +60,62 @@ from job_searchengine_project_spark.index.build import (
 )
 from job_searchengine_project_spark.index.prepare import prepare_docs
 
+PENDING_MARKER = "_PENDING_UPDATE.json"
+# update-appended data roots covered by the pending-manifest snapshot
+_TRACKED_SUBDIRS = ("forward", "stored", "segments", "deleted")
 
-def _purge_orphan_forward(forward_dir: str, n_docs: int) -> int:
-    """Crash recovery: a prior update that appended forward files but
-    died before committing stats leaves rows with doc_id >= the
-    recorded n_docs. Those ids WOULD be re-assigned to the next batch
-    (two urls per doc_id — silent score corruption), so delete them.
-    Appends create whole new files whose every row is >= that update's
-    base id, so file-level min(doc_id) >= n_docs identifies orphan
-    files exactly."""
+
+def _list_files(root: str) -> list[str]:
+    out = []
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            out.append(os.path.relpath(os.path.join(dirpath, f), root))
+    return sorted(out)
+
+
+def _snapshot_files(out_dir: str) -> dict[str, list[str]]:
+    return {
+        d: _list_files(os.path.join(out_dir, d))
+        for d in _TRACKED_SUBDIRS
+        if os.path.isdir(os.path.join(out_dir, d))
+    }
+
+
+def _write_pending(out_dir: str, pre_fingerprint: str) -> None:
+    tmp = os.path.join(out_dir, PENDING_MARKER + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(
+            {"pre_fingerprint": pre_fingerprint, "files": _snapshot_files(out_dir)},
+            f,
+        )
+    os.replace(tmp, os.path.join(out_dir, PENDING_MARKER))
+
+
+def _purge_orphan_by_stat(root: str, col: str, n_docs: int) -> int:
+    """Belt-and-braces orphan purge for states no pending manifest
+    covers (files appended by external tooling or an older engine):
+    an update's appended files only ever contain rows with
+    ``col`` >= the base id of that update, so a file whose every
+    row-group min(``col``) >= the committed n_docs belongs to an
+    uncommitted update. Metadata-only (parquet row-group statistics)."""
     import pyarrow.parquet as pq
 
+    if not os.path.isdir(root):
+        return 0
     purged = 0
-    for f in os.listdir(forward_dir):
-        if not f.endswith(".parquet"):
+    for rel in _list_files(root):
+        if not rel.endswith(".parquet"):
             continue
-        path = os.path.join(forward_dir, f)
+        path = os.path.join(root, rel)
         md = pq.read_metadata(path)
-        if "doc_id" not in md.schema.names:
-            return 0  # unexpected layout: do nothing
-        idx = md.schema.names.index("doc_id")
+        if col not in md.schema.names:
+            return purged  # unexpected layout: do nothing further
+        idx = md.schema.names.index(col)
         mins = []
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(idx).statistics
             if st is None or not st.has_min_max:
-                return 0  # no stats: refuse to guess
+                return purged  # no stats: refuse to guess
             mins.append(st.min)
         if mins and min(mins) >= n_docs:
             os.remove(path)
@@ -73,13 +123,63 @@ def _purge_orphan_forward(forward_dir: str, n_docs: int) -> int:
     return purged
 
 
+def recover_index(out_dir: str) -> dict:
+    """Roll back a crashed update (idempotent; run before any read of
+    the index a subsequent update will mutate).
+
+    - pending marker present, stats fingerprint == the marker's
+      pre-fingerprint: the crash happened BEFORE the stats commit —
+      delete every file under forward/stored/segments/deleted that the
+      snapshot does not list (and any empty dirs Spark left behind);
+    - marker present but fingerprints differ: the crash happened AFTER
+      the atomic stats replace — the update is durable, drop only the
+      marker;
+    - no marker: purge any statistically-identifiable orphan
+      forward/segment files (legacy belt, see _purge_orphan_by_stat).
+    """
+    stats_path = os.path.join(out_dir, "stats.json")
+    with open(stats_path) as f:
+        stats = json.load(f)
+    result = {"rolled_back_files": 0, "orphan_files": 0}
+    marker = os.path.join(out_dir, PENDING_MARKER)
+    if os.path.exists(marker):
+        with open(marker) as f:
+            pend = json.load(f)
+        if stats.get("fingerprint") == pend.get("pre_fingerprint"):
+            for d, keep in pend.get("files", {}).items():
+                root = os.path.join(out_dir, d)
+                if not os.path.isdir(root):
+                    continue
+                keep_set = set(keep)
+                for rel in _list_files(root):
+                    if rel not in keep_set:
+                        os.remove(os.path.join(root, rel))
+                        result["rolled_back_files"] += 1
+                for dirpath, _dirs, files in os.walk(root, topdown=False):
+                    if dirpath != root and not os.listdir(dirpath):
+                        os.rmdir(dirpath)
+        os.remove(marker)
+    n_docs = int(stats["n_docs"])
+    result["orphan_files"] += _purge_orphan_by_stat(
+        os.path.join(out_dir, "forward"), "doc_id", n_docs
+    )
+    result["orphan_files"] += _purge_orphan_by_stat(
+        os.path.join(out_dir, "segments"), "first_doc", n_docs
+    )
+    return result
+
+
 def update_index(
     spark: SparkSession,
     new_pages: DataFrame,
     out_dir: str,
     target_postings_per_salt: int = 200_000,
+    _fail_point: str | None = None,  # test-only fault injection
 ) -> dict:
     stats_path = os.path.join(out_dir, "stats.json")
+    # crash recovery FIRST: a crashed prior update must be rolled back
+    # before this update reads anything it would otherwise double-count
+    recover_index(out_dir)
     with open(stats_path) as f:
         stats = json.load(f)
     n_old = int(stats["n_docs"])
@@ -94,20 +194,23 @@ def update_index(
     partial_schema = PARTIAL_SCHEMA_POS if with_pos else PARTIAL_SCHEMA
     segment_schema = SEGMENT_SCHEMA_POS if with_pos else SEGMENT_SCHEMA
 
-    # --- crash recovery + empty-batch guard --------------------------------
-    # purge forward files orphaned by a previously crashed update (rows
-    # with doc_id >= the committed n_docs would collide with this
-    # batch's id range); the empty-batch check runs BEFORE any append
-    # so an empty batch is a no-op, not a crash after a side effect
-    _purge_orphan_forward(forward_dir, n_old)
+    # empty-batch guard BEFORE any side effect: an empty batch is a
+    # no-op, not a crash after an append
     if not new_pages.limit(1).count():
         return {"added_docs": 0, "touched_buckets": 0}
+
+    # open the update: snapshot the pre-update file inventory so a
+    # crash anywhere below rolls back to exactly this state
+    _write_pending(out_dir, stats["fingerprint"])
+
     use_extractor = bool(stats.get("use_extractor"))
     docs_new = prepare_docs(
         new_pages, analyzer=analyzer, use_extractor=use_extractor,
-        with_positions=bool(stats.get("positions")),
+        with_positions=with_pos,
     ).withColumn("doc_id", F.col("doc_id") + F.lit(n_old))
     docs_new.write.mode("append").parquet(forward_dir)
+    if _fail_point == "after_forward":
+        raise RuntimeError("injected crash after forward append")
     if stats.get("store_fields"):
         from job_searchengine_project_spark.index.build import _write_stored_fields
 
@@ -117,6 +220,8 @@ def update_index(
             stored_buckets=int(stats.get("stored_buckets", 64)),
             mode="append",
         )
+    if _fail_point == "after_stored":
+        raise RuntimeError("injected crash after stored append")
     fwd_new = spark.read.parquet(forward_dir).filter(F.col("doc_id") >= n_old)
     agg = fwd_new.agg(
         F.count("*").alias("m"), F.sum("doclen").alias("tok")
@@ -159,8 +264,9 @@ def update_index(
         lambda it: _encode_partition(it, avgdl=avgdl, block_size=block_size),
         schema=partial_schema,
     )
-    # pre-merge the new batch per term so bucket detection sees one row
-    # per term, then re-expose as a "partial" (salt=1) for the big merge
+    # merge the batch per term (one row per term per update — the new
+    # GENERATION row) and stamp its term_bucket; existing rows of the
+    # bucket are never read
     new_segments = new_partials.repartition(shuffle_n, "term").mapInPandas(
         lambda it: _merge_partition(it, term_buckets=term_buckets),
         schema=segment_schema,
@@ -171,53 +277,22 @@ def update_index(
     )
     if not touched:
         new_segments.unpersist()
+        os.remove(os.path.join(out_dir, PENDING_MARKER))
         return {"added_docs": m, "touched_buckets": 0}
 
-    # --- merge: existing rows of touched buckets + the new rows -----------
-    def as_partial(df: DataFrame, salt: int) -> DataFrame:
-        cols = [
-            "term", F.lit(salt).alias("salt"), "df", "first_doc", "doc_blob",
-            "tf_blob", "block_n", "block_last_doc", "block_doc_bytes",
-            "block_tf_bytes", "block_max_tfnorm", "n_parts", "bytes_written",
-        ]
-        if with_pos:
-            # coalesced so a pre-positions bucket read through the
-            # positional schema (NULL columns) still merges
-            cols += [
-                F.coalesce(F.col("pos_blob"), F.lit(b"")).alias("pos_blob")
-                if "pos_blob" in df.columns
-                else F.lit(b"").alias("pos_blob"),
-                F.coalesce(
-                    F.col("block_pos_bytes"), F.array().cast("array<int>")
-                ).alias("block_pos_bytes")
-                if "block_pos_bytes" in df.columns
-                else F.array().cast("array<int>").alias("block_pos_bytes"),
-            ]
-        return df.select(*cols)
-
-    existing = spark.read.parquet(segments_dir).filter(
-        F.col("term_bucket").isin(touched)
+    # --- append the generation: O(batch) bytes, existing files untouched --
+    (
+        new_segments.repartition("term_bucket")
+        .sortWithinPartitions("term")
+        .write.mode("append")
+        .partitionBy("term_bucket")
+        .parquet(segments_dir)
     )
-    combined = as_partial(existing, 0).unionByName(as_partial(new_segments, 1))
-    merged = combined.repartition(shuffle_n, "term").mapInPandas(
-        lambda it: _merge_partition(it, term_buckets=term_buckets),
-        schema=segment_schema,
-    )
-    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (
-            merged.repartition("term_bucket")
-            .sortWithinPartitions("term")
-            .write.mode("overwrite")
-            .partitionBy("term_bucket")
-            .parquet(segments_dir)
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
     new_segments.unpersist()
+    if _fail_point == "after_segments":
+        raise RuntimeError("injected crash after segments append")
 
-    # --- stats + lineage ----------------------------------------------------
+    # --- commit: stats (atomic replace — THE commit point) + lineage ------
     _write_stats_dict(
         stats_path,
         n_docs=n_old + m,
@@ -232,6 +307,8 @@ def update_index(
         positions=stats.get("positions", False),
         use_extractor=use_extractor,
     )
+    if _fail_point == "after_commit":
+        raise RuntimeError("injected crash after stats commit")
     _append_lineage(
         spark,
         os.path.join(out_dir, "lineage"),
@@ -243,4 +320,5 @@ def update_index(
             for b in touched
         ],
     )
+    os.remove(os.path.join(out_dir, PENDING_MARKER))
     return {"added_docs": m, "touched_buckets": len(touched)}

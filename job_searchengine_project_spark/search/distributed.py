@@ -126,6 +126,13 @@ def search_distributed(
         .select("term", "df", "doc_blob", "tf_blob", "block_n",
                 "block_doc_bytes", "block_tf_bytes")
     )
+    # a term updated G times has G+1 generation rows (segment stacking);
+    # idf needs the GLOBAL df — a tiny agg over <= |q| x (G+1) rows
+    df_map = {
+        r["term"]: int(r["df"])
+        for r in seg.groupBy("term").agg(F.sum("df").alias("df")).collect()
+    }
+    bc_df = spark.sparkContext.broadcast(df_map)
 
     def score_partition(batches):
         dl = None
@@ -151,7 +158,8 @@ def search_distributed(
                     block_max_tfnorm=np.zeros(len(r.block_n), dtype=np.float64),
                 )
                 docs, tfs = codec.decode_postings(enc)
-                idf = float(np.log1p((n_docs - r.df + 0.5) / (r.df + 0.5)))
+                g_df = bc_df.value[r.term]
+                idf = float(np.log1p((n_docs - g_df + 0.5) / (g_df + 0.5)))
                 dls = dl[docs]
                 score_parts.append(
                     idf * (tfs / (tfs + BM25_K1 * (1.0 - BM25_B + BM25_B * dls / avgdl)))

@@ -108,7 +108,12 @@ class SearchEngine:
         return self._urls[doc_id]
 
     def load_segments(self, terms: list[str]) -> dict[str, codec.EncodedPostings]:
-        """Pushdown read: only the buckets/row-groups of the query terms."""
+        """Pushdown read: only the buckets/row-groups of the query terms.
+
+        A term updated G times has G+1 GENERATION rows (segment
+        stacking, index/update.py) — doc-range-disjoint, so they merge
+        by blob concatenation ordered by first_doc; ``compact_index``
+        folds them back to one row."""
         terms = sorted(set(terms))
         buckets = sorted({_term_bucket_py(t, self.term_buckets) for t in terms})
         if self._segments_ds is None:
@@ -123,28 +128,35 @@ class SearchEngine:
             pads.field("term").isin(terms)
         )
         tbl = ds.to_table(filter=expr)
-        out: dict[str, codec.EncodedPostings] = {}
         has_pos = "pos_blob" in tbl.column_names
+        parts: dict[str, list[codec.EncodedPostings]] = {}
         for i in range(tbl.num_rows):
             row = {c: tbl[c][i].as_py() for c in tbl.column_names}
-            out[row["term"]] = codec.EncodedPostings(
-                count=int(row["df"]),
-                first_doc=int(row["first_doc"]),
-                doc_blob=row["doc_blob"],
-                tf_blob=row["tf_blob"],
-                block_n=np.asarray(row["block_n"], dtype=np.int32),
-                block_last_doc=np.asarray(row["block_last_doc"], dtype=np.int64),
-                block_doc_bytes=np.asarray(row["block_doc_bytes"], dtype=np.int32),
-                block_tf_bytes=np.asarray(row["block_tf_bytes"], dtype=np.int32),
-                block_max_tfnorm=np.asarray(row["block_max_tfnorm"], dtype=np.float64),
-                pos_blob=row.get("pos_blob") or b"" if has_pos else b"",
-                block_pos_bytes=(
-                    np.asarray(row["block_pos_bytes"], dtype=np.int32)
-                    if has_pos and row.get("block_pos_bytes")
-                    else None
-                ),
+            parts.setdefault(row["term"], []).append(
+                codec.EncodedPostings(
+                    count=int(row["df"]),
+                    first_doc=int(row["first_doc"]),
+                    doc_blob=row["doc_blob"],
+                    tf_blob=row["tf_blob"],
+                    block_n=np.asarray(row["block_n"], dtype=np.int32),
+                    block_last_doc=np.asarray(row["block_last_doc"], dtype=np.int64),
+                    block_doc_bytes=np.asarray(row["block_doc_bytes"], dtype=np.int32),
+                    block_tf_bytes=np.asarray(row["block_tf_bytes"], dtype=np.int32),
+                    block_max_tfnorm=np.asarray(row["block_max_tfnorm"], dtype=np.float64),
+                    pos_blob=row.get("pos_blob") or b"" if has_pos else b"",
+                    block_pos_bytes=(
+                        np.asarray(row["block_pos_bytes"], dtype=np.int32)
+                        if has_pos and row.get("block_pos_bytes")
+                        else None
+                    ),
+                )
             )
-        return out
+        return {
+            t: ps[0]
+            if len(ps) == 1
+            else codec.concat_encoded(sorted(ps, key=lambda p: p.first_doc))
+            for t, ps in parts.items()
+        }
 
     # --- scoring ------------------------------------------------------------
 

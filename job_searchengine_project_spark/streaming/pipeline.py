@@ -90,6 +90,12 @@ def stream_live_index(
         if not os.path.exists(os.path.join(index_dir, "_STAGE_OK_segments.json")):
             build_index(ss, batch, index_dir, resume=True, **build_kw)
             return
+        # recover BEFORE the lazy `seen` read: a crashed prior update's
+        # rollback deletes orphan forward files, and a file listing
+        # captured earlier would make the anti-join scan deleted files
+        from job_searchengine_project_spark.index.update import recover_index
+
+        recover_index(index_dir)
         seen = ss.read.parquet(os.path.join(index_dir, "forward")).select("url")
         new = batch.join(seen, "url", "left_anti")
         update_index(ss, new, index_dir)
