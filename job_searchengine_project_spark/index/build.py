@@ -261,12 +261,17 @@ def _url_bucket_expr(buckets: int):
 
 def _write_stored_fields(
     pages: DataFrame, stored_dir: str, *, use_extractor: bool,
-    stored_buckets: int, mode: str = "overwrite",
+    stored_buckets: int, mode: str = "overwrite", gen: int = 0,
 ) -> None:
     """Stored-field docstore: (url, body, <other page columns>) hash-
     bucketed by url and sorted by url within each bucket. Body is the
     extracted text when the extractor runs (what ES stores as _source
-    body_text), else the input text column verbatim."""
+    body_text), else the input text column verbatim.
+
+    ``_gen`` records the writing update's generation base (the index's
+    n_docs at write time): a REPLACED url has one stored row per
+    version, and readers serve the max-_gen row (ES `_id` overwrite —
+    the newest _source wins)."""
     from job_searchengine_project_spark.functions.extract import extract_text
 
     body_col = (
@@ -275,6 +280,7 @@ def _write_stored_fields(
     extras = [c for c in pages.columns if c not in ("url", "text", "html")]
     (
         pages.select("url", body_col, *extras)
+        .withColumn("_gen", F.lit(gen).cast("long"))
         .withColumn("sbucket", _url_bucket_expr(stored_buckets))
         .repartition("sbucket")
         .sortWithinPartitions("url")
@@ -599,7 +605,7 @@ def build_index(
 def _write_stats_dict(
     stats_path, *, n_docs, avgdl, total_tokens, analyzer, block_size,
     term_buckets, fingerprint, store_fields=False, stored_buckets=64,
-    positions=False, use_extractor=False,
+    positions=False, use_extractor=False, n_purged=0,
 ):
     stats = {
         "n_docs": int(n_docs),
@@ -615,6 +621,10 @@ def _write_stats_dict(
         "stored_buckets": int(stored_buckets),
         "positions": bool(positions),
         "use_extractor": bool(use_extractor),
+        # docs physically removed by a purging compaction: idf N is
+        # n_docs - n_purged (n_docs itself stays monotonic — it is the
+        # doc-ID SPACE, the base for the next update's dense ids)
+        "n_purged": int(n_purged),
     }
     tmp = stats_path + ".tmp"
     with open(tmp, "w") as f:

@@ -66,8 +66,9 @@ def _enc_from_tuple(r) -> codec.EncodedPostings:
 
 def _compact_partition(batches, *, block_size: int, avgdl: float,
                        index_dir: str, n_docs: int, with_pos: bool,
-                       fingerprint: str = ""):
+                       fingerprint: str = "", deleted=None):
     dl = None
+    dele = deleted if deleted is not None else np.empty(0, dtype=np.int64)
     for pdf in batches:
         if pdf.empty:
             continue
@@ -80,20 +81,44 @@ def _compact_partition(batches, *, block_size: int, avgdl: float,
             df_tot = sum(int(r.df) for r in tuples)
             n_blocks = sum(len(r.block_n) for r in tuples)
             ideal = -(-df_tot // block_size)  # ceil
-            if len(tuples) > 1 or n_blocks > ideal:
+            needs = len(tuples) > 1 or n_blocks > ideal
+            enc_in = None
+            docs = tfs = None
+            if not needs and dele.size:
+                # purge pre-check without re-encoding cost: tombstone
+                # ids inside the term's doc range, then an exact test
+                lo = int(tuples[0].first_doc)
+                hi = int(tuples[-1].block_last_doc[-1])
+                j0, j1 = np.searchsorted(dele, [lo, hi + 1])
+                if j1 > j0:
+                    enc_in = _enc_from_tuple(tuples[0])
+                    docs, tfs = codec.decode_postings(enc_in)
+                    needs = bool(np.isin(dele[j0:j1], docs).any())
+            if needs:
                 if dl is None:
                     dl = _load_norms_dense(index_dir, n_docs, fingerprint or None)
-                enc_in = (
-                    _enc_from_tuple(tuples[0])
-                    if len(tuples) == 1
-                    else codec.concat_encoded([_enc_from_tuple(r) for r in tuples])
-                )
-                docs, tfs = codec.decode_postings(enc_in)
+                if enc_in is None:
+                    enc_in = (
+                        _enc_from_tuple(tuples[0])
+                        if len(tuples) == 1
+                        else codec.concat_encoded([_enc_from_tuple(r) for r in tuples])
+                    )
+                    docs, tfs = codec.decode_postings(enc_in)
                 pos = (
                     codec.decode_positions(enc_in, tfs)
                     if enc_in.has_positions
                     else None
                 )
+                if dele.size:
+                    # physically drop tombstoned postings (and their
+                    # position slices — posting i owns tfs[i] values)
+                    live = ~np.isin(docs, dele)
+                    if not live.all():
+                        if pos is not None:
+                            pos = pos[np.repeat(live, tfs)]
+                        docs, tfs = docs[live], tfs[live]
+                if docs.size == 0:
+                    continue  # every posting was tombstoned: drop the term
                 tff = tfs.astype(np.float64)
                 tfn = tff / (
                     tff + BM25_K1 * (1.0 - BM25_B + BM25_B * (dl[docs] / avgdl))
@@ -125,15 +150,33 @@ def _compact_partition(batches, *, block_size: int, avgdl: float,
         yield pd.DataFrame(rows)
 
 
-def compact_index(spark: SparkSession, out_dir: str) -> dict:
-    """Re-encode every fragmented term; returns
-    {compacted_terms, touched_buckets}."""
+def compact_index(spark: SparkSession, out_dir: str, purge_deletes: bool = True) -> dict:
+    """Fold generations, re-encode fragmented terms and — when
+    tombstones exist and ``purge_deletes`` — physically drop tombstoned
+    postings, dead forward/docstore rows and the tombstone files
+    themselves (the Lucene merge's delete reclaim). Returns
+    {compacted_terms, touched_buckets, purged_docs}.
+
+    Purge crash-safety (each step idempotent, tombstones filter queries
+    until the very last step): segments rewrite -> forward swap ->
+    docstore GC -> stats commit (n_purged, new fingerprint) ->
+    tombstones cleared. A crash anywhere re-runs to completion on the
+    next call; queries in between stay correct because the tombstone
+    filter is still active."""
+    import shutil
+
+    from job_searchengine_project_spark.index.tombstone import (
+        TOMBSTONE_DIR,
+        load_tombstones,
+    )
+
     with open(os.path.join(out_dir, "stats.json")) as f:
         stats = json.load(f)
     block_size = int(stats["block_size"])
     avgdl = float(stats["avgdl"])
     n_docs = int(stats["n_docs"])
     segments_dir = os.path.join(out_dir, "segments")
+    dele = load_tombstones(out_dir) if purge_deletes else np.empty(0, np.int64)
 
     seg = spark.read.parquet(segments_dir)
     # a term needs compaction when it has >1 generation row (segment
@@ -150,19 +193,28 @@ def compact_index(spark: SparkSession, out_dir: str) -> dict:
     frag_rows = per_term.filter(frag).select("term_bucket").groupBy("term_bucket").agg(
         F.count("*").alias("n")
     ).collect()
-    touched = sorted(int(r["term_bucket"]) for r in frag_rows)
     n_frag = int(sum(r["n"] for r in frag_rows))
+    if dele.size:
+        # tombstoned postings can hide in any bucket: purge them all
+        touched = sorted(
+            int(r["term_bucket"])
+            for r in seg.select("term_bucket").distinct().collect()
+        )
+    else:
+        touched = sorted(int(r["term_bucket"]) for r in frag_rows)
     if not touched:
-        return {"compacted_terms": 0, "touched_buckets": 0}
+        return {"compacted_terms": 0, "touched_buckets": 0, "purged_docs": 0}
 
     shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     bucket_rows = seg.filter(F.col("term_bucket").isin(touched))
     with_pos = bool(stats.get("positions"))
+    bc_del = spark.sparkContext.broadcast(dele)
     compacted = bucket_rows.repartition(shuffle_n, "term").mapInPandas(
         lambda it: _compact_partition(
             it, block_size=block_size, avgdl=avgdl,
             index_dir=out_dir, n_docs=n_docs, with_pos=with_pos,
             fingerprint=str(stats.get("fingerprint", "")),
+            deleted=bc_del.value,
         ),
         schema=SEGMENT_SCHEMA_POS if with_pos else SEGMENT_SCHEMA,
     )
@@ -178,4 +230,85 @@ def compact_index(spark: SparkSession, out_dir: str) -> dict:
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
-    return {"compacted_terms": int(n_frag), "touched_buckets": len(touched)}
+
+    purged_docs = 0
+    if dele.size:
+        purged_docs = _purge_dead_docs(spark, out_dir, stats, dele)
+        shutil.rmtree(os.path.join(out_dir, TOMBSTONE_DIR), ignore_errors=True)
+    return {
+        "compacted_terms": int(n_frag),
+        "touched_buckets": len(touched),
+        "purged_docs": int(purged_docs),
+    }
+
+
+def _swap_dir(staged: str, live: str) -> None:
+    """Replace ``live`` with ``staged`` via two renames. A crash
+    between them leaves ``<live>_old`` beside a missing/complete live
+    dir; the next purge re-stages from scratch, and queries in the
+    window still work because tombstones only clear at the very end."""
+    import shutil
+
+    old = live + "_old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.isdir(live):
+        os.replace(live, old)
+    os.replace(staged, live)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def _purge_dead_docs(spark, out_dir: str, stats: dict, dele: np.ndarray) -> int:
+    """Drop tombstoned docs' forward rows and superseded/dead docstore
+    rows, then commit n_purged + a new fingerprint (executor norms
+    caches key on it). Returns the number of forward rows removed —
+    exact and idempotent (a re-run finds 0 dead rows)."""
+    from job_searchengine_project_spark.index.build import _write_stats_dict
+
+    forward_dir = os.path.join(out_dir, "forward")
+    ids = [int(x) for x in dele.tolist()]
+    fwd = spark.read.parquet(forward_dir)
+    dead = fwd.filter(F.col("doc_id").isin(ids)).count()
+    if dead:
+        staged = forward_dir + "_staged"
+        (
+            fwd.filter(~F.col("doc_id").isin(ids))
+            .write.mode("overwrite").parquet(staged)
+        )
+        _swap_dir(staged, forward_dir)
+    if stats.get("store_fields"):
+        stored_dir = os.path.join(out_dir, "stored")
+        stored = spark.read.parquet(stored_dir)
+        if "_gen" in stored.columns:
+            from pyspark.sql import Window
+
+            live_urls = spark.read.parquet(forward_dir).select("url").distinct()
+            w = Window.partitionBy("url").orderBy(F.desc("_gen"))
+            gc = (
+                stored.join(live_urls, "url", "left_semi")
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+            staged = stored_dir + "_staged"
+            (
+                gc.repartition("sbucket")
+                .sortWithinPartitions("url")
+                .write.mode("overwrite")
+                .partitionBy("sbucket")
+                .parquet(staged)
+            )
+            _swap_dir(staged, stored_dir)
+    n_purged = int(stats.get("n_purged", 0)) + int(dead)
+    _write_stats_dict(
+        os.path.join(out_dir, "stats.json"),
+        n_docs=stats["n_docs"], avgdl=stats["avgdl"],
+        total_tokens=stats["total_tokens"], analyzer=stats["analyzer"],
+        block_size=stats["block_size"], term_buckets=stats["term_buckets"],
+        fingerprint=stats["fingerprint"] + f"+purge{dead}",
+        store_fields=stats.get("store_fields", False),
+        stored_buckets=stats.get("stored_buckets", 64),
+        positions=stats.get("positions", False),
+        use_extractor=stats.get("use_extractor", False),
+        n_purged=n_purged,
+    )
+    return int(dead)

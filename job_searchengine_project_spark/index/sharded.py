@@ -213,12 +213,16 @@ def search_sharded_phrase(
     with open(os.path.join(index_dir, "stats.json")) as f:
         stats = json.load(f)
     n_docs = int(stats["n_docs"])
+    n_eff = n_docs - int(stats.get("n_purged", 0))  # idf N (tombstone.py)
     avgdl = float(stats["avgdl"])
     k1, b = float(stats["k1"]), float(stats["b"])
     with open(os.path.join(index_dir, SHARDS_META)) as f:
         meta = json.load(f)
     rng = int(meta["rng"])
     norms_root = os.path.join(index_dir, NORMS_DIR)
+    from job_searchengine_project_spark.index.tombstone import load_tombstones
+
+    bc_del = spark.sparkContext.broadcast(load_tombstones(index_dir))
 
     analyzer = stats.get("analyzer", "morph")
     seq = (
@@ -287,6 +291,11 @@ def search_sharded_phrase(
             if survivors is None or survivors.size == 0:
                 continue
             match_docs = np.unique(survivors // M)
+            dele = bc_del.value
+            if dele.size:
+                match_docs = match_docs[~np.isin(match_docs, dele)]
+                if match_docs.size == 0:
+                    continue
             norms = _load_shard_norms(norms_root, int(shard_val), rng, n_docs)
             acc = {int(d): 0.0 for d in match_docs.tolist()}
             for t in uniq:  # sorted-term summation order == driver engine
@@ -295,7 +304,7 @@ def search_sharded_phrase(
                 if not sel.any():
                     continue
                 d_sel, tf_sel = docs[sel], tfs[sel].astype(np.float64)
-                idf = float(np.log1p((n_docs - dfm[t] + 0.5) / (dfm[t] + 0.5)))
+                idf = float(np.log1p((n_eff - dfm[t] + 0.5) / (dfm[t] + 0.5)))
                 dls = norms.arr[d_sel - norms.lo]
                 scores = idf * (tf_sel / (tf_sel + k1 * (1.0 - b + b * dls / avgdl)))
                 for d, s in zip(d_sel.tolist(), scores.tolist()):
@@ -334,12 +343,16 @@ def search_sharded_batch(
     with open(os.path.join(index_dir, "stats.json")) as f:
         stats = json.load(f)
     n_docs = int(stats["n_docs"])
+    n_eff = n_docs - int(stats.get("n_purged", 0))  # idf N (tombstone.py)
     avgdl = float(stats["avgdl"])
     k1, b = float(stats["k1"]), float(stats["b"])
     with open(os.path.join(index_dir, SHARDS_META)) as f:
         meta = json.load(f)
     rng = int(meta["rng"])
     norms_root = os.path.join(index_dir, NORMS_DIR)
+    from job_searchengine_project_spark.index.tombstone import load_tombstones
+
+    bc_del = spark.sparkContext.broadcast(load_tombstones(index_dir))
 
     q_terms = {qid: sorted(set(ts)) for qid, ts in queries.items()}
     all_terms = sorted({t for ts in q_terms.values() for t in ts})
@@ -382,14 +395,16 @@ def search_sharded_batch(
                     TermCursor(
                         term=t,
                         enc=encs[t],
-                        idf=float(np.log1p((n_docs - dfm[t] + 0.5) / (dfm[t] + 0.5))),
+                        idf=float(np.log1p((n_eff - dfm[t] + 0.5) / (dfm[t] + 0.5))),
                     )
                     for t in terms
                     if t in encs
                 ]
                 if not cursors:
                     continue
-                for d, s in wand_topk(cursors, norms, avgdl, k, k1=k1, b=b):
+                for d, s in wand_topk(
+                    cursors, norms, avgdl, k, k1=k1, b=b, deleted=bc_del.value
+                ):
                     out_q.append(qid)
                     out_d.append(d)
                     out_s.append(s)
@@ -425,12 +440,16 @@ def search_sharded(
     with open(os.path.join(index_dir, "stats.json")) as f:
         stats = json.load(f)
     n_docs = int(stats["n_docs"])
+    n_eff = n_docs - int(stats.get("n_purged", 0))  # idf N (tombstone.py)
     avgdl = float(stats["avgdl"])
     k1, b = float(stats["k1"]), float(stats["b"])
     with open(os.path.join(index_dir, SHARDS_META)) as f:
         meta = json.load(f)
     rng = int(meta["rng"])
     norms_root = os.path.join(index_dir, NORMS_DIR)
+    from job_searchengine_project_spark.index.tombstone import load_tombstones
+
+    bc_del = spark.sparkContext.broadcast(load_tombstones(index_dir))
 
     terms = sorted(set(query_terms))
     seg = (
@@ -463,9 +482,9 @@ def search_sharded(
             cursors = []
             for r in grp.itertuples():
                 enc = _enc_from_row(r)
-                idf = float(np.log1p((n_docs - dfm[r.term] + 0.5) / (dfm[r.term] + 0.5)))
+                idf = float(np.log1p((n_eff - dfm[r.term] + 0.5) / (dfm[r.term] + 0.5)))
                 cursors.append(TermCursor(term=r.term, enc=enc, idf=idf))
-            hits = wand_topk(cursors, norms, avgdl, k, k1=k1, b=b)
+            hits = wand_topk(cursors, norms, avgdl, k, k1=k1, b=b, deleted=bc_del.value)
             if hits:
                 docs_out, scores_out = zip(*hits)
                 yield pd.DataFrame({"doc_id": docs_out, "score": scores_out})

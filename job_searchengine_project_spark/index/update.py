@@ -146,11 +146,15 @@ def recover_index(out_dir: str) -> dict:
         with open(marker) as f:
             pend = json.load(f)
         if stats.get("fingerprint") == pend.get("pre_fingerprint"):
-            for d, keep in pend.get("files", {}).items():
+            snap = pend.get("files", {})
+            # a dir absent from the snapshot did not exist pre-update
+            # (e.g. the first replace creates deleted/): every file in
+            # it is the crashed update's — roll it back entirely
+            for d in _TRACKED_SUBDIRS:
                 root = os.path.join(out_dir, d)
                 if not os.path.isdir(root):
                     continue
-                keep_set = set(keep)
+                keep_set = set(snap.get(d, []))
                 for rel in _list_files(root):
                     if rel not in keep_set:
                         os.remove(os.path.join(root, rel))
@@ -174,8 +178,16 @@ def update_index(
     new_pages: DataFrame,
     out_dir: str,
     target_postings_per_salt: int = 200_000,
+    replace: bool = False,
     _fail_point: str | None = None,  # test-only fault injection
 ) -> dict:
+    """Append ``new_pages`` as a new generation (see module docstring).
+
+    ``replace=True`` gives ES `_id`-overwrite semantics
+    (common/job_class.py:149-157): urls already indexed get their old
+    doc_ids tombstoned before the new versions append — queries serve
+    only the newest version, and a purging compaction later drops the
+    old postings physically (index/tombstone.py scoring contract)."""
     stats_path = os.path.join(out_dir, "stats.json")
     # crash recovery FIRST: a crashed prior update must be rolled back
     # before this update reads anything it would otherwise double-count
@@ -203,6 +215,23 @@ def update_index(
     # crash anywhere below rolls back to exactly this state
     _write_pending(out_dir, stats["fingerprint"])
 
+    if replace:
+        from job_searchengine_project_spark.index.tombstone import TOMBSTONE_DIR
+
+        # tombstone every existing row of the batch's urls BEFORE the
+        # new versions append — this write is the action that evaluates
+        # the url match, so it cannot see the new rows; a twice-replaced
+        # url re-tombstones its first replacement (load_tombstones
+        # dedupes). Batch urls are micro-batch-sized: broadcast.
+        old = (
+            spark.read.parquet(forward_dir)
+            .join(F.broadcast(new_pages.select("url").distinct()), "url", "left_semi")
+            .select("doc_id")
+        )
+        old.write.mode("append").parquet(os.path.join(out_dir, TOMBSTONE_DIR))
+        if _fail_point == "after_tombstones":
+            raise RuntimeError("injected crash after tombstone append")
+
     use_extractor = bool(stats.get("use_extractor"))
     docs_new = prepare_docs(
         new_pages, analyzer=analyzer, use_extractor=use_extractor,
@@ -219,6 +248,7 @@ def update_index(
             use_extractor=use_extractor,
             stored_buckets=int(stats.get("stored_buckets", 64)),
             mode="append",
+            gen=n_old,  # newest version of a replaced url = max _gen
         )
     if _fail_point == "after_stored":
         raise RuntimeError("injected crash after stored append")
@@ -275,19 +305,18 @@ def update_index(
         r["term_bucket"]
         for r in new_segments.select("term_bucket").distinct().collect()
     )
-    if not touched:
-        new_segments.unpersist()
-        os.remove(os.path.join(out_dir, PENDING_MARKER))
-        return {"added_docs": m, "touched_buckets": 0}
-
     # --- append the generation: O(batch) bytes, existing files untouched --
-    (
-        new_segments.repartition("term_bucket")
-        .sortWithinPartitions("term")
-        .write.mode("append")
-        .partitionBy("term_bucket")
-        .parquet(segments_dir)
-    )
+    # (a batch of token-less docs has no segments to append, but its
+    # forward rows still count — the stats commit below must run or the
+    # appended rows would be purged as orphans by the next recovery)
+    if touched:
+        (
+            new_segments.repartition("term_bucket")
+            .sortWithinPartitions("term")
+            .write.mode("append")
+            .partitionBy("term_bucket")
+            .parquet(segments_dir)
+        )
     new_segments.unpersist()
     if _fail_point == "after_segments":
         raise RuntimeError("injected crash after segments append")
@@ -306,6 +335,7 @@ def update_index(
         stored_buckets=stats.get("stored_buckets", 64),
         positions=stats.get("positions", False),
         use_extractor=use_extractor,
+        n_purged=stats.get("n_purged", 0),
     )
     if _fail_point == "after_commit":
         raise RuntimeError("injected crash after stats commit")

@@ -290,6 +290,147 @@ SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT {limit}
 """
 
 
+# ---- upsert/delete lifecycle (ES `_id` overwrite parity) ---------------------
+
+REPLACE_MOD = 10   # doc_id % 10 == 0 -> re-crawled with boosted text
+DELETE_MOD = (17, 3)  # doc_id % 17 == 3 -> deleted outright
+REPLACE_SUFFIX = " spark spark spark"
+
+
+def _upsert_engine_for(spark: SparkSession, sf_dir: str, purge: bool):
+    """Build -> update(replace=True) -> delete_docs [-> purging
+    compaction], cached per sf_dir. Docs with doc_id %10==0 AND %17==3
+    are replaced THEN deleted — the adversarial overlap both oracles
+    must exclude."""
+    import shutil
+
+    from job_searchengine_project_spark.index.build import build_index
+    from job_searchengine_project_spark.index.compact import compact_index
+    from job_searchengine_project_spark.index.tombstone import delete_docs
+    from job_searchengine_project_spark.index.update import update_index
+    from job_searchengine_project_spark.search.engine import SearchEngine
+
+    key = f"ups{'_purge' if purge else ''}:{os.path.abspath(sf_dir)}"
+    if key not in _ENGINE_CACHE:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        pages = docs.select(
+            F.format_string("doc://%08d", F.col("doc_id")).alias("url"),
+            F.col("text"),
+        )
+        out = os.path.join(
+            tempfile.gettempdir(), "jse_idx_" + key.replace(os.sep, "_").replace(":", "_")
+        )
+        done = os.path.join(out, "_UPSERT_DONE")
+        if not os.path.exists(done):
+            shutil.rmtree(out, ignore_errors=True)
+            build_index(spark, pages, out, block_size=32)
+            repl = docs.filter(F.col("doc_id") % REPLACE_MOD == 0).select(
+                F.format_string("doc://%08d", F.col("doc_id")).alias("url"),
+                F.concat(F.col("text"), F.lit(REPLACE_SUFFIX)).alias("text"),
+            )
+            update_index(spark, repl, out, replace=True)
+            del_ids = [
+                int(r["doc_id"])
+                for r in docs.filter(
+                    F.col("doc_id") % DELETE_MOD[0] == DELETE_MOD[1]
+                ).select("doc_id").collect()
+            ]
+            delete_docs(spark, out, [f"doc://{i:08d}" for i in del_ids])
+            if purge:
+                res = compact_index(spark, out)
+                assert res["purged_docs"] > 0  # the purge must do real work
+            with open(done, "w") as f:
+                f.write("ok")
+        _ENGINE_CACHE[key] = SearchEngine(out)
+    return _ENGINE_CACHE[key]
+
+
+def upsert_delete_top10(spark, sf_dir: str) -> DataFrame:
+    """ES `_id` overwrite + DELETE, PRE-purge: tombstoned versions are
+    never returned but still count in df and N (Lucene docs.deleted
+    semantics — index/tombstone.py contract). The DuckDB oracle builds
+    the version union (originals + replacements), computes df/N over
+    ALL versions, freezes avgdl to the original corpus, and scores only
+    live versions."""
+    eng = _upsert_engine_for(spark, sf_dir, purge=False)
+    hits = eng.search(QUERY_TERMS, k=20 * K, with_urls=True)
+    rows = sorted(
+        ((int(h.url.split("doc://")[1]), round(h.score, 4)) for h in hits),
+        key=lambda r: (-r[1], r[0]),
+    )[:K]
+    return spark.createDataFrame(rows, "doc_id bigint, score double")
+
+
+def upsert_purge_top10(spark, sf_dir: str) -> DataFrame:
+    """Same lifecycle AFTER the purging compaction: tombstoned postings
+    / forward / docstore rows physically dropped, df and N are
+    live-only, avgdl stays frozen to the original build."""
+    eng = _upsert_engine_for(spark, sf_dir, purge=True)
+    hits = eng.search(QUERY_TERMS, k=20 * K, with_urls=True)
+    rows = sorted(
+        ((int(h.url.split("doc://")[1]), round(h.score, 4)) for h in hits),
+        key=lambda r: (-r[1], r[0]),
+    )[:K]
+    return spark.createDataFrame(rows, "doc_id bigint, score double")
+
+
+def _upsert_sql(terms: list[str], limit: int, purge: bool) -> str:
+    """Version-union BM25: ``vers_n`` holds every physically indexed
+    version (pre-purge: originals + replacements, tombstoned included
+    — Lucene docs.deleted count in df/N; post-purge: live versions
+    only). Scoring always uses each live doc's NEWEST version (max v),
+    and avgdl stays frozen to the original full corpus — the build's
+    recorded stats."""
+    terms_sql = ", ".join(f"'{t}'" for t in terms)
+    rm, dm, dr = REPLACE_MOD, DELETE_MOD[0], DELETE_MOD[1]
+    return f"""
+WITH vers_n AS (
+  SELECT doc_id, text, 0 AS v FROM documents
+  {"WHERE doc_id % " + str(dm) + " != " + str(dr) + " AND doc_id % " + str(rm) + " != 0" if purge else ""}
+  UNION ALL
+  SELECT doc_id, text || '{REPLACE_SUFFIX}', 1 AS v FROM documents
+  WHERE doc_id % {rm} = 0 {"AND doc_id % " + str(dm) + " != " + str(dr) if purge else ""}
+),
+toks AS (
+  SELECT doc_id, v, t.tok AS term
+  FROM vers_n, unnest(string_split(text, ' ')) AS t(tok)
+  WHERE length(t.tok) > 1
+),
+dl AS (SELECT doc_id, v, count(*) AS doclen FROM toks GROUP BY doc_id, v),
+nstat AS (SELECT count(*)::DOUBLE AS n FROM vers_n),
+frozen AS (
+  SELECT avg(cnt) AS avgdl FROM (
+    SELECT count(*) AS cnt
+    FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+    WHERE length(t.tok) > 1
+    GROUP BY doc_id
+  )
+),
+tf AS (
+  SELECT doc_id, v, term, count(*) AS tf FROM toks
+  WHERE term IN ({terms_sql}) GROUP BY doc_id, v, term
+),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+live AS (
+  SELECT doc_id, max(v) AS v FROM vers_n
+  WHERE doc_id % {dm} != {dr}
+  GROUP BY doc_id
+),
+scored AS (
+  SELECT tf.doc_id,
+         round(sum(ln(1 + (s.n - dft.df + 0.5) / (dft.df + 0.5))
+             * (tf.tf / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.doclen / fr.avgdl)))), 4) AS score
+  FROM tf
+  JOIN dft USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id AND dl.v = tf.v
+  JOIN live ON live.doc_id = tf.doc_id AND live.v = tf.v
+  CROSS JOIN nstat s CROSS JOIN frozen fr
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT {limit}
+"""
+
+
 PHRASE_QUERY = "spark data"  # adjacent words: ~290 docs have both words,
 # only the phrase docs have them adjacent — positions are load-bearing
 
@@ -344,4 +485,6 @@ QUERIES = {
     "wand_2gram_top10": (wand_2gram_top10, _twogram_sql(TWOGRAM_QUERY, K)),
     "phrase_2gram_top10": (phrase_2gram_top10, _phrase_2gram_sql(PHRASE_QUERY, K)),
     "update_compact_top10": (update_compact_top10, _update_compact_sql(QUERY_TERMS, K)),
+    "upsert_delete_top10": (upsert_delete_top10, _upsert_sql(QUERY_TERMS, K, purge=False)),
+    "upsert_purge_top10": (upsert_purge_top10, _upsert_sql(QUERY_TERMS, K, purge=True)),
 }

@@ -133,6 +133,10 @@ def search_distributed(
         for r in seg.groupBy("term").agg(F.sum("df").alias("df")).collect()
     }
     bc_df = spark.sparkContext.broadcast(df_map)
+    from job_searchengine_project_spark.index.tombstone import load_tombstones
+
+    n_eff = n_docs - int(stats.get("n_purged", 0))  # idf N (tombstone.py)
+    bc_del = spark.sparkContext.broadcast(load_tombstones(index_dir))
 
     def score_partition(batches):
         dl = None
@@ -158,19 +162,26 @@ def search_distributed(
                     block_max_tfnorm=np.zeros(len(r.block_n), dtype=np.float64),
                 )
                 docs, tfs = codec.decode_postings(enc)
+                dele = bc_del.value
+                if dele.size:
+                    live = ~np.isin(docs, dele)
+                    docs, tfs = docs[live], tfs[live]
+                    if docs.size == 0:
+                        continue
                 g_df = bc_df.value[r.term]
-                idf = float(np.log1p((n_docs - g_df + 0.5) / (g_df + 0.5)))
+                idf = float(np.log1p((n_eff - g_df + 0.5) / (g_df + 0.5)))
                 dls = dl[docs]
                 score_parts.append(
                     idf * (tfs / (tfs + BM25_K1 * (1.0 - BM25_B + BM25_B * dls / avgdl)))
                 )
                 doc_parts.append(docs)
-            yield pd.DataFrame(
-                {
-                    "doc_id": np.concatenate(doc_parts),
-                    "part": np.concatenate(score_parts),
-                }
-            )
+            if doc_parts:  # every row's postings may be tombstoned
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(doc_parts),
+                        "part": np.concatenate(score_parts),
+                    }
+                )
 
     partials = seg.mapInPandas(score_partition, schema="doc_id long, part double")
     scored = (

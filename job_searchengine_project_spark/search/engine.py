@@ -45,11 +45,24 @@ class SearchEngine:
         with open(os.path.join(index_dir, "stats.json")) as f:
             self.stats = json.load(f)
         self.n_docs = int(self.stats["n_docs"])
+        # idf N: docs that still count toward corpus stats — tombstoned
+        # docs count until a purging compaction removes them (Lucene
+        # docs.deleted semantics, index/tombstone.py contract); n_docs
+        # itself is the doc-ID SPACE (array sizing, next-update base)
+        self.n_eff = self.n_docs - int(self.stats.get("n_purged", 0))
         self.avgdl = float(self.stats["avgdl"])
         self.term_buckets = int(self.stats["term_buckets"])
         self._doclens: np.ndarray | None = None
         self._urls: dict[int, str] | None = None
         self._segments_ds: pads.Dataset | None = None
+
+    @property
+    def tombstones(self) -> np.ndarray:
+        """Sorted tombstoned doc_ids (listing-keyed memo — see
+        index/tombstone.py)."""
+        from job_searchengine_project_spark.index.tombstone import load_tombstones
+
+        return load_tombstones(self.index_dir)
 
     # --- storage access ---------------------------------------------------
 
@@ -85,7 +98,11 @@ class SearchEngine:
         tbl = pads.dataset(bucket_dir).to_table(filter=pads.field("url") == url)
         if tbl.num_rows == 0:
             return None
-        row = tbl.slice(0, 1).to_pylist()[0]
+        rows = tbl.to_pylist()
+        # a replaced url has one stored row per version; the newest
+        # (max generation base) wins — ES `_id` overwrite semantics
+        row = max(rows, key=lambda r: r.get("_gen") or 0)
+        row.pop("_gen", None)
         return row
 
     def _fetch_urls(self, doc_ids: list[int]) -> None:
@@ -161,7 +178,7 @@ class SearchEngine:
     # --- scoring ------------------------------------------------------------
 
     def _idf(self, df: int) -> float:
-        return float(np.log1p((self.n_docs - df + 0.5) / (df + 0.5)))
+        return float(np.log1p((self.n_eff - df + 0.5) / (df + 0.5)))
 
     # above this many candidate postings per *selective* profile, the
     # document-at-a-time Python WAND loop loses to one vectorized
@@ -193,7 +210,10 @@ class SearchEngine:
                 for t in terms
                 if t in segs
             ]
-            hits = wand_topk(cursors, self.doclens, self.avgdl, k, k1=BM25_K1, b=BM25_B)
+            hits = wand_topk(
+                cursors, self.doclens, self.avgdl, k, k1=BM25_K1, b=BM25_B,
+                deleted=self.tombstones,
+            )
         elif strategy == "exhaustive":
             hits = self._exhaustive_topk(segs, k)
         else:
@@ -228,6 +248,12 @@ class SearchEngine:
             doc_parts.append(docs)
         all_docs = np.concatenate(doc_parts)
         all_scores = np.concatenate(score_parts)
+        dele = self.tombstones
+        if dele.size:
+            live = ~np.isin(all_docs, dele)
+            all_docs, all_scores = all_docs[live], all_scores[live]
+            if all_docs.size == 0:
+                return []
         order = np.argsort(all_docs, kind="stable")  # stable: keeps term order per doc
         d = all_docs[order]
         s = all_scores[order]
@@ -321,6 +347,11 @@ class SearchEngine:
             if survivors.size == 0:
                 return []
         match_docs = np.unique(survivors // M)
+        dele = self.tombstones
+        if dele.size:
+            match_docs = match_docs[~np.isin(match_docs, dele)]
+            if match_docs.size == 0:
+                return []
 
         # BM25 over the distinct terms, restricted to matching docs
         acc: dict[int, float] = {d: 0.0 for d in match_docs.tolist()}
@@ -354,12 +385,16 @@ class SearchEngine:
         """Exhaustive OR scoring over decoded postings (engine-side oracle)."""
         terms = sorted(set(query_terms))
         segs = self.load_segments(terms)
+        dele = self.tombstones
         acc: dict[int, float] = {}
         for t in terms:  # sorted-term summation order == oracle
             if t not in segs:
                 continue
             enc = segs[t]
             docs, tfs = codec.decode_postings(enc)
+            if dele.size:
+                live = ~np.isin(docs, dele)
+                docs, tfs = docs[live], tfs[live]
             idf = self._idf(enc.count)
             dls = self.doclens[docs]
             scores = idf * (tfs / (tfs + BM25_K1 * (1.0 - BM25_B + BM25_B * dls / self.avgdl)))

@@ -41,10 +41,20 @@ def attach_stored_fields(
         spark.read.parquet(os.path.join(index_dir, "stored"))
         .filter(F.col("sbucket").isin(buckets) & F.col("url").isin(urls))
         .drop("sbucket")
-        # a replayed update append can leave duplicate url rows in the
-        # docstore; never fan out the hit list over them
-        .dropDuplicates(["url"])
     )
+    if "_gen" in stored.columns:
+        # a REPLACED url has one stored row per version — serve the
+        # newest (max generation base; ES `_id` overwrite semantics)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("url").orderBy(F.desc("_gen"))
+        stored = (
+            stored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_gen")
+        )
+    else:  # legacy docstore without generation stamps
+        stored = stored.dropDuplicates(["url"])
     hits_df = spark.createDataFrame(rows, hits.schema)
     return (
         F.broadcast(hits_df)

@@ -131,11 +131,19 @@ def wand_topk(
     k: int,
     k1: float = 1.2,
     b: float = 0.75,
+    deleted: np.ndarray | None = None,
 ) -> list[tuple[int, float]]:
-    """Exact BM25 top-k; returns [(doc_id, score)] rank-ordered."""
+    """Exact BM25 top-k; returns [(doc_id, score)] rank-ordered.
+
+    ``deleted``: optional SORTED int64 array of tombstoned doc_ids
+    (index/tombstone.py) — such docs are never scored (the Lucene
+    liveDocs check at the pivot), so a stale version can't occupy a
+    top-k slot."""
     cursors = [c for c in cursors if c.current_doc != _EXHAUSTED]
     if not cursors or k <= 0:
         return []
+    if deleted is not None and deleted.size == 0:
+        deleted = None
     # min-heap of (score, -doc_id): root = worst kept hit
     heap: list[tuple[float, int]] = []
 
@@ -161,6 +169,12 @@ def wand_topk(
 
         if cursors[0].current_doc == pivot_doc:
             matching = [c for c in cursors if c.current_doc == pivot_doc]
+            if deleted is not None:
+                j = int(np.searchsorted(deleted, pivot_doc))
+                if j < deleted.size and int(deleted[j]) == pivot_doc:
+                    for c in matching:  # tombstoned: skip without scoring
+                        c.advance()
+                    continue
             block_ub = sum(c.block_max_score for c in matching)
             if block_ub < theta - _SLACK:
                 # deep skip: inside the current blocks nothing can beat

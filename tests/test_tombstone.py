@@ -1,0 +1,205 @@
+"""Doc replacement / delete (ES `_id` overwrite parity) + purge.
+
+Scoring contract under test (index/tombstone.py): tombstoned docs
+never appear in results; until a purging compaction they still count
+in df and N (Lucene docs.deleted), afterwards df/N are live-only and
+avgdl stays frozen to the original build.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from job_searchengine_project_spark.index.build import build_index
+from job_searchengine_project_spark.index.compact import compact_index
+from job_searchengine_project_spark.index.tombstone import delete_docs, load_tombstones
+from job_searchengine_project_spark.index.update import update_index
+from job_searchengine_project_spark.search.bm25 import bm25_topk_oracle
+from job_searchengine_project_spark.search.engine import SearchEngine
+
+Q = ["spark", "데이터엔지니어", "개발자"]
+
+
+@pytest.fixture(scope="module")
+def upserted_index(spark, webpages_small, tmp_path_factory):
+    """Build 300 docs -> replace 40 (same urls, ' spark'-boosted text)
+    -> delete 25 others. Returns (out, replaced_urls, deleted_urls)."""
+    out = str(tmp_path_factory.mktemp("idx_upsert"))
+    build_index(spark, webpages_small, out, target_postings_per_salt=50,
+                term_buckets=16, block_size=16)
+    repl = (
+        webpages_small.filter(F.pmod(F.xxhash64("url"), F.lit(7)) == 0)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" spark spark spark")))
+    )
+    replaced_urls = [r["url"] for r in repl.select("url").collect()]
+    assert len(replaced_urls) > 10
+    res = update_index(spark, repl, out, target_postings_per_salt=50, replace=True)
+    assert res["added_docs"] == len(replaced_urls)
+    remaining = webpages_small.filter(F.pmod(F.xxhash64("url"), F.lit(7)) == 1)
+    deleted_urls = [r["url"] for r in remaining.select("url").limit(25).collect()]
+    assert delete_docs(spark, out, deleted_urls)["tombstoned"] > 0
+    return out, replaced_urls, deleted_urls
+
+
+def _hit_urls(eng, q, k=500, strategy="wand"):
+    return {h.url for h in eng.search(q, k=k, strategy=strategy)}
+
+
+def test_tombstoned_docs_never_surface(spark, upserted_index):
+    out, replaced_urls, deleted_urls = upserted_index
+    eng = SearchEngine(out)
+    dele = load_tombstones(out)
+    assert dele.size >= len(deleted_urls)
+    for strategy in ("wand", "exhaustive"):
+        urls = _hit_urls(eng, Q, strategy=strategy)
+        assert not urls & set(deleted_urls), strategy
+        # replaced urls DO surface (their new version is live)
+        assert urls & set(replaced_urls), strategy
+    # and no result doc_id is a tombstoned id
+    ids = {h.doc_id for h in eng.search(Q, k=500)}
+    assert not ids & set(int(x) for x in dele.tolist())
+
+
+def test_replace_serves_new_version_fields(spark, upserted_index):
+    out, replaced_urls, _ = upserted_index
+    eng = SearchEngine(out)
+    hits = [h for h in eng.search(["spark"], k=500, with_fields=True)
+            if h.url in set(replaced_urls)]
+    assert hits
+    for h in hits[:5]:
+        assert h.fields["body"].endswith(" spark spark spark")
+        assert "_gen" not in h.fields
+
+
+def test_strategies_and_distributed_paths_agree(spark, upserted_index):
+    out, _, _ = upserted_index
+    from job_searchengine_project_spark.index.sharded import (
+        build_sharded_segments,
+        search_sharded,
+    )
+    from job_searchengine_project_spark.search.distributed import search_distributed
+
+    def close(a, b):
+        assert [x[0] for x in a] == [x[0] for x in b]
+        assert all(abs(x[1] - y[1]) < 1e-9 for x, y in zip(a, b))
+
+    eng = SearchEngine(out)
+    w = [(h.doc_id, h.score) for h in eng.search(Q, k=10, strategy="wand")]
+    e = [(h.doc_id, h.score) for h in eng.search(Q, k=10, strategy="exhaustive")]
+    b = [(h.doc_id, h.score) for h in eng.search_bruteforce(Q, k=10)]
+    close(w, e)
+    close(w, b)
+    d = search_distributed(spark, out, Q, k=10, auto_route=False).collect()
+    close(w, [(r["doc_id"], r["score"]) for r in d])
+    build_sharded_segments(spark, out, n_shards=3)
+    s = search_sharded(spark, out, Q, k=10).collect()
+    close(w, [(r["doc_id"], r["score"]) for r in s])
+
+
+def test_pre_purge_lucene_stats_oracle(spark, upserted_index):
+    """Pre-purge scores == oracle where df/N count tombstoned versions
+    (Lucene docs.deleted semantics) but only live docs are returned."""
+    out, _, _ = upserted_index
+    eng = SearchEngine(out)
+    fwd = spark.read.parquet(out + "/forward")  # all versions
+    all_scored = bm25_topk_oracle(
+        fwd, Q, k=1_000_000, n_docs=eng.n_eff, avgdl=eng.avgdl
+    ).collect()
+    dele = set(int(x) for x in load_tombstones(out).tolist())
+    live_top = [r for r in all_scored if r["doc_id"] not in dele][:10]
+    hits = eng.search(Q, k=10)
+    assert [h.doc_id for h in hits] == [r["doc_id"] for r in live_top]
+    for h, r in zip(hits, live_top):
+        assert abs(h.score - r["score"]) < 1e-9
+
+
+def test_purge_drops_postings_forward_stored(spark, upserted_index):
+    out, replaced_urls, deleted_urls = upserted_index
+    eng_pre = SearchEngine(out)
+    n_docs = eng_pre.n_docs
+    dele = load_tombstones(out)
+    n_dele = int(dele.size)
+    fwd_rows_pre = spark.read.parquet(out + "/forward").count()
+
+    res = compact_index(spark, out)
+    assert res["purged_docs"] == n_dele
+    # tombstones cleared, stats updated
+    assert load_tombstones(out).size == 0
+    eng = SearchEngine(out)
+    assert eng.n_docs == n_docs  # id space monotonic
+    assert eng.n_eff == n_docs - n_dele
+    # forward rows physically gone
+    fwd = spark.read.parquet(out + "/forward")
+    assert fwd.count() == fwd_rows_pre - n_dele
+    # no postings reference a dead doc: every query path agrees and the
+    # deleted urls stay gone
+    urls = _hit_urls(eng, Q)
+    assert not urls & set(deleted_urls)
+    # stored docstore: one row per live url, max-generation version
+    stored = spark.read.parquet(out + "/stored")
+    assert stored.count() == stored.select("url").distinct().count()
+    assert stored.filter(F.col("url").isin(deleted_urls)).count() == 0
+    new_bodies = stored.filter(F.col("url").isin(replaced_urls[:5])).collect()
+    assert new_bodies and all(
+        r["body"].endswith(" spark spark spark") for r in new_bodies
+    )
+    # post-purge scores == oracle over the LIVE corpus with frozen avgdl
+    hits = eng.search(Q, k=10)
+    oracle = bm25_topk_oracle(
+        fwd, Q, k=10, n_docs=eng.n_eff, avgdl=eng.avgdl
+    ).collect()
+    assert [h.doc_id for h in hits] == [r["doc_id"] for r in oracle]
+    for h, r in zip(hits, oracle):
+        assert abs(h.score - r["score"]) < 1e-9
+    # purge is idempotent
+    res2 = compact_index(spark, out)
+    assert res2["purged_docs"] == 0
+
+
+def test_crash_during_replace_rolls_back(spark, webpages_small, tmp_path):
+    out = str(tmp_path / "idx_replace_crash")
+    build_index(spark, webpages_small.limit(150), out,
+                target_postings_per_salt=50, term_buckets=16)
+    repl = (
+        webpages_small.limit(30)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" spark spark")))
+    )
+    eng0 = SearchEngine(out)
+    before = [(h.doc_id, h.score) for h in eng0.search(["spark"], k=10)]
+    with pytest.raises(RuntimeError, match="injected crash"):
+        update_index(spark, repl, out, replace=True,
+                     _fail_point="after_tombstones")
+    from job_searchengine_project_spark.index.update import recover_index
+
+    recover_index(out)
+    assert load_tombstones(out).size == 0  # tombstones rolled back
+    eng1 = SearchEngine(out)
+    assert [(h.doc_id, h.score) for h in eng1.search(["spark"], k=10)] == before
+    # replay lands cleanly
+    res = update_index(spark, repl, out, replace=True)
+    assert res["added_docs"] == 30
+    assert load_tombstones(out).size == 30
+    eng2 = SearchEngine(out)
+    assert eng2.search(["spark"], k=5)
+
+
+def test_delete_then_purge_only(spark, webpages_small, tmp_path):
+    """Pure delete path (no replace): docs vanish from results, then
+    purge reclaims them physically."""
+    out = str(tmp_path / "idx_delete_only")
+    build_index(spark, webpages_small.limit(100), out,
+                target_postings_per_salt=50, term_buckets=16)
+    eng = SearchEngine(out)
+    top = eng.search(["spark"], k=3)
+    victim = top[0].url
+    delete_docs(spark, out, [victim])
+    eng2 = SearchEngine(out)
+    assert victim not in {h.url for h in eng2.search(["spark"], k=100)}
+    res = compact_index(spark, out)
+    assert res["purged_docs"] == 1
+    eng3 = SearchEngine(out)
+    assert victim not in {h.url for h in eng3.search(["spark"], k=100)}
+    assert eng3.n_eff == 99

@@ -138,7 +138,9 @@ def test_compaction_after_sequential_updates(spark, webpages_small, tmp_path):
     assert [(h.doc_id, h.score) for h in eng2.search(q, k=20, strategy="wand")] == before
     assert [(h.doc_id, h.score) for h in eng2.search(q, k=20, strategy="exhaustive")] == before_ex
     # second compaction is a no-op
-    assert compact_index(spark, out) == {"compacted_terms": 0, "touched_buckets": 0}
+    assert compact_index(spark, out) == {
+        "compacted_terms": 0, "touched_buckets": 0, "purged_docs": 0,
+    }
 
 
 def _hash_tree(root):
