@@ -1,0 +1,174 @@
+"""Per-field indexing + field-scoped search (ES multi-field mapping).
+
+The reference's ES template indexes SEPARATE fields with per-field
+analyzers — `company`, `title`, `body_text` through two_gram_analyzer
+and `morph` as keyword (schema/es/es.sh:33-46) — and the published
+query set targets individual fields (README.md:43-71: body search,
+title search, morph similarity). ES/Lucene computes BM25 PER FIELD:
+each field has its own postings, df, doc length and average length.
+
+Layout: ``out_dir/fields/<field>/`` holds one full sub-index per
+field, built by the unchanged ``build_index`` over the pages projected
+to (url, text=<field column>). Doc ids are assigned deterministically
+from the url set alone (index/ids.py — hash-bucket offsets + in-bucket
+url rank), so every field's sub-index agrees on doc_id with no
+cross-field coordination; a doc's identity is shared, its stats are
+per-field, exactly Lucene's per-field inverted index + norms. The
+stored-field docstore is written ONCE at the top level (ES stores one
+_source per doc regardless of how many fields index it).
+
+Scoring:
+- ``search_field`` = ES `match` on one field (query analyzed with THAT
+  field's analyzer, BM25 with that field's df/avgdl);
+- ``search_multi`` = ES `multi_match` with `most_fields` semantics:
+  per-field BM25 scores of the same query SUM per doc (the ES
+  most_fields combiner), tie-break ascending doc_id.
+
+Updates: ``update_fielded_index`` appends the same batch to every
+sub-index — the batch's urls get identical new doc_ids in each (same
+deterministic assignment), so cross-field identity survives
+incremental growth. Each sub-index keeps its own frozen-avgdl
+semantics.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+FIELDS_MANIFEST = "fielded.json"
+
+
+def _project(pages: DataFrame, column: str) -> DataFrame:
+    return pages.select("url", F.col(column).alias("text"))
+
+
+def build_fielded_index(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    fields: dict[str, str],
+    store_fields: bool = True,
+    stored_buckets: int = 64,
+    **build_kw,
+) -> dict:
+    """Build one sub-index per (column -> analyzer) entry.
+
+    ``pages`` must carry ``url`` plus one column per field name. Extra
+    build_index kwargs apply to every sub-index."""
+    from job_searchengine_project_spark.index.build import (
+        _write_stored_fields,
+        build_index,
+    )
+
+    os.makedirs(out_dir, exist_ok=True)
+    results = {}
+    for field, analyzer in fields.items():
+        sub = os.path.join(out_dir, "fields", field)
+        res = build_index(
+            spark, _project(pages, field), sub, analyzer=analyzer,
+            store_fields=False,  # the docstore lives once at the top level
+            **build_kw,
+        )
+        results[field] = {"n_docs": res.n_docs, "avgdl": res.avgdl,
+                          "n_terms": res.n_terms}
+    if store_fields:
+        # one _source per doc: url + every field column verbatim.
+        # _write_stored_fields maps a "text" column to "body"; route the
+        # page table's own body-like column into that slot (a "body"
+        # field maps naturally; otherwise store a NULL body and keep
+        # every field column as a stored extra).
+        if "text" in pages.columns:
+            pages_stored = pages
+        elif "body" in pages.columns:
+            pages_stored = pages.withColumnRenamed("body", "text")
+        else:
+            pages_stored = pages.withColumn("text", F.lit(None).cast("string"))
+        _write_stored_fields(
+            pages_stored,
+            os.path.join(out_dir, "stored"),
+            use_extractor=False, stored_buckets=stored_buckets,
+        )
+    with open(os.path.join(out_dir, FIELDS_MANIFEST), "w") as f:
+        json.dump(
+            {"fields": fields, "store_fields": bool(store_fields),
+             "stored_buckets": int(stored_buckets)},
+            f,
+        )
+    return results
+
+
+def update_fielded_index(
+    spark: SparkSession, new_pages: DataFrame, out_dir: str, **kw
+) -> dict:
+    """Append the same batch to every field's sub-index (identical new
+    doc_ids in each — deterministic url-derived assignment)."""
+    from job_searchengine_project_spark.index.update import update_index
+
+    with open(os.path.join(out_dir, FIELDS_MANIFEST)) as f:
+        manifest = json.load(f)
+    out = {}
+    for field in manifest["fields"]:
+        sub = os.path.join(out_dir, "fields", field)
+        out[field] = update_index(spark, _project(new_pages, field), sub, **kw)
+    return out
+
+
+class FieldedSearchEngine:
+    """Field-scoped queries over a fielded index directory."""
+
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, FIELDS_MANIFEST)) as f:
+            self.manifest = json.load(f)
+        self.fields: dict[str, str] = self.manifest["fields"]
+        self._engines: dict[str, object] = {}
+
+    def engine(self, field: str):
+        from job_searchengine_project_spark.search.engine import SearchEngine
+
+        if field not in self.fields:
+            raise KeyError(
+                f"unknown field {field!r}; indexed fields: {sorted(self.fields)}"
+            )
+        if field not in self._engines:
+            self._engines[field] = SearchEngine(
+                os.path.join(self.index_dir, "fields", field)
+            )
+        return self._engines[field]
+
+    def search_field(self, query: str, field: str, k: int = 10, **kw):
+        """ES `match` on one field: the query string is analyzed with
+        THAT field's analyzer and scored with its df/avgdl stats."""
+        return self.engine(field).search_text(query, k=k, **kw)
+
+    def search_multi(self, query: str, fields: list[str] | None = None, k: int = 10):
+        """ES `multi_match` type=most_fields: per-field BM25 scores sum
+        per doc. Exact: every matched doc is accumulated per field
+        before the global top-k; fields sum in sorted-field order (a
+        fixed float summation order, like sorted-term within a field).
+        Returns [(doc_id, score)] rank-ordered."""
+        fields = sorted(fields if fields is not None else self.fields)
+        acc: dict[int, float] = {}
+        for field in fields:
+            eng = self.engine(field)
+            analyzer = eng.stats.get("analyzer", "morph")
+            from job_searchengine_project_spark.functions.tokenize import (
+                tokenize_2gram_py,
+                tokenize_morph_py,
+            )
+
+            terms = (
+                tokenize_2gram_py(query)
+                if analyzer == "2gram"
+                else tokenize_morph_py(query, dedup=True)
+            )
+            if not terms:
+                continue
+            for d, s in eng.accumulate_scores(terms).items():
+                acc[d] = acc.get(d, 0.0) + s
+        top = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        return top

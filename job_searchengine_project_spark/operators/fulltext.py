@@ -290,6 +290,112 @@ SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT {limit}
 """
 
 
+# ---- per-field indexing (ES multi-field mapping parity) ----------------------
+
+TITLE_LEN = 40  # the synthetic "title" field: a 40-char prefix of text
+FIELD_QUERY = "spark data table"  # morph-analyzes to QUERY_TERMS
+
+
+def _fielded_engine_for(spark: SparkSession, sf_dir: str):
+    """Fielded index over documents: title (40-char prefix) + body,
+    each with its OWN df/avgdl stats (ES per-field BM25)."""
+    from job_searchengine_project_spark.index.fielded import (
+        FieldedSearchEngine,
+        build_fielded_index,
+    )
+
+    key = f"fielded:{os.path.abspath(sf_dir)}"
+    if key not in _ENGINE_CACHE:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        pages = docs.select(
+            F.format_string("doc://%08d", F.col("doc_id")).alias("url"),
+            F.substring(F.col("text"), 1, TITLE_LEN).alias("title"),
+            F.col("text").alias("body"),
+        )
+        out = os.path.join(
+            tempfile.gettempdir(), "jse_idx_" + key.replace(os.sep, "_").replace(":", "_")
+        )
+        if not os.path.exists(os.path.join(out, "fielded.json")):
+            build_fielded_index(
+                spark, pages, out, fields={"title": "morph", "body": "morph"}
+            )
+        _ENGINE_CACHE[key] = FieldedSearchEngine(out)
+    return _ENGINE_CACHE[key]
+
+
+def fielded_search_top10(spark, sf_dir: str) -> DataFrame:
+    """Field-scoped search (ES `match` on one field): the same query
+    against the TITLE field ranks by the title corpus's df/avgdl —
+    independently verified by a DuckDB BM25 over the title prefix."""
+    feng = _fielded_engine_for(spark, sf_dir)
+    hits = feng.search_field(FIELD_QUERY, "title", k=20 * K, with_urls=True)
+    rows = sorted(
+        ((int(h.url.split("doc://")[1]), round(h.score, 4)) for h in hits),
+        key=lambda r: (-r[1], r[0]),
+    )[:K]
+    return spark.createDataFrame(rows, "doc_id bigint, score double")
+
+
+def multi_field_top10(spark, sf_dir: str) -> DataFrame:
+    """ES multi_match type=most_fields across title+body: per-field
+    BM25 scores sum per doc; the oracle full-outer-joins two
+    independent SQL BM25s."""
+    feng = _fielded_engine_for(spark, sf_dir)
+    top = feng.search_multi(FIELD_QUERY, k=20 * K)
+    url_of = feng.engine("body").url_of
+    rows = sorted(
+        ((int(url_of(d).split("doc://")[1]), round(s, 4)) for d, s in top),
+        key=lambda r: (-r[1], r[0]),
+    )[:K]
+    return spark.createDataFrame(rows, "doc_id bigint, score double")
+
+
+def _field_scored_cte(name: str, text_expr: str, terms: list[str]) -> str:
+    """Unrounded full BM25 CTE block over one field's corpus."""
+    terms_sql = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+{name}_toks AS (
+  SELECT doc_id, t.tok AS term
+  FROM (SELECT doc_id, {text_expr} AS ftext FROM documents),
+       unnest(string_split(ftext, ' ')) AS t(tok)
+  WHERE length(t.tok) > 1
+),
+{name}_dl AS (SELECT doc_id, count(*) AS doclen FROM {name}_toks GROUP BY doc_id),
+{name}_stats AS (SELECT count(*)::DOUBLE AS n, avg(doclen) AS avgdl FROM {name}_dl),
+{name}_tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM {name}_toks
+  WHERE term IN ({terms_sql}) GROUP BY doc_id, term
+),
+{name}_dft AS (SELECT term, count(*) AS df FROM {name}_tf GROUP BY term),
+{name}_scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (s.n - dft.df + 0.5) / (dft.df + 0.5))
+             * (tf.tf / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.doclen / s.avgdl)))) AS score
+  FROM {name}_tf tf JOIN {name}_dft dft USING (term)
+  JOIN {name}_dl dl USING (doc_id) CROSS JOIN {name}_stats s
+  GROUP BY tf.doc_id
+)"""
+
+
+def _fielded_sql(terms: list[str], limit: int) -> str:
+    return f"""
+WITH {_field_scored_cte("t", f"substr(text, 1, {TITLE_LEN})", terms).lstrip()}
+SELECT doc_id, round(score, 4) AS score FROM t_scored
+ORDER BY score DESC, doc_id LIMIT {limit}
+"""
+
+
+def _multi_field_sql(terms: list[str], limit: int) -> str:
+    return f"""
+WITH {_field_scored_cte("t", f"substr(text, 1, {TITLE_LEN})", terms).lstrip()},
+{_field_scored_cte("b", "text", terms).lstrip()}
+SELECT coalesce(t.doc_id, b.doc_id) AS doc_id,
+       round(coalesce(t.score, 0) + coalesce(b.score, 0), 4) AS score
+FROM t_scored t FULL OUTER JOIN b_scored b ON t.doc_id = b.doc_id
+ORDER BY score DESC, doc_id LIMIT {limit}
+"""
+
+
 # ---- upsert/delete lifecycle (ES `_id` overwrite parity) ---------------------
 
 REPLACE_MOD = 10   # doc_id % 10 == 0 -> re-crawled with boosted text
@@ -487,4 +593,6 @@ QUERIES = {
     "update_compact_top10": (update_compact_top10, _update_compact_sql(QUERY_TERMS, K)),
     "upsert_delete_top10": (upsert_delete_top10, _upsert_sql(QUERY_TERMS, K, purge=False)),
     "upsert_purge_top10": (upsert_purge_top10, _upsert_sql(QUERY_TERMS, K, purge=True)),
+    "fielded_search_top10": (fielded_search_top10, _fielded_sql(QUERY_TERMS, K)),
+    "multi_field_top10": (multi_field_top10, _multi_field_sql(QUERY_TERMS, K)),
 }

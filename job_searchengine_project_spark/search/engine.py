@@ -381,8 +381,11 @@ class SearchEngine:
                 h.fields = self.fields_of(h.doc_id)
         return out
 
-    def search_bruteforce(self, query_terms: list[str], k: int = 10) -> list[SearchHit]:
-        """Exhaustive OR scoring over decoded postings (engine-side oracle)."""
+    def accumulate_scores(self, query_terms: list[str]) -> dict[int, float]:
+        """Exhaustive OR scoring over decoded postings: every matched
+        live doc's full BM25 score (sorted-term summation order).
+        Building block for multi-field most_fields scoring
+        (index/fielded.py) and the engine-side oracle."""
         terms = sorted(set(query_terms))
         segs = self.load_segments(terms)
         dele = self.tombstones
@@ -400,5 +403,10 @@ class SearchEngine:
             scores = idf * (tfs / (tfs + BM25_K1 * (1.0 - BM25_B + BM25_B * dls / self.avgdl)))
             for d, s in zip(docs.tolist(), scores.tolist()):
                 acc[d] = acc.get(d, 0.0) + s
+        return acc
+
+    def search_bruteforce(self, query_terms: list[str], k: int = 10) -> list[SearchHit]:
+        """Exhaustive OR scoring over decoded postings (engine-side oracle)."""
+        acc = self.accumulate_scores(query_terms)
         top = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
         return [SearchHit(doc_id=d, score=s) for d, s in top]
