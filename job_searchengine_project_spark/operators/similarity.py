@@ -41,8 +41,24 @@ from pyspark.sql import functions as F
 N_QUERY = 10  # query vectors: vec_id < N_QUERY
 TOP_K = 5
 COS_THRESHOLD = 0.4
+# (b, T) are OPERATOR PARAMETERS (see _lsh_candidates). Two documented
+# profiles, gated by their own recall queries:
+# - low-threshold fixture (cos >= 0.4, near-orthogonal true pairs —
+#   the hardest case): few bits, many tables. NOT scale-safe as a
+#   default — 2 bits = 4 buckets/table makes each table's self-join
+#   near-quadratic at large n; it exists because this fixture's truth
+#   sits at cos ~ 0.4 where selective b would destroy recall.
+# - high-threshold near-dup profile (cos >= 0.9, the 100-TB dedup
+#   shape): b=8 -> 256 buckets/table, selective bucketing that prunes
+#   the pair space, OR-amplified over 8 tables (measured recall 0.97+
+#   on the planted-twin fixture).
 LSH_TABLES = 8  # T independent hash tables (OR-amplification)
 LSH_PLANES = 2  # b sign bits per table (AND within a table)
+HI_THRESHOLD = 0.9
+HI_PLANES = 8
+HI_TABLES = 8
+N_TWINS = 60  # planted near-duplicates for the high-threshold fixture
+TWIN_MIX = 0.35  # twin = a + TWIN_MIX * next(a): cos(twin, a) ~ 0.94
 DIM = 64
 
 
@@ -148,22 +164,25 @@ def _hyperplane_sign(vec_col, table: int, plane: int):
     return (F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x) > 0).cast("int")
 
 
-def _lsh_candidates(emb: DataFrame) -> DataFrame:
+def _lsh_candidates(
+    emb: DataFrame, planes: int = LSH_PLANES, tables: int = LSH_TABLES
+) -> DataFrame:
     """Deduped candidate pairs colliding in >=1 of the T tables.
 
     One posexplode to (table, bucket) rows, ONE self-join on the
     composite key — the OR across tables is part of the join key, not
-    T separate joins — then distinct."""
+    T separate joins — then distinct. ``planes``/``tables`` select the
+    recall/selectivity trade (module header: profiles)."""
     buckets = F.array(
         *[
             F.concat_ws(
                 "",
                 *[
                     _hyperplane_sign(F.col("embedding"), t, p).cast("string")
-                    for p in range(LSH_PLANES)
+                    for p in range(planes)
                 ],
             )
-            for t in range(LSH_TABLES)
+            for t in range(tables)
         ]
     )
     keyed = emb.select(
@@ -215,7 +234,99 @@ def ann_lsh_recall(spark, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_bucket(table: int) -> str:
+# ---- high-threshold near-dup profile (the 100-TB dedup shape) -----------------
+
+
+def lsh_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = HI_THRESHOLD,
+    planes: int = HI_PLANES,
+    tables: int = HI_TABLES,
+) -> DataFrame:
+    """Generic near-duplicate pair finder over any (vec_id, embedding)
+    DataFrame: multi-table hyperplane LSH candidates at the given
+    (planes, tables) profile, exact-cosine verified at ``threshold``.
+
+    The scale-safe default is the SELECTIVE profile: b=8 sign bits per
+    table -> 256 buckets/table, so each table's self-join pairs shrink
+    ~256x vs all-pairs, OR-amplified over T=8 tables for recall
+    (collision prob at cos 0.9: p = 1 - acos(0.9)/pi ~ 0.857,
+    p^8 ~ 0.29/table, 1-(1-0.29)^8 ~ 0.94 over 8 tables; measured
+    recall on the planted-twin fixture: 1.0). The low-threshold
+    (b=2, T=8) setting survives only as the documented fixture profile
+    for cos >= 0.4 truths — pass it explicitly if you need it."""
+    cand = _lsh_candidates(emb, planes=planes, tables=tables)
+    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .withColumn("cos", F.round(_cosine(F.col("va"), F.col("vb")), 4))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+TWIN_ID_BASE = 100000  # planted twin of vec i gets vec_id i + TWIN_ID_BASE
+
+
+def _augment_twins(emb: DataFrame) -> DataFrame:
+    """Planted near-duplicate fixture for the high-threshold profile:
+    the corpus has no natural pairs above cos 0.9 (max natural 0.51),
+    so plant twin(i) = emb[i] + TWIN_MIX * emb[i+1] for i < N_TWINS —
+    cos(twin, base) lands in [0.93, 0.96], derivable identically in
+    DuckDB (everything cast to double before mixing)."""
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    nxt = emb.select((F.col("vec_id") - 1).alias("vec_id"), F.col("embedding").alias("nx"))
+    twins = (
+        emb.filter(F.col("vec_id") < N_TWINS)
+        .join(nxt, "vec_id")
+        .select(
+            (F.col("vec_id") + TWIN_ID_BASE).alias("vec_id"),
+            F.zip_with(
+                "embedding",
+                "nx",
+                lambda x, y: x.cast("double") + TWIN_MIX * y.cast("double"),
+            ).alias("embedding"),
+        )
+    )
+    return base.unionByName(twins)
+
+
+def ann_lsh_hi_pairs(spark, sf_dir: str) -> DataFrame:
+    """Selective-profile (b=8, T=8) near-dup pairs at cos >= 0.9 over
+    the planted-twin fixture. The found set must be (a subset of) the
+    60 planted twin pairs."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    return lsh_near_dup_pairs(_augment_twins(emb)).orderBy("id_a", "id_b")
+
+
+def ann_lsh_hi_recall(spark, sf_dir: str) -> DataFrame:
+    """Recall gate for the scale-safe LSH profile: found / true at
+    cos >= 0.9 on the planted-twin fixture (truth = exact all-pairs
+    over the augmented set — oracle-only scale, never the operator)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    aug = _augment_twins(emb)
+    a, b = aug.alias("a"), aug.alias("b")
+    truth = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn("cos", F.round(_cosine(F.col("a.embedding"), F.col("b.embedding")), 4))
+        .filter(F.col("cos") >= HI_THRESHOLD)
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+    )
+    found = lsh_near_dup_pairs(aug).select("id_a", "id_b")
+    n_true = truth.count()
+    n_found = found.join(truth, ["id_a", "id_b"], "left_semi").count()
+    recall = round(n_found / n_true, 4) if n_true else 1.0
+    return spark.createDataFrame(
+        [(n_true, n_found, recall)], "n_true long, n_found long, recall double"
+    )
+
+
+def _sql_bucket(table: int, planes: int = LSH_PLANES) -> str:
     return " || ".join(
         "(CASE WHEN ("
         + " + ".join(
@@ -224,7 +335,7 @@ def _sql_bucket(table: int) -> str:
             for d in range(DIM)
         )
         + ") > 0 THEN '1' ELSE '0' END)"
-        for p in range(LSH_PLANES)
+        for p in range(planes)
     )
 
 
@@ -265,6 +376,63 @@ SELECT (SELECT count(*) FROM truth)::BIGINT AS n_true,
        (SELECT count(*) FROM lsh_pairs p JOIN truth t
          ON p.id_a = t.id_a AND p.id_b = t.id_b)::BIGINT AS n_found,
        round((SELECT count(*) FROM lsh_pairs p JOIN truth t
+               ON p.id_a = t.id_a AND p.id_b = t.id_b)::DOUBLE
+             / (SELECT count(*) FROM truth), 4) AS recall
+"""
+
+
+# high-threshold profile oracle: same md5-parity hyperplanes at b=8,
+# over the planted-twin augmented set (twin math in DOUBLE, like Spark)
+_SQL_AUG = f"""
+aug AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS embedding FROM embeddings
+  UNION ALL
+  SELECT a.vec_id + {TWIN_ID_BASE} AS vec_id,
+         list_transform(generate_series(1, {DIM}),
+                        d -> a.embedding[d]::DOUBLE + {TWIN_MIX} * b.embedding[d]::DOUBLE) AS embedding
+  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+  WHERE a.vec_id < {N_TWINS}
+)"""
+
+_SQL_HI_KEYED = " UNION ALL ".join(
+    f"SELECT vec_id, {t} AS tbl, {_sql_bucket(t, HI_PLANES)} AS bucket FROM aug"
+    for t in range(HI_TABLES)
+)
+
+_SQL_HI_PAIRS = f"""
+keyed AS ({_SQL_HI_KEYED}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM keyed a JOIN keyed b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+hi_pairs AS (
+  SELECT c.id_a, c.id_b,
+         round(list_cosine_similarity(ea.embedding, eb.embedding), 4) AS cos
+  FROM cand c
+  JOIN aug ea ON ea.vec_id = c.id_a
+  JOIN aug eb ON eb.vec_id = c.id_b
+  WHERE round(list_cosine_similarity(ea.embedding, eb.embedding), 4) >= {HI_THRESHOLD}
+)"""
+
+ANN_LSH_HI_SQL = f"""
+WITH {_SQL_AUG.lstrip()},
+{_SQL_HI_PAIRS.lstrip()}
+SELECT id_a, id_b, cos FROM hi_pairs ORDER BY id_a, id_b
+"""
+
+ANN_LSH_HI_RECALL_SQL = f"""
+WITH {_SQL_AUG.lstrip()},
+{_SQL_HI_PAIRS.lstrip()},
+truth AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= {HI_THRESHOLD}
+)
+SELECT (SELECT count(*) FROM truth)::BIGINT AS n_true,
+       (SELECT count(*) FROM hi_pairs p JOIN truth t
+         ON p.id_a = t.id_a AND p.id_b = t.id_b)::BIGINT AS n_found,
+       round((SELECT count(*) FROM hi_pairs p JOIN truth t
                ON p.id_a = t.id_a AND p.id_b = t.id_b)::DOUBLE
              / (SELECT count(*) FROM truth), 4) AS recall
 """
@@ -371,5 +539,7 @@ QUERIES = {
     "ann_threshold_pairs": (ann_threshold_pairs, ANN_THRESHOLD_SQL),
     "ann_lsh_bucketed": (ann_lsh_bucketed, ANN_LSH_SQL),
     "ann_lsh_recall": (ann_lsh_recall, ANN_LSH_RECALL_SQL),
+    "ann_lsh_hi_pairs": (ann_lsh_hi_pairs, ANN_LSH_HI_SQL),
+    "ann_lsh_hi_recall": (ann_lsh_hi_recall, ANN_LSH_HI_RECALL_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
 }

