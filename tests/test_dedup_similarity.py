@@ -73,9 +73,10 @@ def test_ann_lsh_hi_profile_recall_and_selectivity(spark):
     assert n_cand < 0.1 * n * (n - 1) / 2, (n_cand, n)
 
 
-def test_ann_ivf_recall_at_least_085(spark):
-    """IVF-Flat with nprobe=4 of nlist=16 must recover >= 85% of the
-    exact cosine top-5 sets on the sf0.01 fixture (measured 0.92)."""
+def test_ann_ivf_recall_at_least_092(spark):
+    """IVF-Flat with the k-means codebook (2 Lloyd iterations) and
+    nprobe=5 of nlist=16 must recover >= 92% of the exact cosine top-5
+    sets on the sf0.01 fixture (measured 0.94; 0.92/1.0 at sf0.001/0.1)."""
     from job_searchengine_project_spark.operators.similarity import (
         ann_cosine_topk,
         ann_ivf_topk,
@@ -84,4 +85,4 @@ def test_ann_ivf_recall_at_least_085(spark):
     sf = "/root/testdata/sf0.01"
     exact = {(r["query_id"], r["neighbor_id"]) for r in ann_cosine_topk(spark, sf).collect()}
     ivf = {(r["query_id"], r["neighbor_id"]) for r in ann_ivf_topk(spark, sf).collect()}
-    assert len(ivf & exact) / len(exact) >= 0.85
+    assert len(ivf & exact) / len(exact) >= 0.92
