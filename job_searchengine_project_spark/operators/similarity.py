@@ -35,6 +35,8 @@ only deduped candidates.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -100,7 +102,7 @@ def ann_cosine_topk(spark, sf_dir: str) -> DataFrame:
 ANN_TOPK_SQL = f"""
 WITH pairs AS (
   SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-         round(list_cosine_similarity(q.embedding, e.embedding), 4) AS cos
+         round(list_cosine_similarity(list_transform(q.embedding, x -> x::DOUBLE), list_transform(e.embedding, x -> x::DOUBLE)), 4) AS cos
   FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
   WHERE q.vec_id < {N_QUERY}
 ),
@@ -128,39 +130,31 @@ def ann_threshold_pairs(spark, sf_dir: str) -> DataFrame:
 
 ANN_THRESHOLD_SQL = f"""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos
+       round(list_cosine_similarity(list_transform(a.embedding, x -> x::DOUBLE), list_transform(b.embedding, x -> x::DOUBLE)), 4) AS cos
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= {COS_THRESHOLD}
+WHERE round(list_cosine_similarity(list_transform(a.embedding, x -> x::DOUBLE), list_transform(b.embedding, x -> x::DOUBLE)), 4) >= {COS_THRESHOLD}
 ORDER BY id_a, id_b
 """
 
 
-def _hyperplane_sign(vec_col, table: int, plane: int):
-    """sign of <vec, h> with h[d] = ±1 from md5 parity.
+def _plane_signs(table: int, plane: int) -> list[int]:
+    """±1 hyperplane for (table, plane): the parity of the first hex
+    digit of md5('t{table}p{plane}_d{dim}') per dimension — a
+    deterministic pseudo-random sign vector both engines reproduce.
+    Precomputed driver-side ONCE and emitted as literals (the naive
+    form recomputed tables*planes*DIM md5s per ROW — 4096 for the
+    selective profile)."""
+    return [
+        (int(hashlib.md5(f"t{table}p{plane}_d{d}".encode()).hexdigest()[0], 16) % 2) * 2 - 1
+        for d in range(DIM)
+    ]
 
-    The hyperplane is derived from md5('t{table}p{plane}_d{dim}')
-    hex-digit parity — deterministic, dimension-wise, reproducible in
-    SQL, and independent across (table, plane) salts.
-    """
-    terms = F.zip_with(
-        vec_col,
-        F.transform(
-            F.sequence(F.lit(0), F.lit(DIM - 1)),
-            lambda d: (
-                F.instr(
-                    F.lit("0123456789abcdef"),
-                    F.substring(
-                        F.md5(F.concat(F.lit(f"t{table}p{plane}_d"), d.cast("string"))), 1, 1
-                    ),
-                )
-                - 1
-            )
-            % 2
-            * 2
-            - 1,
-        ),
-        lambda x, s: x.cast("double") * s.cast("double"),
-    )
+
+def _hyperplane_sign(vec_col, table: int, plane: int):
+    """sign of <vec, h> with the literal ±1 hyperplane from
+    _plane_signs — one zip_with + aggregate, all constants folded."""
+    signs = F.array(*[F.lit(float(s)) for s in _plane_signs(table, plane)])
+    terms = F.zip_with(vec_col, signs, lambda x, s: x.cast("double") * s)
     return (F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x) > 0).cast("int")
 
 
@@ -327,16 +321,17 @@ def ann_lsh_hi_recall(spark, sf_dir: str) -> DataFrame:
 
 
 def _sql_bucket(table: int, planes: int = LSH_PLANES) -> str:
-    return " || ".join(
-        "(CASE WHEN ("
-        + " + ".join(
-            f"embedding[{d + 1}]::DOUBLE * "
-            f"(((strpos('0123456789abcdef', substr(md5('t{table}p{p}_d{d}'), 1, 1)) - 1) % 2) * 2 - 1)"
-            for d in range(DIM)
-        )
-        + ") > 0 THEN '1' ELSE '0' END)"
-        for p in range(planes)
-    )
+    """Same literal ±1 hyperplanes as the Spark side: a signed sum per
+    plane instead of per-row md5 recomputation."""
+    parts = []
+    for p in range(planes):
+        signs = _plane_signs(table, p)
+        dot = " ".join(
+            f"{'+' if s > 0 else '-'} embedding[{d + 1}]::DOUBLE"
+            for d, s in enumerate(signs)
+        ).lstrip("+ ")
+        parts.append(f"(CASE WHEN ({dot}) > 0 THEN '1' ELSE '0' END)")
+    return " || ".join(parts)
 
 
 _SQL_KEYED = " UNION ALL ".join(
@@ -353,11 +348,11 @@ cand AS (
 ),
 lsh_pairs AS (
   SELECT c.id_a, c.id_b,
-         round(list_cosine_similarity(ea.embedding, eb.embedding), 4) AS cos
+         round(list_cosine_similarity(list_transform(ea.embedding, x -> x::DOUBLE), list_transform(eb.embedding, x -> x::DOUBLE)), 4) AS cos
   FROM cand c
   JOIN embeddings ea ON ea.vec_id = c.id_a
   JOIN embeddings eb ON eb.vec_id = c.id_b
-  WHERE round(list_cosine_similarity(ea.embedding, eb.embedding), 4) >= {COS_THRESHOLD}
+  WHERE round(list_cosine_similarity(list_transform(ea.embedding, x -> x::DOUBLE), list_transform(eb.embedding, x -> x::DOUBLE)), 4) >= {COS_THRESHOLD}
 )"""
 
 ANN_LSH_SQL = f"""
@@ -370,7 +365,7 @@ WITH {_SQL_LSH_PAIRS.lstrip()},
 truth AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
   FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-  WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= {COS_THRESHOLD}
+  WHERE round(list_cosine_similarity(list_transform(a.embedding, x -> x::DOUBLE), list_transform(b.embedding, x -> x::DOUBLE)), 4) >= {COS_THRESHOLD}
 )
 SELECT (SELECT count(*) FROM truth)::BIGINT AS n_true,
        (SELECT count(*) FROM lsh_pairs p JOIN truth t
@@ -408,11 +403,11 @@ cand AS (
 ),
 hi_pairs AS (
   SELECT c.id_a, c.id_b,
-         round(list_cosine_similarity(ea.embedding, eb.embedding), 4) AS cos
+         round(list_cosine_similarity(list_transform(ea.embedding, x -> x::DOUBLE), list_transform(eb.embedding, x -> x::DOUBLE)), 4) AS cos
   FROM cand c
   JOIN aug ea ON ea.vec_id = c.id_a
   JOIN aug eb ON eb.vec_id = c.id_b
-  WHERE round(list_cosine_similarity(ea.embedding, eb.embedding), 4) >= {HI_THRESHOLD}
+  WHERE round(list_cosine_similarity(list_transform(ea.embedding, x -> x::DOUBLE), list_transform(eb.embedding, x -> x::DOUBLE)), 4) >= {HI_THRESHOLD}
 )"""
 
 ANN_LSH_HI_SQL = f"""
@@ -427,7 +422,7 @@ WITH {_SQL_AUG.lstrip()},
 truth AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
   FROM aug a JOIN aug b ON a.vec_id < b.vec_id
-  WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= {HI_THRESHOLD}
+  WHERE round(list_cosine_similarity(list_transform(a.embedding, x -> x::DOUBLE), list_transform(b.embedding, x -> x::DOUBLE)), 4) >= {HI_THRESHOLD}
 )
 SELECT (SELECT count(*) FROM truth)::BIGINT AS n_true,
        (SELECT count(*) FROM hi_pairs p JOIN truth t
