@@ -47,7 +47,8 @@ N_SCALE_BIG = int(os.environ.get("SPARK_GRAFT_SCALE_4N", str(4 * N_SCALE)))
 # pyarrow, see index/build.py::_append_lineage.)
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "300000"))
 QUERY_RUNS = int(os.environ.get("SPARK_GRAFT_QUERY_RUNS", "100"))
-BUILD_REPEATS = int(os.environ.get("SPARK_GRAFT_BUILD_REPEATS", "3"))
+BUILD_REPEATS = int(os.environ.get("SPARK_GRAFT_BUILD_REPEATS", "2"))
+QUERY_BENCH_ROUNDS = int(os.environ.get("SPARK_GRAFT_QUERY_BENCH_ROUNDS", "3"))
 
 HEADLINE = [
     "bm25_top10",
@@ -59,6 +60,8 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_cosine_topk",
+    "ann_lsh_hi_pairs",
+    "ann_ivf_topk",
     "lang_id",
     "quality_score",
     "pricing_summary",
@@ -114,29 +117,30 @@ def _build_once(cores: int, corpus_path: str, out_dir: str) -> float:
 
 
 def _build_pairs(corpus_path: str, out_dir: str):
-    """INTERLEAVED best-of-K at N and 4N cores, early-stopped.
+    """INTERLEAVED fixed-round best-of-K at N and 4N cores.
 
     This VM's CPU steal drifts on a minutes scale (identical 1-core
     builds measured 64s and 104s an hour apart), so timing all N-core
     runs then all 4N-core runs confounds the machine's state with the
     core count. Alternating N,4N per round samples the same windows;
     best-of-K per count then approximates true capability under the
-    same conditions. After two rounds, a further round only runs if
-    the measured ratio is still near the 0.8 gate — repeats exist to
-    reject hypervisor noise, not to farm a better number."""
+    same conditions. Exactly BUILD_REPEATS rounds run regardless of
+    intermediate ratios — an early stop that quits on a good ratio but
+    keeps sampling on a bad one is optional-stopping bias toward the
+    gate — and each round's own N->4N efficiency is reported next to
+    the best-of-K number so the spread is visible."""
     times_small, times_big = [], []
-    for r in range(BUILD_REPEATS):
+    for _ in range(BUILD_REPEATS):
         times_small.append(_build_once(N_SCALE, corpus_path, out_dir))
         times_big.append(_build_once(N_SCALE_BIG, corpus_path, out_dir))
-        if r >= 1:
-            eff = (BENCH_DOCS / min(times_big)) / (
-                (N_SCALE_BIG / N_SCALE) * (BENCH_DOCS / min(times_small))
-            )
-            if eff >= 0.84:
-                break
+    per_round_eff = [
+        round(ts / (tb * (N_SCALE_BIG / N_SCALE)), 3)
+        for ts, tb in zip(times_small, times_big)
+    ]
     return (
         BENCH_DOCS / min(times_small), times_small,
         BENCH_DOCS / min(times_big), times_big,
+        per_round_eff,
     )
 
 
@@ -146,7 +150,9 @@ def main() -> None:
     corpus_dir = os.path.join(tempfile.gettempdir(), f"jse_bench_corpus_{BENCH_DOCS}")
 
     _ensure_corpus(corpus_dir)
-    thr_small, times_small, thr_big, times_big = _build_pairs(corpus_dir, idx_dir)
+    thr_small, times_small, thr_big, times_big, per_round_eff = _build_pairs(
+        corpus_dir, idx_dir
+    )
     efficiency = thr_big / ((N_SCALE_BIG / N_SCALE) * thr_small)
 
     # checkpoint_groups durability tax: same input/cores, 4 resumable
@@ -203,19 +209,27 @@ def main() -> None:
     p50_exhaustive = _p50("exhaustive")
     p50_ms = p50_auto
 
-    # headline operator queries at SF_DIR
+    # headline operator queries at SF_DIR: best-of-K interleaved rounds
+    # (round-robin over ALL queries, repeated), for the same reason the
+    # build legs interleave — a steal spike an hour into the bench must
+    # not read as a per-query regression (r2 bench showed lang_id "+63%"
+    # on a single-shot timing of unchanged pure-codegen code)
     import __spark_entry__ as entrymod
 
     spark = _session(CPUS)
-    qtimes: dict[str, float] = {}
+    qtime_rounds: list[dict[str, float]] = []
     try:
         qs = entrymod.queries()
-        for name in HEADLINE:
-            t0 = time.time()
-            qs[name](spark, SF_DIR).collect()
-            qtimes[name] = round(time.time() - t0, 3)
+        for _ in range(QUERY_BENCH_ROUNDS):
+            rt: dict[str, float] = {}
+            for name in HEADLINE:
+                t0 = time.time()
+                qs[name](spark, SF_DIR).collect()
+                rt[name] = round(time.time() - t0, 3)
+            qtime_rounds.append(rt)
     finally:
         spark.stop()
+    qtimes = {name: min(rt[name] for rt in qtime_rounds) for name in HEADLINE}
 
     out = {
         "metric": "index-build docs/sec at N and 4N cores + BM25 top-10 p50",
@@ -232,7 +246,9 @@ def main() -> None:
             "raw_times_N": times_small,
             "raw_times_4N": times_big,
             "scaling_efficiency": round(efficiency, 3),
+            "per_round_efficiency": per_round_eff,
         },
+        "query_rounds": qtime_rounds,
         "query_p50_ms": round(p50_ms, 2),
         "query_p50_wand_ms": round(p50_wand, 2),
         "query_p50_exhaustive_ms": round(p50_exhaustive, 2),
