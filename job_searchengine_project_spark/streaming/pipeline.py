@@ -139,6 +139,43 @@ def stream_event_window_counts(
     )
 
 
+def stream_event_window_counts_sink(
+    spark: SparkSession,
+    events_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+):
+    """The SHIPPABLE shape of the windowed agg: APPEND-mode to a
+    parquet file sink. Each window row is written exactly once, when
+    the watermark passes the window end — state for closed windows is
+    evicted, so executor memory holds only open windows no matter how
+    long the stream runs. (The memory-sink variant above keeps the
+    whole result in driver memory via outputMode=complete; it exists
+    as the oracle/smoke shape for ALL windows including still-open
+    ones, and must not ship.) Windows newer than max(ts) - watermark
+    are still open when an availableNow drain finishes and are NOT in
+    the sink — they emit on the next run once later events close them."""
+    static = spark.read.parquet(events_path)
+    events = spark.readStream.schema(static.schema).parquet(events_path)
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_first_seen_dedup(
     spark: SparkSession,
     src_dir: str,
@@ -226,6 +263,50 @@ GROUP BY date_trunc('hour', ts), event_type
 ORDER BY window_start, event_type
 """
 
+
+def event_window_counts_closed(spark, sf_dir: str) -> DataFrame:
+    """Driver query for the shippable append-mode sink: drain the
+    events stream into a parquet sink (fresh checkpoint per call) and
+    return what the sink holds — exactly the windows the final
+    watermark (max ts - 2h) closed. The oracle filters the batch agg
+    to the same closed-window set."""
+    import os
+    import shutil
+    import tempfile
+
+    stage = os.path.join(
+        tempfile.gettempdir(), "jse_stream_" + os.path.abspath(sf_dir).replace(os.sep, "_")
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(os.path.abspath(sf_dir), "events.parquet"), link)
+    run = tempfile.mkdtemp(prefix="jse_wsink_")
+    out_dir, ck_dir = os.path.join(run, "sink"), os.path.join(run, "ck")
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        q = stream_event_window_counts_sink(spark, stage, out_dir, ck_dir)
+        q.awaitTermination()
+        rows = spark.read.parquet(out_dir).orderBy("window_start", "event_type")
+        rows = rows.localCheckpoint()  # detach from the temp dir before cleanup
+        return rows
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+        shutil.rmtree(run, ignore_errors=True)
+
+
+EVENT_WINDOW_CLOSED_SQL = """
+WITH wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM events)
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n, round(sum(value), 4) AS total_value
+FROM events
+WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+GROUP BY date_trunc('hour', ts), event_type
+ORDER BY window_start, event_type
+"""
+
 QUERIES = {
     "event_window_counts": (event_window_counts_batch, EVENT_WINDOW_SQL),
+    "event_window_counts_closed": (event_window_counts_closed, EVENT_WINDOW_CLOSED_SQL),
 }
