@@ -583,6 +583,79 @@ SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT {{limit}}
 """.format(grams_sql=grams_sql, phrase=phrase.lower(), k1=BM25_K1, b=BM25_B, limit=limit)
 
 
+# ---- ES bool compound query --------------------------------------------------
+
+BOOL_MUST = ["spark", "data"]        # conjunctive, scoring
+BOOL_SHOULD = ["table", "window"]    # optional, scoring, msm=1
+BOOL_MUST_NOT = ["dup"]              # exclusion, non-scoring
+BOOL_FILTER = ["join"]               # required, NON-scoring (filter context)
+BOOL_MSM = 1
+
+
+def bool_query_top10(spark, sf_dir: str) -> DataFrame:
+    """ES `bool` query end-to-end on the segment engine: must clauses
+    AND-combine and score, filter clauses gate without scoring,
+    must_not excludes, and minimum_should_match=1 requires at least
+    one scoring should clause. The DuckDB oracle re-derives the same
+    algebra from plain SQL joins over per-term BM25 partials."""
+    eng = _engine_for(spark, sf_dir)
+    hits = eng.search_bool(
+        must=BOOL_MUST, should=BOOL_SHOULD, must_not=BOOL_MUST_NOT,
+        filter=BOOL_FILTER, minimum_should_match=BOOL_MSM,
+        k=10**9, with_urls=True,
+    )
+    rows = sorted(
+        ((int(h.url.split("doc://")[1]), round(h.score, 4)) for h in hits),
+        key=lambda r: (-r[1], r[0]),
+    )[:K]
+    return spark.createDataFrame(rows, "doc_id bigint, score double")
+
+
+def _bool_sql(limit: int) -> str:
+    """Oracle for bool_query_top10. Per-term BM25 partials pivot into
+    per-clause columns; additions run in the engine's declared-clause
+    order (left-assoc: spark + data + table? + window?) so float
+    summation is bit-identical before the 4-dp round."""
+    score_terms = sorted(set(BOOL_MUST + BOOL_SHOULD))
+    terms_sql = ", ".join(f"'{t}'" for t in score_terms)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.tok AS term
+  FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+  WHERE length(t.tok) > 1
+),
+dl AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(doclen) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ({terms_sql}) GROUP BY doc_id, term),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+part AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + (s.n - dft.df + 0.5) / (dft.df + 0.5))
+           * (tf.tf / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.doclen / s.avgdl))) AS p
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+),
+m0 AS (SELECT doc_id, p FROM part WHERE term = '{BOOL_MUST[0]}'),
+m1 AS (SELECT doc_id, p FROM part WHERE term = '{BOOL_MUST[1]}'),
+s0 AS (SELECT doc_id, p FROM part WHERE term = '{BOOL_SHOULD[0]}'),
+s1 AS (SELECT doc_id, p FROM part WHERE term = '{BOOL_SHOULD[1]}'),
+fset AS (SELECT DISTINCT doc_id FROM toks WHERE term = '{BOOL_FILTER[0]}'),
+nset AS (SELECT DISTINCT doc_id FROM toks WHERE term = '{BOOL_MUST_NOT[0]}'),
+scored AS (
+  SELECT m0.doc_id,
+         round(m0.p + m1.p + coalesce(s0.p, 0) + coalesce(s1.p, 0), 4) AS score
+  FROM m0
+  JOIN m1 USING (doc_id)
+  JOIN fset USING (doc_id)
+  LEFT JOIN s0 USING (doc_id)
+  LEFT JOIN s1 USING (doc_id)
+  WHERE m0.doc_id NOT IN (SELECT doc_id FROM nset)
+    AND (s0.doc_id IS NOT NULL OR s1.doc_id IS NOT NULL)
+)
+SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT {limit}
+"""
+
+
 QUERIES = {
     "bm25_scores": (bm25_scores, _bm25_sql(QUERY_TERMS, None)),
     "bm25_top10": (bm25_top10, _bm25_sql(QUERY_TERMS, K)),
@@ -595,4 +668,5 @@ QUERIES = {
     "upsert_purge_top10": (upsert_purge_top10, _upsert_sql(QUERY_TERMS, K, purge=True)),
     "fielded_search_top10": (fielded_search_top10, _fielded_sql(QUERY_TERMS, K)),
     "multi_field_top10": (multi_field_top10, _multi_field_sql(QUERY_TERMS, K)),
+    "bool_query_top10": (bool_query_top10, _bool_sql(K)),
 }

@@ -410,3 +410,109 @@ class SearchEngine:
         acc = self.accumulate_scores(query_terms)
         top = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
         return [SearchHit(doc_id=d, score=s) for d, s in top]
+
+    # --- compound queries ---------------------------------------------------
+
+    def _analyze(self, query: str) -> list[str]:
+        """Analyze a clause string with the index's own analyzer (the
+        same contract as search_text)."""
+        from job_searchengine_project_spark.functions.tokenize import (
+            tokenize_2gram_py,
+            tokenize_morph_py,
+        )
+
+        if self.stats.get("analyzer", "morph") == "2gram":
+            return tokenize_2gram_py(query)
+        return tokenize_morph_py(query, dedup=True)
+
+    def _match_docs(self, terms: list[str]) -> set[int]:
+        """Live docs matching >=1 of `terms` (ES match-clause hit set,
+        no scoring): decoded posting doc ids minus tombstones."""
+        segs = self.load_segments(terms)
+        docs: set[int] = set()
+        for enc in segs.values():
+            d, _ = codec.decode_postings(enc)
+            docs.update(d.tolist())
+        dele = self.tombstones
+        if dele.size and docs:
+            docs.difference_update(dele.tolist())
+        return docs
+
+    def search_bool(
+        self,
+        must: list[str] = (),
+        should: list[str] = (),
+        must_not: list[str] = (),
+        filter: list[str] = (),
+        k: int = 10,
+        minimum_should_match: int | None = None,
+        with_urls: bool = True,
+    ) -> list[SearchHit]:
+        """ES `bool` compound query (the reference's ES surface accepts
+        it on every indexed field; published queries are single-clause
+        `match` specializations of it — README.md:43-71).
+
+        Each clause is a query STRING analyzed with the index's
+        analyzer (match semantics: a clause hits a doc iff >=1 of its
+        terms appears). A doc qualifies iff it matches every `must`
+        and every `filter` clause, no `must_not` clause, and at least
+        `minimum_should_match` `should` clauses (ES default: 0 when
+        must/filter present, else 1). Score = sum of BM25 clause
+        scores of `must` plus MATCHING `should` clauses, summed in
+        declared-clause order (each clause internally sums in
+        sorted-term order — accumulate_scores); `filter`/`must_not`
+        never contribute score, exactly ES's filter-context contract.
+
+        Driver-side composition over the same pruned segment reads as
+        every other query; at cluster scale the same clause algebra
+        runs per shard (the hit sets and per-clause accumulators are
+        shard-local, like index/sharded.py's kernels)."""
+        must, should = list(must), list(should)
+        must_not, filter = list(must_not), list(filter)
+        if minimum_should_match is None:
+            minimum_should_match = 0 if (must or filter) else 1
+        if not (must or filter or should):
+            return []
+
+        must_accs = [self.accumulate_scores(self._analyze(q)) for q in must]
+        should_accs = [self.accumulate_scores(self._analyze(q)) for q in should]
+
+        # candidate set: conjunction of must hits and filter hits; a
+        # pure-should query starts from the union of should hits
+        cand: set[int] | None = None
+        for acc in must_accs:
+            cand = set(acc) if cand is None else cand & set(acc)
+        for q in filter:
+            hits = self._match_docs(self._analyze(q))
+            cand = hits if cand is None else cand & hits
+        if cand is None:
+            cand = set()
+            for acc in should_accs:
+                cand |= set(acc)
+        for q in must_not:
+            cand -= self._match_docs(self._analyze(q))
+        if minimum_should_match > 0 and should_accs:
+            cand = {
+                d
+                for d in cand
+                if sum(1 for acc in should_accs if d in acc) >= minimum_should_match
+            }
+        if not cand:
+            return []
+
+        scored: list[tuple[int, float]] = []
+        for d in cand:
+            s = 0.0
+            for acc in must_accs:
+                s += acc[d]
+            for acc in should_accs:
+                if d in acc:
+                    s += acc[d]
+            scored.append((d, s))
+        scored.sort(key=lambda kv: (-kv[1], kv[0]))
+        out = [SearchHit(doc_id=d, score=s) for d, s in scored[:k]]
+        if with_urls:
+            self._fetch_urls([h.doc_id for h in out])
+            for h in out:
+                h.url = self.url_of(h.doc_id)
+        return out
