@@ -145,6 +145,49 @@ class FieldedSearchEngine:
         THAT field's analyzer and scored with its df/avgdl stats."""
         return self.engine(field).search_text(query, k=k, **kw)
 
+    def _clause_acc(self, field: str, query: str) -> dict[int, float]:
+        eng = self.engine(field)
+        return eng.accumulate_scores(eng._analyze(query))
+
+    def _clause_hits(self, field: str, query: str) -> set[int]:
+        eng = self.engine(field)
+        return eng._match_docs(eng._analyze(query))
+
+    def search_bool(
+        self,
+        must: list[tuple[str, str]] = (),
+        should: list[tuple[str, str]] = (),
+        must_not: list[tuple[str, str]] = (),
+        filter: list[tuple[str, str]] = (),
+        k: int = 10,
+        minimum_should_match: int | None = None,
+    ) -> list[tuple[int, float]]:
+        """ES `bool` with per-clause FIELD targeting — the full ES
+        request shape ({"match": {"title": ...}} clauses under
+        must/should/must_not/filter). Each clause is a (field, query)
+        pair analyzed with THAT field's analyzer and scored with its
+        df/avgdl stats; clause hit sets and scores compose with the
+        same algebra as the single-index engine (SearchEngine.
+        bool_algebra — doc ids are shared across sub-indexes by the
+        deterministic url-derived assignment, so cross-field set ops
+        are exact). Returns [(doc_id, score)] rank-ordered."""
+        from job_searchengine_project_spark.search.engine import SearchEngine
+
+        must, should = list(must), list(should)
+        must_not, filter = list(must_not), list(filter)
+        if minimum_should_match is None:
+            minimum_should_match = 0 if (must or filter) else 1
+        if not (must or filter or should):
+            return []
+        scored = SearchEngine.bool_algebra(
+            [self._clause_acc(f, q) for f, q in must],
+            [self._clause_acc(f, q) for f, q in should],
+            [self._clause_hits(f, q) for f, q in must_not],
+            [self._clause_hits(f, q) for f, q in filter],
+            minimum_should_match,
+        )
+        return scored[:k]
+
     def search_multi(self, query: str, fields: list[str] | None = None, k: int = 10):
         """ES `multi_match` type=most_fields: per-field BM25 scores sum
         per doc. Exact: every matched doc is accumulated per field

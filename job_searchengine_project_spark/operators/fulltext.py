@@ -583,6 +583,50 @@ SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT {{limit}}
 """.format(grams_sql=grams_sql, phrase=phrase.lower(), k1=BM25_K1, b=BM25_B, limit=limit)
 
 
+# ---- ES bool with per-clause field targeting ---------------------------------
+
+
+def bool_fielded_top10(spark, sf_dir: str) -> DataFrame:
+    """The full ES bool request shape — clauses target FIELDS with
+    their own analyzers and stats: must = title:spark AND body:data
+    (scored per field), should = body:table (boost), must_not =
+    body:dup. Oracle: per-field single-term BM25 CTEs joined by the
+    same algebra."""
+    feng = _fielded_engine_for(spark, sf_dir)
+    top = feng.search_bool(
+        must=[("title", "spark"), ("body", "data")],
+        should=[("body", "table")],
+        must_not=[("body", "dup")],
+        k=10**9,
+    )
+    url_of = feng.engine("body").url_of
+    rows = sorted(
+        ((int(url_of(d).split("doc://")[1]), round(s, 4)) for d, s in top),
+        key=lambda r: (-r[1], r[0]),
+    )[:K]
+    return spark.createDataFrame(rows, "doc_id bigint, score double")
+
+
+def _bool_fielded_sql(limit: int) -> str:
+    return f"""
+WITH {_field_scored_cte("t", f"substr(text, 1, {TITLE_LEN})", ["spark"]).lstrip()},
+{_field_scored_cte("bd", "text", ["data"]).lstrip()},
+{_field_scored_cte("bt", "text", ["table"]).lstrip()},
+nset AS (
+  SELECT DISTINCT doc_id
+  FROM documents, unnest(string_split(text, ' ')) AS x(tok)
+  WHERE x.tok = 'dup'
+)
+SELECT t.doc_id,
+       round(t.score + bd.score + coalesce(bt.score, 0), 4) AS score
+FROM t_scored t
+JOIN bd_scored bd USING (doc_id)
+LEFT JOIN bt_scored bt USING (doc_id)
+WHERE t.doc_id NOT IN (SELECT doc_id FROM nset)
+ORDER BY score DESC, doc_id LIMIT {limit}
+"""
+
+
 # ---- ES bool compound query --------------------------------------------------
 
 BOOL_MUST = ["spark", "data"]        # conjunctive, scoring
@@ -669,4 +713,5 @@ QUERIES = {
     "fielded_search_top10": (fielded_search_top10, _fielded_sql(QUERY_TERMS, K)),
     "multi_field_top10": (multi_field_top10, _multi_field_sql(QUERY_TERMS, K)),
     "bool_query_top10": (bool_query_top10, _bool_sql(K)),
+    "bool_fielded_top10": (bool_fielded_top10, _bool_fielded_sql(K)),
 }

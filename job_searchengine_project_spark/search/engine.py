@@ -413,6 +413,49 @@ class SearchEngine:
 
     # --- compound queries ---------------------------------------------------
 
+    @staticmethod
+    def bool_algebra(
+        must_accs: list[dict[int, float]],
+        should_accs: list[dict[int, float]],
+        not_sets: list[set[int]],
+        filter_sets: list[set[int]],
+        minimum_should_match: int,
+    ) -> list[tuple[int, float]]:
+        """The ES bool clause algebra over pre-accumulated clause
+        scores/hit sets (shared by the single-index and fielded
+        engines): candidates = AND(must) ∩ AND(filter) − OR(must_not),
+        gated by >= msm matching should clauses; score = must + matching
+        should clause scores summed in DECLARED clause order. Sorted
+        (-score, doc_id)."""
+        cand: set[int] | None = None
+        for acc in must_accs:
+            cand = set(acc) if cand is None else cand & set(acc)
+        for hits in filter_sets:
+            cand = set(hits) if cand is None else cand & hits
+        if cand is None:
+            cand = set()
+            for acc in should_accs:
+                cand |= set(acc)
+        for hits in not_sets:
+            cand -= hits
+        if minimum_should_match > 0 and should_accs:
+            cand = {
+                d
+                for d in cand
+                if sum(1 for acc in should_accs if d in acc) >= minimum_should_match
+            }
+        scored: list[tuple[int, float]] = []
+        for d in cand:
+            s = 0.0
+            for acc in must_accs:
+                s += acc[d]
+            for acc in should_accs:
+                if d in acc:
+                    s += acc[d]
+            scored.append((d, s))
+        scored.sort(key=lambda kv: (-kv[1], kv[0]))
+        return scored
+
     def _analyze(self, query: str) -> list[str]:
         """Analyze a clause string with the index's own analyzer (the
         same contract as search_text)."""
@@ -474,42 +517,13 @@ class SearchEngine:
         if not (must or filter or should):
             return []
 
-        must_accs = [self.accumulate_scores(self._analyze(q)) for q in must]
-        should_accs = [self.accumulate_scores(self._analyze(q)) for q in should]
-
-        # candidate set: conjunction of must hits and filter hits; a
-        # pure-should query starts from the union of should hits
-        cand: set[int] | None = None
-        for acc in must_accs:
-            cand = set(acc) if cand is None else cand & set(acc)
-        for q in filter:
-            hits = self._match_docs(self._analyze(q))
-            cand = hits if cand is None else cand & hits
-        if cand is None:
-            cand = set()
-            for acc in should_accs:
-                cand |= set(acc)
-        for q in must_not:
-            cand -= self._match_docs(self._analyze(q))
-        if minimum_should_match > 0 and should_accs:
-            cand = {
-                d
-                for d in cand
-                if sum(1 for acc in should_accs if d in acc) >= minimum_should_match
-            }
-        if not cand:
-            return []
-
-        scored: list[tuple[int, float]] = []
-        for d in cand:
-            s = 0.0
-            for acc in must_accs:
-                s += acc[d]
-            for acc in should_accs:
-                if d in acc:
-                    s += acc[d]
-            scored.append((d, s))
-        scored.sort(key=lambda kv: (-kv[1], kv[0]))
+        scored = self.bool_algebra(
+            [self.accumulate_scores(self._analyze(q)) for q in must],
+            [self.accumulate_scores(self._analyze(q)) for q in should],
+            [self._match_docs(self._analyze(q)) for q in must_not],
+            [self._match_docs(self._analyze(q)) for q in filter],
+            minimum_should_match,
+        )
         out = [SearchHit(doc_id=d, score=s) for d, s in scored[:k]]
         if with_urls:
             self._fetch_urls([h.doc_id for h in out])

@@ -96,6 +96,72 @@ def test_should_boosts_must_ranking(eng):
             assert h.score == base[h.doc_id]
 
 
+@pytest.fixture(scope="module")
+def feng(spark, webpages_small, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    from job_searchengine_project_spark.index.fielded import (
+        FieldedSearchEngine,
+        build_fielded_index,
+    )
+
+    pages = webpages_small.select(
+        "url",
+        F.substring("text", 1, 60).alias("title"),
+        F.col("text").alias("body"),
+    )
+    out = str(tmp_path_factory.mktemp("idxfbool"))
+    build_fielded_index(
+        spark, pages, out, fields={"title": "morph", "body": "morph"},
+        store_fields=False,
+    )
+    return FieldedSearchEngine(out)
+
+
+def test_fielded_bool_cross_field_must(feng):
+    ta = feng._clause_acc("title", T_A)
+    ba = feng._clause_acc("body", T_B)
+    top = feng.search_bool(must=[("title", T_A), ("body", T_B)], k=10**9)
+    want = {d: ta[d] + ba[d] for d in set(ta) & set(ba)}
+    assert want
+    assert dict(top) == want
+
+
+def test_fielded_bool_per_field_stats_differ(feng):
+    # the same term scores under DIFFERENT df/avgdl per field — a
+    # title-scoped clause must not equal the body-scoped one
+    t = dict(feng.search_bool(must=[("title", T_A)], k=10**9))
+    b = dict(feng.search_bool(must=[("body", T_A)], k=10**9))
+    assert set(t) <= set(b)  # every title hit contains the term in body too
+    assert any(t[d] != b[d] for d in t)
+
+
+def test_fielded_bool_must_not_scopes_to_its_field(feng):
+    # docs whose BODY has T_C but title does not: excluded by a body
+    # must_not, kept by a title must_not
+    body_hits = set(feng._clause_acc("body", T_C))
+    title_hits = set(feng._clause_acc("title", T_C))
+    assert title_hits < body_hits  # the 60-char prefix sees fewer docs
+    base = set(dict(feng.search_bool(must=[("body", T_A)], k=10**9)))
+    no_body = set(
+        dict(
+            feng.search_bool(
+                must=[("body", T_A)], must_not=[("body", T_C)], k=10**9
+            )
+        )
+    )
+    no_title = set(
+        dict(
+            feng.search_bool(
+                must=[("body", T_A)], must_not=[("title", T_C)], k=10**9
+            )
+        )
+    )
+    assert no_body == base - body_hits
+    assert no_title == base - title_hits
+    assert no_body < no_title
+
+
 def test_empty_and_absent(eng):
     assert eng.search_bool(k=10) == []
     assert eng.search_bool(must=["zzz_not_a_term"], k=10, with_urls=False) == []
