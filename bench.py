@@ -56,6 +56,9 @@ HEADLINE = [
     "wand_2gram_top10",
     "phrase_2gram_top10",
     "term_df_top20",
+    "bool_query_top10",
+    "fielded_search_top10",
+    "upsert_purge_top10",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
