@@ -188,6 +188,14 @@ class FieldedSearchEngine:
         )
         return scored[:k]
 
+    def search_phrase_field(self, query: str, field: str, k: int = 10, **kw):
+        """ES `match_phrase` scoped to one field: the phrase is
+        analyzed with THAT field's analyzer into an ordered term
+        sequence and position-verified against the field's positional
+        sub-index (build the fielded index with
+        ``with_positions=True``)."""
+        return self.engine(field).search_phrase(query, k=k, **kw)
+
     def search_multi(self, query: str, fields: list[str] | None = None, k: int = 10):
         """ES `multi_match` type=most_fields: per-field BM25 scores sum
         per doc. Exact: every matched doc is accumulated per field

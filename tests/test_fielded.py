@@ -183,6 +183,33 @@ def test_field_scoped_distributed_search(spark, fielded_index):
         assert abs(r["score"] - h.score) < 1e-9
 
 
+def test_fielded_phrase_scopes_to_field(spark, webpages_small, tmp_path):
+    """match_phrase on the TITLE field only sees phrases inside the
+    60-char prefix; the same phrase on BODY matches a superset."""
+    out = str(tmp_path / "fph")
+    pages = _fielded_pages(webpages_small)
+    build_fielded_index(
+        spark, pages, out,
+        fields={"title": "2gram", "body": "2gram"},
+        with_positions=True, term_buckets=16, store_fields=False,
+    )
+    feng = FieldedSearchEngine(out)
+    phrase = "spark"  # 2gram-analyzed to a 4-gram positional sequence
+    t_hits = {h.doc_id for h in feng.search_phrase_field(phrase, "title", k=10**9, with_urls=False)}
+    b_hits = {h.doc_id for h in feng.search_phrase_field(phrase, "body", k=10**9, with_urls=False)}
+    assert t_hits and t_hits < b_hits
+    # independent truth from the raw text (ids from the forward index)
+    rows = pages.select("url", "title", "body").collect()
+    ids = {
+        r["url"]: r["doc_id"]
+        for r in spark.read.parquet(f"{out}/fields/body/forward")
+        .select("url", "doc_id").collect()
+    }
+    want_t = {ids[r["url"]] for r in rows if "spark" in r["title"].lower()}
+    want_b = {ids[r["url"]] for r in rows if "spark" in r["body"].lower()}
+    assert t_hits == want_t and b_hits == want_b
+
+
 def test_unknown_field_raises(fielded_index):
     out, _ = fielded_index
     feng = FieldedSearchEngine(out)
