@@ -428,6 +428,164 @@ def search_sharded_batch(
     )
 
 
+def search_sharded_bool(
+    spark: SparkSession,
+    index_dir: str,
+    must: list[str] = (),
+    should: list[str] = (),
+    must_not: list[str] = (),
+    filter: list[str] = (),
+    k: int = 10,
+    minimum_should_match: int | None = None,
+) -> DataFrame:
+    """Distributed ES `bool` query over the sharded layout.
+
+    The clause algebra (SearchEngine.bool_algebra) is doc-local —
+    every per-doc decision (must conjunction, must_not exclusion,
+    filter gate, minimum_should_match count, score sum) depends only
+    on that doc's clause memberships — and a doc lives in exactly one
+    shard, so the algebra runs shard-local over shard-local clause
+    accumulators and the global top-k merge is associative. idf uses
+    GLOBAL per-term df (one tiny agg), exactly like search_sharded;
+    per-clause scores accumulate in sorted-term order and clauses sum
+    in declared order, so parity with the driver engine is exact
+    (tested)."""
+    from job_searchengine_project_spark.functions.tokenize import (
+        tokenize_2gram_py,
+        tokenize_morph_py,
+    )
+
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        stats = json.load(f)
+    n_docs = int(stats["n_docs"])
+    n_eff = n_docs - int(stats.get("n_purged", 0))  # idf N (tombstone.py)
+    avgdl = float(stats["avgdl"])
+    k1, b = float(stats["k1"]), float(stats["b"])
+    with open(os.path.join(index_dir, SHARDS_META)) as f:
+        meta = json.load(f)
+    rng = int(meta["rng"])
+    norms_root = os.path.join(index_dir, NORMS_DIR)
+    from job_searchengine_project_spark.index.tombstone import load_tombstones
+
+    bc_del = spark.sparkContext.broadcast(load_tombstones(index_dir))
+
+    analyzer = stats.get("analyzer", "morph")
+
+    def _an(q: str) -> list[str]:
+        return (
+            tokenize_2gram_py(q)
+            if analyzer == "2gram"
+            else tokenize_morph_py(q, dedup=True)
+        )
+
+    must, should = list(must), list(should)
+    must_not, filter = list(must_not), list(filter)
+    if minimum_should_match is None:
+        minimum_should_match = 0 if (must or filter) else 1
+    empty = spark.createDataFrame([], "doc_id long, score double, url string")
+    if not (must or filter or should):
+        return empty
+    # (kind, index, sorted terms) — kinds: m(ust)/s(hould)/n(ot)/f(ilter)
+    clauses = (
+        [("m", i, sorted(set(_an(q)))) for i, q in enumerate(must)]
+        + [("s", i, sorted(set(_an(q)))) for i, q in enumerate(should)]
+        + [("n", i, sorted(set(_an(q)))) for i, q in enumerate(must_not)]
+        + [("f", i, sorted(set(_an(q)))) for i, q in enumerate(filter)]
+    )
+    all_terms = sorted({t for _, _, ts in clauses for t in ts})
+    if not all_terms:
+        return empty
+    seg = (
+        spark.read.parquet(os.path.join(index_dir, "shards"))
+        .filter(F.col("term").isin(all_terms))
+    )
+    df_map = {
+        r["term"]: int(r["df"])
+        for r in seg.groupBy("term").agg(F.sum("df").alias("df")).collect()
+    }
+    bc_df = spark.sparkContext.broadcast(df_map)
+    bc_clauses = spark.sparkContext.broadcast(clauses)
+    n_must, n_should = len(must), len(should)
+    n_not = len(must_not)
+    msm = minimum_should_match
+
+    def shard_bool(batches):
+        from job_searchengine_project_spark.index import codec
+        from job_searchengine_project_spark.search.engine import SearchEngine
+
+        parts = list(batches)
+        if not parts:
+            return
+        pdf_all = pd.concat(parts, ignore_index=True)
+        if pdf_all.empty:
+            return
+        dfm = bc_df.value
+        dele = bc_del.value
+        for shard_val, grp in pdf_all.groupby("shard", sort=False):
+            norms = _load_shard_norms(norms_root, int(shard_val), rng, n_docs)
+            decoded = {}
+            for r in grp.itertuples():
+                docs, tfs = codec.decode_postings(_enc_from_row(r))
+                if dele.size:
+                    live = ~np.isin(docs, dele)
+                    docs, tfs = docs[live], tfs[live]
+                decoded[str(r.term)] = (docs, tfs)
+
+            def clause_acc(terms):
+                # sorted-term accumulation — same float order as the
+                # driver engine's accumulate_scores
+                acc: dict[int, float] = {}
+                for t in terms:
+                    if t not in decoded:
+                        continue
+                    docs, tfs = decoded[t]
+                    tfd = tfs.astype(np.float64)
+                    idf = float(np.log1p((n_eff - dfm[t] + 0.5) / (dfm[t] + 0.5)))
+                    dls = norms.arr[docs - norms.lo]
+                    scores = idf * (tfd / (tfd + k1 * (1.0 - b + b * dls / avgdl)))
+                    for d, s in zip(docs.tolist(), scores.tolist()):
+                        acc[d] = acc.get(d, 0.0) + s
+                return acc
+
+            def clause_hits(terms):
+                hits: set[int] = set()
+                for t in terms:
+                    if t in decoded:
+                        hits.update(decoded[t][0].tolist())
+                return hits
+
+            must_accs = [None] * n_must
+            should_accs = [None] * n_should
+            not_sets = [None] * n_not
+            filter_sets = [None] * (len(bc_clauses.value) - n_must - n_should - n_not)
+            for kind, i, ts in bc_clauses.value:
+                if kind == "m":
+                    must_accs[i] = clause_acc(ts)
+                elif kind == "s":
+                    should_accs[i] = clause_acc(ts)
+                elif kind == "n":
+                    not_sets[i] = clause_hits(ts)
+                else:
+                    filter_sets[i] = clause_hits(ts)
+            scored = SearchEngine.bool_algebra(
+                must_accs, should_accs, not_sets, filter_sets, msm
+            )[:k]
+            if scored:
+                docs_out, scores_out = zip(*scored)
+                yield pd.DataFrame({"doc_id": docs_out, "score": scores_out})
+
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    partials = seg.repartition(shuffle_n, "shard").mapInPandas(
+        shard_bool, schema="doc_id long, score double"
+    )
+    top = partials.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    return (
+        _attach_urls_pruned(spark, index_dir, top)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .select("doc_id", "score", "url")
+    )
+
+
 def search_sharded(
     spark: SparkSession,
     index_dir: str,

@@ -583,6 +583,62 @@ SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT {{limit}}
 """.format(grams_sql=grams_sql, phrase=phrase.lower(), k1=BM25_K1, b=BM25_B, limit=limit)
 
 
+# ---- distributed (sharded) query paths under the oracle gate -----------------
+
+
+def _sharded_index_for(spark: SparkSession, sf_dir: str) -> str:
+    """Doc-range-sharded layout over the cached morph index (built
+    once per sf_dir; shards_meta.json is the done marker)."""
+    from job_searchengine_project_spark.index.sharded import (
+        SHARDS_META,
+        build_sharded_segments,
+    )
+
+    eng = _engine_for(spark, sf_dir)
+    if not os.path.exists(os.path.join(eng.index_dir, SHARDS_META)):
+        build_sharded_segments(spark, eng.index_dir, n_shards=8)
+    return eng.index_dir
+
+
+def wand_sharded_top10(spark, sf_dir: str) -> DataFrame:
+    """The DISTRIBUTED block-max WAND path (per-shard kernels,
+    shard-local norms, associative top-k merge) under the same DuckDB
+    BM25 oracle as the driver engine."""
+    from job_searchengine_project_spark.index.sharded import search_sharded
+
+    idx = _sharded_index_for(spark, sf_dir)
+    df = search_sharded(spark, idx, QUERY_TERMS, k=20 * K)
+    rows = sorted(
+        (
+            (int(r["url"].split("doc://")[1]), round(float(r["score"]), 4))
+            for r in df.collect()
+        ),
+        key=lambda r: (-r[1], r[0]),
+    )[:K]
+    return spark.createDataFrame(rows, "doc_id bigint, score double")
+
+
+def bool_sharded_top10(spark, sf_dir: str) -> DataFrame:
+    """The distributed bool path: shard-local clause algebra, global
+    merge — same oracle as the driver-side bool_query_top10."""
+    from job_searchengine_project_spark.index.sharded import search_sharded_bool
+
+    idx = _sharded_index_for(spark, sf_dir)
+    df = search_sharded_bool(
+        spark, idx, must=BOOL_MUST, should=BOOL_SHOULD,
+        must_not=BOOL_MUST_NOT, filter=BOOL_FILTER,
+        minimum_should_match=BOOL_MSM, k=10**7,
+    )
+    rows = sorted(
+        (
+            (int(r["url"].split("doc://")[1]), round(float(r["score"]), 4))
+            for r in df.collect()
+        ),
+        key=lambda r: (-r[1], r[0]),
+    )[:K]
+    return spark.createDataFrame(rows, "doc_id bigint, score double")
+
+
 # ---- ES bool with per-clause field targeting ---------------------------------
 
 
@@ -714,4 +770,6 @@ QUERIES = {
     "multi_field_top10": (multi_field_top10, _multi_field_sql(QUERY_TERMS, K)),
     "bool_query_top10": (bool_query_top10, _bool_sql(K)),
     "bool_fielded_top10": (bool_fielded_top10, _bool_fielded_sql(K)),
+    "wand_sharded_top10": (wand_sharded_top10, _bm25_sql(QUERY_TERMS, K)),
+    "bool_sharded_top10": (bool_sharded_top10, _bool_sql(K)),
 }

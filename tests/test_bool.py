@@ -97,6 +97,51 @@ def test_should_boosts_must_ranking(eng):
 
 
 @pytest.fixture(scope="module")
+def sharded_bool_index(spark, eng):
+    from job_searchengine_project_spark.index.sharded import build_sharded_segments
+
+    build_sharded_segments(spark, eng.index_dir, n_shards=6)
+    return eng.index_dir
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(must=[T_A, T_B]),
+        dict(must=[T_A], filter=[T_B]),
+        dict(must=[T_A], must_not=[T_B]),
+        dict(should=[T_A, T_C]),  # default msm=1
+        dict(should=[T_A, T_C], minimum_should_match=2),
+        dict(must=[T_A], should=[T_D], must_not=[T_C], filter=[T_B]),
+        dict(must=["zzz_not_a_term"]),
+    ],
+)
+def test_sharded_bool_matches_driver(spark, eng, sharded_bool_index, kw):
+    """Distributed bool == driver bool: same docs, same float scores,
+    same rank, for every clause-algebra shape."""
+    from job_searchengine_project_spark.index.sharded import search_sharded_bool
+
+    want = [
+        (h.doc_id, h.score)
+        for h in eng.search_bool(k=25, with_urls=False, **kw)
+    ]
+    got = [
+        (int(r["doc_id"]), float(r["score"]))
+        for r in search_sharded_bool(spark, sharded_bool_index, k=25, **kw).collect()
+    ]
+    assert got == want
+
+
+def test_sharded_bool_urls_attached(spark, eng, sharded_bool_index):
+    from job_searchengine_project_spark.index.sharded import search_sharded_bool
+
+    rows = search_sharded_bool(
+        spark, sharded_bool_index, must=[T_A], filter=[T_B], k=5
+    ).collect()
+    assert rows and all(r["url"] for r in rows)
+
+
+@pytest.fixture(scope="module")
 def feng(spark, webpages_small, tmp_path_factory):
     from pyspark.sql import functions as F
 
