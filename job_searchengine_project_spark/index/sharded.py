@@ -592,9 +592,18 @@ def search_sharded(
     query_terms: list[str],
     k: int = 10,
     with_fields: bool = False,
+    strategy: str = "auto",
 ) -> DataFrame:
-    """Distributed block-max WAND: per-shard top-k in executors,
-    associative global merge. Returns (doc_id, score, url) ranked."""
+    """Distributed top-k: per-shard kernels in executors, associative
+    global merge. Returns (doc_id, score, url) ranked.
+
+    ``strategy`` mirrors the driver engine: each shard independently
+    picks block-max WAND for selective profiles and the vectorized
+    exhaustive kernel (search/engine.py exhaustive_topk_arrays — same
+    float order, exact) when its candidate postings exceed the
+    DENSE_POSTINGS_CUTOFF — head-term queries would otherwise pay the
+    document-at-a-time Python loop in EVERY shard. Both kernels are
+    exact, so mixed per-shard choices merge correctly."""
     with open(os.path.join(index_dir, "stats.json")) as f:
         stats = json.load(f)
     n_docs = int(stats["n_docs"])
@@ -626,6 +635,10 @@ def search_sharded(
 
     def shard_topk(batches):
         from job_searchengine_project_spark.index import codec
+        from job_searchengine_project_spark.search.engine import (
+            SearchEngine,
+            exhaustive_topk_arrays,
+        )
         from job_searchengine_project_spark.search.wand import TermCursor, wand_topk
 
         parts = list(batches)
@@ -635,14 +648,45 @@ def search_sharded(
         if pdf_all.empty:
             return
         dfm = bc_df.value
+
+        def idf_of(t):
+            return float(np.log1p((n_eff - dfm[t] + 0.5) / (dfm[t] + 0.5)))
+
         for shard_val, grp in pdf_all.groupby("shard", sort=False):
             norms = _load_shard_norms(norms_root, int(shard_val), rng, n_docs)
-            cursors = []
-            for r in grp.itertuples():
-                enc = _enc_from_row(r)
-                idf = float(np.log1p((n_eff - dfm[r.term] + 0.5) / (dfm[r.term] + 0.5)))
-                cursors.append(TermCursor(term=r.term, enc=enc, idf=idf))
-            hits = wand_topk(cursors, norms, avgdl, k, k1=k1, b=b, deleted=bc_del.value)
+            encs = {str(r.term): _enc_from_row(r) for r in grp.itertuples()}
+            strat = strategy
+            if strat == "auto":
+                # per-shard choice on the SHARD-LOCAL posting mass —
+                # same trade the driver engine makes globally
+                total = sum(e.count for e in encs.values())
+                strat = (
+                    "exhaustive"
+                    if total > SearchEngine.DENSE_POSTINGS_CUTOFF
+                    else "wand"
+                )
+            if strat == "wand":
+                cursors = [
+                    TermCursor(term=t, enc=e, idf=idf_of(t))
+                    for t, e in encs.items()
+                ]
+                hits = wand_topk(
+                    cursors, norms, avgdl, k, k1=k1, b=b, deleted=bc_del.value
+                )
+            else:
+                term_arrays = {
+                    t: codec.decode_postings(e) for t, e in encs.items()
+                }
+                hits = exhaustive_topk_arrays(
+                    term_arrays,
+                    idf_of=idf_of,
+                    dl_of=lambda docs: norms.arr[docs - norms.lo],
+                    avgdl=avgdl,
+                    k=k,
+                    k1=k1,
+                    b=b,
+                    deleted=bc_del.value,
+                )
             if hits:
                 docs_out, scores_out = zip(*hits)
                 yield pd.DataFrame({"doc_id": docs_out, "score": scores_out})

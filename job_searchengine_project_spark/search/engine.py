@@ -29,6 +29,65 @@ from job_searchengine_project_spark.index.build import _term_bucket_py
 from job_searchengine_project_spark.search.wand import TermCursor, wand_topk
 
 
+def exhaustive_topk_arrays(
+    term_arrays: dict,
+    idf_of,
+    dl_of,
+    avgdl: float,
+    k: int,
+    k1: float,
+    b: float,
+    deleted: np.ndarray,
+) -> list[tuple[int, float]]:
+    """Vectorized term-at-a-time OR scoring over decoded posting
+    arrays (exact, oracle sum order) — the shared kernel behind the
+    driver engine's exhaustive strategy AND the per-shard dense path
+    (index/sharded.py): ``term_arrays`` maps term -> (docs, tfs),
+    ``idf_of(term)`` supplies idf (engine-local or global-df), and
+    ``dl_of(docs)`` resolves doclens (dense driver array or
+    shard-local offset array).
+
+    Concatenates per-term partials in sorted-term order and
+    segment-sums per doc with ``np.add.reduceat`` after a stable sort
+    — each doc's contributions add in term order, bit-identical to
+    the DataFrame oracle and to WAND. ``argpartition`` ties at the
+    k-boundary are widened to the full tie set so the (-score,
+    doc_id) sort applies the documented asc-doc_id tie-break exactly.
+    """
+    doc_parts, score_parts = [], []
+    for t in sorted(term_arrays):
+        docs, tfs = term_arrays[t]
+        idf = idf_of(t)
+        dls = dl_of(docs)
+        score_parts.append(
+            idf * (tfs / (tfs + k1 * (1.0 - b + b * dls / avgdl)))
+        )
+        doc_parts.append(docs)
+    if not doc_parts:
+        return []
+    all_docs = np.concatenate(doc_parts)
+    all_scores = np.concatenate(score_parts)
+    if deleted.size:
+        live = ~np.isin(all_docs, deleted)
+        all_docs, all_scores = all_docs[live], all_scores[live]
+    if all_docs.size == 0:
+        return []
+    order = np.argsort(all_docs, kind="stable")  # stable: keeps term order per doc
+    d = all_docs[order]
+    s = all_scores[order]
+    starts = np.flatnonzero(np.concatenate(([True], d[1:] != d[:-1])))
+    uniq = d[starts]
+    sums = np.add.reduceat(s, starts)
+    if k >= uniq.size:
+        idx = np.arange(uniq.size)
+    else:
+        part = np.argpartition(-sums, k - 1)[:k]
+        kth = sums[part].min()
+        idx = np.flatnonzero(sums >= kth)
+    cand = sorted(zip(uniq[idx].tolist(), sums[idx].tolist()), key=lambda x: (-x[1], x[0]))
+    return cand[:k]
+
+
 @dataclass
 class SearchHit:
     doc_id: int
@@ -229,51 +288,18 @@ class SearchEngine:
         return out
 
     def _exhaustive_topk(self, segs: dict, k: int) -> list[tuple[int, float]]:
-        """Vectorized term-at-a-time OR scoring (exact, oracle sum order).
-
-        Decodes every query-term posting list, concatenates in sorted-
-        term order, and segment-sums per doc with ``np.add.reduceat``
-        after a stable sort — so each doc's contributions add in term
-        order, bit-identical to the DataFrame oracle and to WAND.
-        """
-        doc_parts, score_parts = [], []
-        for t in sorted(segs):
-            enc = segs[t]
-            docs, tfs = codec.decode_postings(enc)
-            idf = self._idf(enc.count)
-            dls = self.doclens[docs]
-            score_parts.append(
-                idf * (tfs / (tfs + BM25_K1 * (1.0 - BM25_B + BM25_B * dls / self.avgdl)))
-            )
-            doc_parts.append(docs)
-        all_docs = np.concatenate(doc_parts)
-        all_scores = np.concatenate(score_parts)
-        dele = self.tombstones
-        if dele.size:
-            live = ~np.isin(all_docs, dele)
-            all_docs, all_scores = all_docs[live], all_scores[live]
-            if all_docs.size == 0:
-                return []
-        order = np.argsort(all_docs, kind="stable")  # stable: keeps term order per doc
-        d = all_docs[order]
-        s = all_scores[order]
-        starts = np.flatnonzero(np.concatenate(([True], d[1:] != d[:-1])))
-        uniq = d[starts]
-        sums = np.add.reduceat(s, starts)
-        if k >= uniq.size:
-            idx = np.arange(uniq.size)
-        else:
-            # argpartition breaks exact ties at the k-boundary
-            # arbitrarily (duplicate texts produce bitwise-equal
-            # scores); widen the candidate set to every doc tied with
-            # the k-th score so the (-score, doc_id) sort below applies
-            # the documented asc-doc_id tie-break exactly like WAND
-            # and the oracle.
-            part = np.argpartition(-sums, k - 1)[:k]
-            kth = sums[part].min()
-            idx = np.flatnonzero(sums >= kth)
-        cand = sorted(zip(uniq[idx].tolist(), sums[idx].tolist()), key=lambda x: (-x[1], x[0]))
-        return cand[:k]
+        """Vectorized term-at-a-time OR scoring (exact, oracle sum order)."""
+        term_arrays = {t: codec.decode_postings(enc) for t, enc in segs.items()}
+        return exhaustive_topk_arrays(
+            term_arrays,
+            idf_of=lambda t: self._idf(segs[t].count),
+            dl_of=lambda docs: self.doclens[docs],
+            avgdl=self.avgdl,
+            k=k,
+            k1=BM25_K1,
+            b=BM25_B,
+            deleted=self.tombstones,
+        )
 
     def search_text(self, query: str, k: int = 10, **kw) -> list[SearchHit]:
         """ES `match` semantics: analyze the query string with the

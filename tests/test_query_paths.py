@@ -94,13 +94,16 @@ def test_sharded_distributed_wand_matches_driver(spark, morph_index):
     assert sorted(norms_dirs) == sorted(shard_dirs)
 
     eng = SearchEngine(morph_index)
-    for q in (["spark"], ["spark", "데이터엔지니어", "개발자"], ["zzz_nope"]):
-        driver_hits = eng.search(q, k=10, with_urls=True, strategy="wand")
-        dist = search_sharded(spark, morph_index, q, k=10).collect()
-        assert [r["doc_id"] for r in dist] == [h.doc_id for h in driver_hits], q
-        assert [r["url"] for r in dist] == [h.url for h in driver_hits], q
-        for r, h in zip(dist, driver_hits):
-            assert abs(r["score"] - h.score) < 1e-9
+    for strat in ("wand", "exhaustive"):  # both per-shard kernels exact
+        for q in (["spark"], ["spark", "데이터엔지니어", "개발자"], ["zzz_nope"]):
+            driver_hits = eng.search(q, k=10, with_urls=True, strategy="wand")
+            dist = search_sharded(
+                spark, morph_index, q, k=10, strategy=strat
+            ).collect()
+            assert [r["doc_id"] for r in dist] == [h.doc_id for h in driver_hits], (strat, q)
+            assert [r["url"] for r in dist] == [h.url for h in driver_hits], (strat, q)
+            for r, h in zip(dist, driver_hits):
+                assert abs(r["score"] - h.score) < 1e-9
 
 
 def test_sharded_search_survives_file_splits(spark, morph_index):
