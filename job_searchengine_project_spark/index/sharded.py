@@ -332,6 +332,7 @@ def search_sharded_batch(
     index_dir: str,
     queries: dict[str, list[str]],
     k: int = 10,
+    dense_cutoff: int | None = None,
 ) -> DataFrame:
     """Batch top-k: B queries answered in ONE pass over the sharded
     segments. The scan filters to the union of all query terms, each
@@ -339,7 +340,13 @@ def search_sharded_batch(
     shared decoded state inside the shard — the per-query marginal cost
     is the WAND loop, not the scan/shuffle. Returns
     (query_id, doc_id, score, url) with per-query rank order, exactly
-    equal to running search_sharded per query (tested)."""
+    equal to running search_sharded per query (tested).
+
+    Each (query, shard) independently picks WAND or the vectorized
+    exhaustive kernel on its shard-local posting mass
+    (``dense_cutoff``, default the driver engine's
+    DENSE_POSTINGS_CUTOFF); decoded arrays memoize across the batch's
+    dense queries."""
     with open(os.path.join(index_dir, "stats.json")) as f:
         stats = json.load(f)
     n_docs = int(stats["n_docs"])
@@ -373,6 +380,11 @@ def search_sharded_batch(
     bc_q = spark.sparkContext.broadcast(q_terms)
 
     def shard_batch(batches):
+        from job_searchengine_project_spark.index import codec
+        from job_searchengine_project_spark.search.engine import (
+            SearchEngine,
+            exhaustive_topk_arrays,
+        )
         from job_searchengine_project_spark.search.wand import TermCursor, wand_topk
 
         parts = list(batches)
@@ -383,28 +395,52 @@ def search_sharded_batch(
             return
         dfm = bc_df.value
         qts = bc_q.value
+        cutoff = (
+            dense_cutoff
+            if dense_cutoff is not None
+            else SearchEngine.DENSE_POSTINGS_CUTOFF
+        )
+
+        def idf_of(t):
+            return float(np.log1p((n_eff - dfm[t] + 0.5) / (dfm[t] + 0.5)))
+
         for shard_val, grp in pdf_all.groupby("shard", sort=False):
             by_term = {str(r.term): r for r in grp.itertuples()}
             norms = _load_shard_norms(norms_root, int(shard_val), rng, n_docs)
             # decode-once state shared across the batch: EncodedPostings
-            # are immutable; each query gets fresh (cheap) cursors
+            # are immutable; each query gets fresh (cheap) cursors, and
+            # the dense path's decoded arrays memoize across queries
             encs = {t: _enc_from_row(r) for t, r in by_term.items()}
+            dec: dict[str, tuple] = {}
             out_q, out_d, out_s = [], [], []
             for qid, terms in qts.items():
-                cursors = [
-                    TermCursor(
-                        term=t,
-                        enc=encs[t],
-                        idf=float(np.log1p((n_eff - dfm[t] + 0.5) / (dfm[t] + 0.5))),
-                    )
-                    for t in terms
-                    if t in encs
-                ]
-                if not cursors:
+                present = [t for t in terms if t in encs]
+                if not present:
                     continue
-                for d, s in wand_topk(
-                    cursors, norms, avgdl, k, k1=k1, b=b, deleted=bc_del.value
-                ):
+                # per-(query, shard) strategy choice, like search_sharded
+                if sum(encs[t].count for t in present) > cutoff:
+                    for t in present:
+                        if t not in dec:
+                            dec[t] = codec.decode_postings(encs[t])
+                    hits = exhaustive_topk_arrays(
+                        {t: dec[t] for t in present},
+                        idf_of=idf_of,
+                        dl_of=lambda docs: norms.arr[docs - norms.lo],
+                        avgdl=avgdl,
+                        k=k,
+                        k1=k1,
+                        b=b,
+                        deleted=bc_del.value,
+                    )
+                else:
+                    cursors = [
+                        TermCursor(term=t, enc=encs[t], idf=idf_of(t))
+                        for t in present
+                    ]
+                    hits = wand_topk(
+                        cursors, norms, avgdl, k, k1=k1, b=b, deleted=bc_del.value
+                    )
+                for d, s in hits:
                     out_q.append(qid)
                     out_d.append(d)
                     out_s.append(s)

@@ -245,13 +245,24 @@ def test_sharded_batch_matches_per_query(spark, morph_index):
         "q_multi": ["spark", "데이터엔지니어", "개발자"],
         "q_absent": ["zzz_nope"],
     }
-    batch = search_sharded_batch(spark, morph_index, queries, k=7).collect()
-    got = {}
-    for r in batch:
-        got.setdefault(r["query_id"], []).append((r["doc_id"], r["score"], r["url"]))
-    for qid, terms in queries.items():
-        single = [
-            (r["doc_id"], r["score"], r["url"])
-            for r in search_sharded(spark, morph_index, terms, k=7).collect()
-        ]
-        assert got.get(qid, []) == single, qid
+    # dense_cutoff=0 forces every (query, shard) onto the vectorized
+    # exhaustive kernel; default leaves them on WAND. Each is compared
+    # against the single-query path running the SAME kernel (WAND and
+    # exhaustive agree to 1e-9 but not bitwise — operation grouping
+    # differs — and that cross-kernel tolerance is asserted by the
+    # engine parity suite, not here).
+    for cutoff, strat in ((None, "wand"), (0, "exhaustive")):
+        batch = search_sharded_batch(
+            spark, morph_index, queries, k=7, dense_cutoff=cutoff
+        ).collect()
+        got = {}
+        for r in batch:
+            got.setdefault(r["query_id"], []).append((r["doc_id"], r["score"], r["url"]))
+        for qid, terms in queries.items():
+            single = [
+                (r["doc_id"], r["score"], r["url"])
+                for r in search_sharded(
+                    spark, morph_index, terms, k=7, strategy=strat
+                ).collect()
+            ]
+            assert got.get(qid, []) == single, (cutoff, qid)
