@@ -583,6 +583,50 @@ SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT {{limit}}
 """.format(grams_sql=grams_sql, phrase=phrase.lower(), k1=BM25_K1, b=BM25_B, limit=limit)
 
 
+# ---- ES fuzzy match ----------------------------------------------------------
+
+FUZZY_PROBES = ["sprk", "datt"]  # misspellings: expand to spark / data
+
+
+def fuzzy_top10(spark, sf_dir: str) -> DataFrame:
+    """ES fuzzy match: misspelled query terms expand to dictionary
+    terms within edit distance 1 (engine walks its term dictionary;
+    the oracle recomputes the same expansion with DuckDB's
+    levenshtein()), then plain match-OR BM25 over the expansion."""
+    eng = _engine_for(spark, sf_dir)
+    hits = eng.search_fuzzy(FUZZY_PROBES, k=20 * K, max_edits=1, with_urls=True)
+    rows = sorted(
+        ((int(h.url.split("doc://")[1]), round(h.score, 4)) for h in hits),
+        key=lambda r: (-r[1], r[0]),
+    )[:K]
+    return spark.createDataFrame(rows, "doc_id bigint, score double")
+
+
+def _fuzzy_sql(limit: int) -> str:
+    ors = " OR ".join(f"levenshtein(term, '{p}') <= 1" for p in FUZZY_PROBES)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.tok AS term
+  FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+  WHERE length(t.tok) > 1
+),
+fterms AS (SELECT DISTINCT term FROM toks WHERE {ors}),
+dl AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(doclen) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN (SELECT term FROM fterms) GROUP BY doc_id, term),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         round(sum(ln(1 + (s.n - dft.df + 0.5) / (dft.df + 0.5))
+             * (tf.tf / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.doclen / s.avgdl)))), 4) AS score
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT {limit}
+"""
+
+
 # ---- distributed (sharded) query paths under the oracle gate -----------------
 
 
@@ -772,4 +816,5 @@ QUERIES = {
     "bool_fielded_top10": (bool_fielded_top10, _bool_fielded_sql(K)),
     "wand_sharded_top10": (wand_sharded_top10, _bm25_sql(QUERY_TERMS, K)),
     "bool_sharded_top10": (bool_sharded_top10, _bool_sql(K)),
+    "fuzzy_top10": (fuzzy_top10, _fuzzy_sql(K)),
 }

@@ -252,14 +252,22 @@ class SearchEngine:
         with_urls: bool = True,
         with_fields: bool = False,
         strategy: str = "auto",
+        offset: int = 0,
     ) -> list[SearchHit]:
         """BM25 top-k (ES match-OR semantics). Exact under every
         strategy; `auto` picks block-max WAND for selective queries and
-        the vectorized term-at-a-time kernel for stopword-dense ones."""
+        the vectorized term-at-a-time kernel for stopword-dense ones.
+
+        ``offset``/``k`` are ES `from`/`size`: the kernels compute the
+        top (offset + k) and the first ``offset`` rows are dropped —
+        deep pagination costs what it costs in ES/Lucene for the same
+        reason (rank ``offset + k`` must be proven before anything
+        after it is correct)."""
         terms = sorted(set(query_terms))
         segs = self.load_segments(terms)
         if not segs:
             return []
+        depth = k + max(0, offset)
         if strategy == "auto":
             total = sum(s.count for s in segs.values())
             strategy = "exhaustive" if total > self.DENSE_POSTINGS_CUTOFF else "wand"
@@ -270,13 +278,14 @@ class SearchEngine:
                 if t in segs
             ]
             hits = wand_topk(
-                cursors, self.doclens, self.avgdl, k, k1=BM25_K1, b=BM25_B,
+                cursors, self.doclens, self.avgdl, depth, k1=BM25_K1, b=BM25_B,
                 deleted=self.tombstones,
             )
         elif strategy == "exhaustive":
-            hits = self._exhaustive_topk(segs, k)
+            hits = self._exhaustive_topk(segs, depth)
         else:
             raise ValueError(f"unknown strategy: {strategy}")
+        hits = hits[offset : offset + k] if offset > 0 else hits
         out = [SearchHit(doc_id=d, score=s) for d, s in hits]
         if with_urls or with_fields:
             self._fetch_urls([h.doc_id for h in out])  # one pruned read
@@ -300,6 +309,79 @@ class SearchEngine:
             b=BM25_B,
             deleted=self.tombstones,
         )
+
+    # --- fuzzy match --------------------------------------------------------
+
+    @property
+    def term_dict(self) -> list[str]:
+        """Distinct indexed terms (memoized). A pruned single-column
+        read of the segments' term column — the Lucene analog is the
+        term dictionary FST, which at 10^12-doc scale would persist as
+        its own side artifact per shard; the vocabulary is orders of
+        magnitude smaller than the postings either way."""
+        if getattr(self, "_term_dict", None) is None:
+            if self._segments_ds is None:
+                self._segments_ds = pads.dataset(
+                    os.path.join(self.index_dir, "segments"), partitioning="hive"
+                )
+            tbl = self._segments_ds.to_table(columns=["term"])
+            self._term_dict = sorted(set(tbl.column("term").to_pylist()))
+        return self._term_dict
+
+    @staticmethod
+    def _edit_distance(a: str, b: str) -> int:
+        """Standard Levenshtein (unit-cost sub/ins/del) — must agree
+        with DuckDB's levenshtein() for the oracle to reproduce the
+        expansion exactly."""
+        if a == b:
+            return 0
+        la, lb = len(a), len(b)
+        if la == 0 or lb == 0:
+            return la or lb
+        prev = list(range(lb + 1))
+        for i in range(1, la + 1):
+            cur = [i] + [0] * lb
+            ca = a[i - 1]
+            for j in range(1, lb + 1):
+                cur[j] = min(
+                    prev[j] + 1,
+                    cur[j - 1] + 1,
+                    prev[j - 1] + (ca != b[j - 1]),
+                )
+            prev = cur
+        return prev[lb]
+
+    def fuzzy_expand(self, term: str, max_edits: int = 1) -> list[str]:
+        """Dictionary terms within ``max_edits`` of ``term`` (the term
+        itself included when indexed). Length-pruned scan of the term
+        dictionary — Lucene walks the FST with a Levenshtein automaton;
+        same contract, simpler machinery."""
+        out = []
+        for t in self.term_dict:
+            if abs(len(t) - len(term)) > max_edits:
+                continue
+            if self._edit_distance(t, term) <= max_edits:
+                out.append(t)
+        return out
+
+    def search_fuzzy(
+        self, query_terms: list[str], k: int = 10, max_edits: int = 1, **kw
+    ) -> list[SearchHit]:
+        """ES `fuzzy`/`match` with fuzziness: every query term expands
+        to the dictionary terms within ``max_edits`` (misspellings hit
+        the real vocabulary), then the union scores as plain match-OR
+        BM25 — each matched term with its own df/idf.
+
+        Documented contract (oracle-checked): no fuzziness boost
+        discount — ES's blended-frequency rewrite is an optimization
+        of a different scoring blend; the plain expansion keeps DuckDB
+        able to reproduce scores exactly via levenshtein()."""
+        expanded: set[str] = set()
+        for t in query_terms:
+            expanded.update(self.fuzzy_expand(t, max_edits=max_edits))
+        if not expanded:
+            return []
+        return self.search(sorted(expanded), k=k, **kw)
 
     def search_text(self, query: str, k: int = 10, **kw) -> list[SearchHit]:
         """ES `match` semantics: analyze the query string with the
@@ -516,6 +598,7 @@ class SearchEngine:
         k: int = 10,
         minimum_should_match: int | None = None,
         with_urls: bool = True,
+        offset: int = 0,
     ) -> list[SearchHit]:
         """ES `bool` compound query (the reference's ES surface accepts
         it on every indexed field; published queries are single-clause
@@ -550,7 +633,10 @@ class SearchEngine:
             [self._match_docs(self._analyze(q)) for q in filter],
             minimum_should_match,
         )
-        out = [SearchHit(doc_id=d, score=s) for d, s in scored[:k]]
+        out = [
+            SearchHit(doc_id=d, score=s)
+            for d, s in scored[max(0, offset) : max(0, offset) + k]
+        ]
         if with_urls:
             self._fetch_urls([h.doc_id for h in out])
             for h in out:

@@ -207,6 +207,56 @@ def test_fielded_bool_must_not_scopes_to_its_field(feng):
     assert no_body < no_title
 
 
+def test_pagination_offset(eng):
+    """ES from/size: page 2 continues exactly where page 1 ended, for
+    both kernels and for bool queries."""
+    for strat in ("wand", "exhaustive"):
+        full = eng.search([T_A, T_B], k=30, with_urls=False, strategy=strat)
+        page = eng.search([T_A, T_B], k=10, offset=10, with_urls=False, strategy=strat)
+        assert [(h.doc_id, h.score) for h in page] == [
+            (h.doc_id, h.score) for h in full[10:20]
+        ]
+    fullb = eng.search_bool(must=[T_A], k=30, with_urls=False)
+    pageb = eng.search_bool(must=[T_A], k=10, offset=10, with_urls=False)
+    assert [(h.doc_id, h.score) for h in pageb] == [
+        (h.doc_id, h.score) for h in fullb[10:20]
+    ]
+    # offset past the matches -> empty
+    assert eng.search([T_A], k=10, offset=10**6, with_urls=False) == []
+
+
+def test_fuzzy_expansion_and_search(eng):
+    import random
+
+    # every dictionary term expands to itself at 0 edits
+    assert eng.fuzzy_expand(T_A, max_edits=0) == [T_A]
+    # a 1-char deletion of an indexed term finds it again
+    probe = T_A[:2] + T_A[3:]
+    assert T_A in eng.fuzzy_expand(probe, max_edits=1)
+    # fuzzy search over the misspelling == exact search over the
+    # expansion (documented contract: plain match-OR over expanded set)
+    expanded = eng.fuzzy_expand(probe, max_edits=1)
+    want = [(h.doc_id, h.score) for h in eng.search(expanded, k=20, with_urls=False)]
+    got = [
+        (h.doc_id, h.score)
+        for h in eng.search_fuzzy([probe], k=20, with_urls=False)
+    ]
+    assert got == want and got
+    # garbage probe far from everything -> no hits
+    assert eng.search_fuzzy(["zzzzzzqqqq"], k=5, with_urls=False) == []
+    # the distance function is the standard Levenshtein
+    rnd = random.Random(7)
+    import duckdb
+
+    con = duckdb.connect()
+    alpha = "abcde"
+    for _ in range(200):
+        a = "".join(rnd.choice(alpha) for _ in range(rnd.randint(0, 6)))
+        b = "".join(rnd.choice(alpha) for _ in range(rnd.randint(0, 6)))
+        want_d = con.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()[0]
+        assert eng._edit_distance(a, b) == want_d, (a, b)
+
+
 def test_empty_and_absent(eng):
     assert eng.search_bool(k=10) == []
     assert eng.search_bool(must=["zzz_not_a_term"], k=10, with_urls=False) == []
