@@ -310,6 +310,53 @@ class SearchEngine:
             deleted=self.tombstones,
         )
 
+    def explain(self, doc_id: int, query_terms: list[str]) -> dict:
+        """ES `_explain` parity: the per-term BM25 breakdown of one
+        doc's score for a query. Returns
+        ``{"doc_id", "score", "matched", "terms": {term: {tf, df,
+        idf, doclen, avgdl, part}}}`` where ``score`` is the sum of
+        parts in sorted-term order — bit-identical to what search()
+        ranks with (asserted by tests), so a user can audit exactly
+        why a hit ranked where it did."""
+        terms = sorted(set(query_terms))
+        segs = self.load_segments(terms)
+        out: dict = {
+            "doc_id": int(doc_id),
+            "score": 0.0,
+            "matched": False,
+            "terms": {},
+        }
+        from job_searchengine_project_spark.index.tombstone import is_deleted
+
+        if is_deleted(self.tombstones, doc_id):
+            out["deleted"] = True
+            return out
+        dl = float(self.doclens[doc_id])
+        for t in terms:
+            if t not in segs:
+                continue
+            enc = segs[t]
+            docs, tfs = codec.decode_postings(enc)
+            j = int(np.searchsorted(docs, doc_id))
+            if j >= docs.size or int(docs[j]) != doc_id:
+                continue
+            tf = tfs[j]  # np integer: same dtype promotion as the kernels
+            idf = self._idf(enc.count)
+            part = float(
+                idf * (tf / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / self.avgdl)))
+            )
+            out["terms"][t] = {
+                "tf": int(tf),
+                "df": int(enc.count),
+                "idf": idf,
+                "doclen": dl,
+                "avgdl": self.avgdl,
+                "part": part,
+            }
+            out["score"] += part
+            out["matched"] = True
+        return out
+
     # --- fuzzy match --------------------------------------------------------
 
     @property

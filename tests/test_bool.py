@@ -257,6 +257,22 @@ def test_fuzzy_expansion_and_search(eng):
         assert eng._edit_distance(a, b) == want_d, (a, b)
 
 
+def test_explain_matches_search(eng):
+    """_explain's per-term parts sum bit-identically to the ranked
+    score, and name every contributing term."""
+    hits = eng.search([T_A, T_B], k=5, with_urls=False)
+    assert hits
+    for h in hits:
+        ex = eng.explain(h.doc_id, [T_A, T_B])
+        assert ex["matched"] and ex["score"] == h.score
+        assert sum(p["part"] for p in ex["terms"].values()) == pytest.approx(h.score, abs=0)
+        for t, p in ex["terms"].items():
+            assert p["tf"] >= 1 and p["df"] >= 1 and p["part"] > 0
+    # a doc that matches nothing
+    miss = eng.explain(hits[0].doc_id, ["zzz_not_a_term"])
+    assert not miss["matched"] and miss["score"] == 0.0 and miss["terms"] == {}
+
+
 def test_empty_and_absent(eng):
     assert eng.search_bool(k=10) == []
     assert eng.search_bool(must=["zzz_not_a_term"], k=10, with_urls=False) == []

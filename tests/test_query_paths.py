@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -229,6 +231,37 @@ def test_url_attach_is_pruned_read(spark, morph_index):
     )
     pf2 = pushed_filters(df2)
     assert pf2 and any("In(doc_id" in p for p in pf2), pf2
+
+
+def test_sharded_rebuild_after_partial_write(spark, morph_index, tmp_path):
+    """A crashed shard derivation (partial shards/ tree, missing meta)
+    is repaired by simply re-running build_sharded_segments — the
+    overwrite is atomic-enough (meta written last) and results match."""
+    import shutil
+
+    from job_searchengine_project_spark.index.sharded import (
+        SHARDS_META,
+        build_sharded_segments,
+        search_sharded,
+    )
+
+    # copy the index so we can vandalize it
+    idx = str(tmp_path / "idx")
+    shutil.copytree(morph_index, idx)
+    build_sharded_segments(spark, idx, n_shards=4)
+    want = [
+        (r["doc_id"], r["score"])
+        for r in search_sharded(spark, idx, ["spark"], k=10).collect()
+    ]
+    # simulate a crash mid-derivation: one shard dir gone, meta gone
+    shutil.rmtree(os.path.join(idx, "shards", "shard=0"))
+    os.remove(os.path.join(idx, SHARDS_META))
+    build_sharded_segments(spark, idx, n_shards=4)
+    got = [
+        (r["doc_id"], r["score"])
+        for r in search_sharded(spark, idx, ["spark"], k=10).collect()
+    ]
+    assert got == want
 
 
 def test_sharded_batch_matches_per_query(spark, morph_index):
