@@ -10,6 +10,8 @@ minimum_should_match gating, and declared-clause-order score sums.
 from __future__ import annotations
 
 import pytest
+from hypothesis import given
+from hypothesis import strategies as st
 
 from job_searchengine_project_spark.corpus import HEAD_TERMS, _build_vocab
 from job_searchengine_project_spark.search.engine import SearchEngine
@@ -255,6 +257,47 @@ def test_fuzzy_expansion_and_search(eng):
         b = "".join(rnd.choice(alpha) for _ in range(rnd.randint(0, 6)))
         want_d = con.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()[0]
         assert eng._edit_distance(a, b) == want_d, (a, b)
+
+
+_docs_st = st.integers(min_value=0, max_value=15)
+_acc_st = st.dictionaries(_docs_st, st.floats(0.01, 10.0), max_size=8)
+_set_st = st.sets(_docs_st, max_size=8)
+
+
+@given(
+    must=st.lists(_acc_st, max_size=3),
+    should=st.lists(_acc_st, max_size=3),
+    nots=st.lists(_set_st, max_size=2),
+    filters=st.lists(_set_st, max_size=2),
+    msm=st.integers(min_value=0, max_value=3),
+)
+def test_bool_algebra_property(must, should, nots, filters, msm):
+    """bool_algebra == a naive per-doc reference over every doc id."""
+    from job_searchengine_project_spark.search.engine import SearchEngine
+
+    got = SearchEngine.bool_algebra(must, should, nots, filters, msm)
+    want = []
+    for d in range(16):
+        if must and not all(d in a for a in must):
+            continue
+        if filters and not all(d in s for s in filters):
+            continue
+        if not must and not filters:
+            if not any(d in a for a in should):
+                continue
+        if any(d in s for s in nots):
+            continue
+        if msm > 0 and should and sum(1 for a in should if d in a) < msm:
+            continue
+        s = 0.0
+        for a in must:
+            s += a[d]
+        for a in should:
+            if d in a:
+                s += a[d]
+        want.append((d, s))
+    want.sort(key=lambda kv: (-kv[1], kv[0]))
+    assert got == want
 
 
 def test_explain_matches_search(eng):
