@@ -51,6 +51,7 @@ from job_searchengine_project_spark.index.build import (
 
 SHARDS_META = "shards_meta.json"
 NORMS_DIR = "shard_norms"
+_EMPTY_DEL = np.empty(0, dtype=np.int64)
 
 
 def build_sharded_segments(
@@ -547,7 +548,10 @@ def search_sharded_bool(
 
     def shard_bool(batches):
         from job_searchengine_project_spark.index import codec
-        from job_searchengine_project_spark.search.engine import SearchEngine
+        from job_searchengine_project_spark.search.engine import (
+            SearchEngine,
+            accumulate_arrays,
+        )
 
         parts = list(batches)
         if not parts:
@@ -568,20 +572,20 @@ def search_sharded_bool(
                 decoded[str(r.term)] = (docs, tfs)
 
             def clause_acc(terms):
-                # sorted-term accumulation — same float order as the
-                # driver engine's accumulate_scores
-                acc: dict[int, float] = {}
-                for t in terms:
-                    if t not in decoded:
-                        continue
-                    docs, tfs = decoded[t]
-                    tfd = tfs.astype(np.float64)
-                    idf = float(np.log1p((n_eff - dfm[t] + 0.5) / (dfm[t] + 0.5)))
-                    dls = norms.arr[docs - norms.lo]
-                    scores = idf * (tfd / (tfd + k1 * (1.0 - b + b * dls / avgdl)))
-                    for d, s in zip(docs.tolist(), scores.tolist()):
-                        acc[d] = acc.get(d, 0.0) + s
-                return acc
+                # vectorized, sorted-term float order — same kernel as
+                # the driver engine's accumulate_scores
+                uniq, sums = accumulate_arrays(
+                    {t: decoded[t] for t in terms if t in decoded},
+                    idf_of=lambda t: float(
+                        np.log1p((n_eff - dfm[t] + 0.5) / (dfm[t] + 0.5))
+                    ),
+                    dl_of=lambda docs: norms.arr[docs - norms.lo],
+                    avgdl=avgdl,
+                    k1=k1,
+                    b=b,
+                    deleted=_EMPTY_DEL,  # decoded arrays are already live-only
+                )
+                return dict(zip(uniq.tolist(), sums.tolist()))
 
             def clause_hits(terms):
                 hits: set[int] = set()

@@ -29,6 +29,45 @@ from job_searchengine_project_spark.index.build import _term_bucket_py
 from job_searchengine_project_spark.search.wand import TermCursor, wand_topk
 
 
+def accumulate_arrays(
+    term_arrays: dict,
+    idf_of,
+    dl_of,
+    avgdl: float,
+    k1: float,
+    b: float,
+    deleted: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized per-doc BM25 accumulation over decoded posting
+    arrays: returns (unique sorted doc_ids, summed scores). Float
+    summation order is the documented sorted-term order — per-term
+    partials concatenate in sorted-term order and a STABLE sort by doc
+    keeps that order inside each doc's reduceat segment, so the sums
+    are bit-identical to a term-by-term scalar accumulation (the shape
+    all parity oracles pin)."""
+    doc_parts, score_parts = [], []
+    for t in sorted(term_arrays):
+        docs, tfs = term_arrays[t]
+        idf = idf_of(t)
+        dls = dl_of(docs)
+        score_parts.append(idf * (tfs / (tfs + k1 * (1.0 - b + b * dls / avgdl))))
+        doc_parts.append(docs)
+    if not doc_parts:
+        return np.empty(0, dtype=np.int64), np.empty(0)
+    all_docs = np.concatenate(doc_parts)
+    all_scores = np.concatenate(score_parts)
+    if deleted.size:
+        live = ~np.isin(all_docs, deleted)
+        all_docs, all_scores = all_docs[live], all_scores[live]
+    if all_docs.size == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0)
+    order = np.argsort(all_docs, kind="stable")
+    d = all_docs[order]
+    s = all_scores[order]
+    starts = np.flatnonzero(np.concatenate(([True], d[1:] != d[:-1])))
+    return d[starts], np.add.reduceat(s, starts)
+
+
 def exhaustive_topk_arrays(
     term_arrays: dict,
     idf_of,
@@ -47,37 +86,16 @@ def exhaustive_topk_arrays(
     ``dl_of(docs)`` resolves doclens (dense driver array or
     shard-local offset array).
 
-    Concatenates per-term partials in sorted-term order and
-    segment-sums per doc with ``np.add.reduceat`` after a stable sort
-    — each doc's contributions add in term order, bit-identical to
-    the DataFrame oracle and to WAND. ``argpartition`` ties at the
-    k-boundary are widened to the full tie set so the (-score,
-    doc_id) sort applies the documented asc-doc_id tie-break exactly.
+    Accumulation is ``accumulate_arrays`` (sorted-term float order);
+    ``argpartition`` ties at the k-boundary are widened to the full
+    tie set so the (-score, doc_id) sort applies the documented
+    asc-doc_id tie-break exactly.
     """
-    doc_parts, score_parts = [], []
-    for t in sorted(term_arrays):
-        docs, tfs = term_arrays[t]
-        idf = idf_of(t)
-        dls = dl_of(docs)
-        score_parts.append(
-            idf * (tfs / (tfs + k1 * (1.0 - b + b * dls / avgdl)))
-        )
-        doc_parts.append(docs)
-    if not doc_parts:
+    uniq, sums = accumulate_arrays(
+        term_arrays, idf_of, dl_of, avgdl, k1, b, deleted
+    )
+    if uniq.size == 0:
         return []
-    all_docs = np.concatenate(doc_parts)
-    all_scores = np.concatenate(score_parts)
-    if deleted.size:
-        live = ~np.isin(all_docs, deleted)
-        all_docs, all_scores = all_docs[live], all_scores[live]
-    if all_docs.size == 0:
-        return []
-    order = np.argsort(all_docs, kind="stable")  # stable: keeps term order per doc
-    d = all_docs[order]
-    s = all_scores[order]
-    starts = np.flatnonzero(np.concatenate(([True], d[1:] != d[:-1])))
-    uniq = d[starts]
-    sums = np.add.reduceat(s, starts)
     if k >= uniq.size:
         idx = np.arange(uniq.size)
     else:
@@ -398,18 +416,50 @@ class SearchEngine:
             prev = cur
         return prev[lb]
 
+    @staticmethod
+    def _delete_variants(term: str, max_edits: int) -> set[str]:
+        """All strings reachable from ``term`` by up to ``max_edits``
+        single-character deletions (term itself included)."""
+        outs = {term}
+        frontier = {term}
+        for _ in range(max_edits):
+            nxt = {w[:i] + w[i + 1 :] for w in frontier for i in range(len(w))}
+            outs |= nxt
+            frontier = nxt
+        return outs
+
+    def _fuzzy_index(self, max_edits: int) -> dict[str, list[str]]:
+        """SymSpell delete-variant index: variant -> dictionary terms.
+        If ed(a, b) <= k then a and b share a <= k-deletion variant, so
+        candidate lookup is O(|variants(term)|) dict probes instead of
+        a full O(V · L²) dictionary scan — the property that keeps
+        fuzzy matching constant-ish per query as the vocabulary grows
+        (the index is ~(1 + L)x the vocabulary in strings for ed 1;
+        at shard scale it persists beside the term dictionary, playing
+        the role Lucene's FST + Levenshtein automaton plays)."""
+        cache = getattr(self, "_fuzzy_cache", None)
+        if cache is None:
+            cache = self._fuzzy_cache = {}
+        if max_edits not in cache:
+            idx: dict[str, list[str]] = {}
+            for t in self.term_dict:
+                for v in self._delete_variants(t, max_edits):
+                    idx.setdefault(v, []).append(t)
+            cache[max_edits] = idx
+        return cache[max_edits]
+
     def fuzzy_expand(self, term: str, max_edits: int = 1) -> list[str]:
         """Dictionary terms within ``max_edits`` of ``term`` (the term
-        itself included when indexed). Length-pruned scan of the term
-        dictionary — Lucene walks the FST with a Levenshtein automaton;
-        same contract, simpler machinery."""
-        out = []
-        for t in self.term_dict:
-            if abs(len(t) - len(term)) > max_edits:
-                continue
-            if self._edit_distance(t, term) <= max_edits:
-                out.append(t)
-        return out
+        itself included when indexed): SymSpell candidate lookup, then
+        exact Levenshtein verification — provably the same set as a
+        full dictionary scan (tested against one)."""
+        idx = self._fuzzy_index(max_edits)
+        cands: set[str] = set()
+        for v in self._delete_variants(term, max_edits):
+            cands.update(idx.get(v, ()))
+        return sorted(
+            t for t in cands if self._edit_distance(t, term) <= max_edits
+        )
 
     def search_fuzzy(
         self, query_terms: list[str], k: int = 10, max_edits: int = 1, **kw
@@ -538,27 +588,22 @@ class SearchEngine:
 
     def accumulate_scores(self, query_terms: list[str]) -> dict[int, float]:
         """Exhaustive OR scoring over decoded postings: every matched
-        live doc's full BM25 score (sorted-term summation order).
-        Building block for multi-field most_fields scoring
-        (index/fielded.py) and the engine-side oracle."""
-        terms = sorted(set(query_terms))
-        segs = self.load_segments(terms)
-        dele = self.tombstones
-        acc: dict[int, float] = {}
-        for t in terms:  # sorted-term summation order == oracle
-            if t not in segs:
-                continue
-            enc = segs[t]
-            docs, tfs = codec.decode_postings(enc)
-            if dele.size:
-                live = ~np.isin(docs, dele)
-                docs, tfs = docs[live], tfs[live]
-            idf = self._idf(enc.count)
-            dls = self.doclens[docs]
-            scores = idf * (tfs / (tfs + BM25_K1 * (1.0 - BM25_B + BM25_B * dls / self.avgdl)))
-            for d, s in zip(docs.tolist(), scores.tolist()):
-                acc[d] = acc.get(d, 0.0) + s
-        return acc
+        live doc's full BM25 score (sorted-term summation order, via
+        the vectorized ``accumulate_arrays`` — no per-posting Python
+        loop). Building block for bool queries, multi-field
+        most_fields scoring (index/fielded.py) and the engine-side
+        oracle."""
+        segs = self.load_segments(sorted(set(query_terms)))
+        uniq, sums = accumulate_arrays(
+            {t: codec.decode_postings(enc) for t, enc in segs.items()},
+            idf_of=lambda t: self._idf(segs[t].count),
+            dl_of=lambda docs: self.doclens[docs],
+            avgdl=self.avgdl,
+            k1=BM25_K1,
+            b=BM25_B,
+            deleted=self.tombstones,
+        )
+        return dict(zip(uniq.tolist(), sums.tolist()))
 
     def search_bruteforce(self, query_terms: list[str], k: int = 10) -> list[SearchHit]:
         """Exhaustive OR scoring over decoded postings (engine-side oracle)."""

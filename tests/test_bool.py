@@ -316,6 +316,22 @@ def test_explain_matches_search(eng):
     assert not miss["matched"] and miss["score"] == 0.0 and miss["terms"] == {}
 
 
+def test_symspell_equals_full_scan(eng):
+    """The delete-variant candidate lookup + exact verify returns the
+    SAME set as a brute-force Levenshtein scan of the dictionary, for
+    indexed terms, misspellings, and garbage, at 1 and 2 edits."""
+    probes = [T_A, T_A[:2] + T_A[3:], T_A + "x", "zzq", T_B, T_C[1:]]
+    for max_edits in (1, 2):
+        for p in probes:
+            brute = [
+                t
+                for t in eng.term_dict
+                if abs(len(t) - len(p)) <= max_edits
+                and eng._edit_distance(t, p) <= max_edits
+            ]
+            assert eng.fuzzy_expand(p, max_edits=max_edits) == brute, (p, max_edits)
+
+
 def test_empty_and_absent(eng):
     assert eng.search_bool(k=10) == []
     assert eng.search_bool(must=["zzz_not_a_term"], k=10, with_urls=False) == []
