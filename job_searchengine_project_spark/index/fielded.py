@@ -196,6 +196,85 @@ class FieldedSearchEngine:
         ``with_positions=True``)."""
         return self.engine(field).search_phrase(query, k=k, **kw)
 
+    def query(self, body: dict) -> dict:
+        """ES search-request parity over the multi-field index: the
+        JSON body the reference's users send to ES (README.md:43-71 —
+        body/title/company match queries, morph similarity) runs
+        unchanged. Leaves name real fields and use that field's
+        analyzer/stats. Supported: match, match_phrase, fuzzy,
+        multi_match (most_fields), bool with field-targeted match
+        leaves (+ minimum_should_match); ``from``/``size`` paginate.
+        Response mirrors ES: hits.total.{value,relation} +
+        hits.hits[]._id/_score."""
+        from job_searchengine_project_spark.search.engine import SearchEngine
+
+        size = int(body.get("size", 10))
+        frm = int(body.get("from", 0))
+        q = body.get("query") or {}
+        pairs: list[tuple[int, float]] = []
+        url_field = None  # engine whose forward index resolves urls
+        if q:
+            ((kind, spec),) = q.items()
+            if kind == "match":
+                field, text = SearchEngine._leaf_field_text(spec)
+                hits = self.search_field(text, field, k=frm + size)[frm:]
+                url_field = field
+                pairs = [(h.doc_id, h.score) for h in hits]
+                urls = {h.doc_id: h.url for h in hits}
+            elif kind == "match_phrase":
+                field, text = SearchEngine._leaf_field_text(spec)
+                hits = self.search_phrase_field(text, field, k=frm + size)[frm:]
+                url_field = field
+                pairs = [(h.doc_id, h.score) for h in hits]
+                urls = {h.doc_id: h.url for h in hits}
+            elif kind == "fuzzy":
+                ((field, val),) = spec.items()
+                term = val.get("value") if isinstance(val, dict) else val
+                fuzz = val.get("fuzziness", 1) if isinstance(val, dict) else 1
+                hits = self.engine(field).search_fuzzy(
+                    [term], k=size, max_edits=int(fuzz), offset=frm
+                )
+                url_field = field
+                pairs = [(h.doc_id, h.score) for h in hits]
+                urls = {h.doc_id: h.url for h in hits}
+            elif kind == "multi_match":
+                pairs = self.search_multi(
+                    spec["query"], fields=spec.get("fields"), k=frm + size
+                )[frm:]
+                urls = None
+            elif kind == "bool":
+                def fpairs(key):
+                    return [
+                        SearchEngine._leaf_field_text(c[next(iter(c))])
+                        for c in spec.get(key, [])
+                    ]
+                pairs = self.search_bool(
+                    must=fpairs("must"), should=fpairs("should"),
+                    must_not=fpairs("must_not"), filter=fpairs("filter"),
+                    minimum_should_match=spec.get("minimum_should_match"),
+                    k=frm + size,
+                )[frm:]
+                urls = None
+            else:
+                raise ValueError(f"unsupported query kind: {kind!r}")
+        else:
+            urls = None
+        if pairs and urls is None:
+            eng = self.engine(url_field or sorted(self.fields)[0])
+            eng._fetch_urls([d for d, _ in pairs])
+            urls = {d: eng.url_of(d) for d, _ in pairs}
+        return {
+            "hits": {
+                "total": {
+                    "value": frm + len(pairs),
+                    "relation": "eq" if len(pairs) < size else "gte",
+                },
+                "hits": [
+                    {"_id": urls[d], "_score": s} for d, s in pairs
+                ],
+            }
+        }
+
     def search_multi(self, query: str, fields: list[str] | None = None, k: int = 10):
         """ES `multi_match` type=most_fields: per-field BM25 scores sum
         per doc. Exact: every matched doc is accumulated per field

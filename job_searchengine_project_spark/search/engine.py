@@ -480,6 +480,80 @@ class SearchEngine:
             return []
         return self.search(sorted(expanded), k=k, **kw)
 
+    # --- ES request-body DSL ------------------------------------------------
+
+    @staticmethod
+    def _leaf_field_text(spec: dict) -> tuple[str, str]:
+        """Unwrap a one-field leaf: {field: "text"} or
+        {field: {"query"/"value": "text", ...}}."""
+        ((field, val),) = spec.items()
+        if isinstance(val, dict):
+            return field, val.get("query", val.get("value", ""))
+        return field, val
+
+    def query(self, body: dict) -> dict:
+        """ES search-request parity: run the JSON body a reference
+        user sends to ES (README.md:43-71 queries are this shape via
+        Kibana) and return an ES-shaped response
+        ``{"hits": {"total": {"value", "relation"}, "hits":
+        [{"_id": url, "_score": score, "_source": stored fields}]}}``.
+
+        Supported query kinds on the single-field engine (the field
+        name in leaves is accepted and ignored — one indexed field):
+        match, match_phrase, fuzzy, bool (with match leaves and
+        minimum_should_match). ``from``/``size`` paginate.
+        ``total.relation`` is "eq" when the page is short of ``size``
+        (every match returned), else "gte" — ES's own
+        track-total-hits cap semantics."""
+        size = int(body.get("size", 10))
+        frm = int(body.get("from", 0))
+        q = body.get("query") or {}
+        if not q:
+            hits: list[SearchHit] = []
+        else:
+            ((kind, spec),) = q.items()
+            if kind == "match":
+                _, text = self._leaf_field_text(spec)
+                hits = self.search_text(text, k=size, offset=frm)
+            elif kind == "match_phrase":
+                _, text = self._leaf_field_text(spec)
+                hits = self.search_phrase(text, k=frm + size)[frm : frm + size]
+            elif kind == "fuzzy":
+                ((_, val),) = spec.items()
+                term = val.get("value") if isinstance(val, dict) else val
+                fuzz = val.get("fuzziness", 1) if isinstance(val, dict) else 1
+                hits = self.search_fuzzy([term], k=size, max_edits=int(fuzz), offset=frm)
+            elif kind == "bool":
+                def texts(key):
+                    return [self._leaf_field_text(c[next(iter(c))])[1]
+                            for c in spec.get(key, [])]
+                hits = self.search_bool(
+                    must=texts("must"), should=texts("should"),
+                    must_not=texts("must_not"), filter=texts("filter"),
+                    minimum_should_match=spec.get("minimum_should_match"),
+                    k=size, offset=frm,
+                )
+            else:
+                raise ValueError(f"unsupported query kind: {kind!r}")
+        with_src = self.stats.get("store_fields", False)
+        out_hits = []
+        for h in hits:
+            if h.url is None:
+                h.url = self.url_of(h.doc_id)
+            entry = {"_id": h.url, "_score": h.score}
+            if with_src:
+                entry["_source"] = self.fields_of(h.doc_id)
+            out_hits.append(entry)
+        return {
+            "hits": {
+                "total": {
+                    "value": frm + len(hits),
+                    "relation": "eq" if len(hits) < size else "gte",
+                },
+                "hits": out_hits,
+            }
+        }
+
     def search_text(self, query: str, k: int = 10, **kw) -> list[SearchHit]:
         """ES `match` semantics: analyze the query string with the
         SAME analyzer as the indexed field (schema/es/es.sh:36-46 —

@@ -332,6 +332,67 @@ def test_symspell_equals_full_scan(eng):
             assert eng.fuzzy_expand(p, max_edits=max_edits) == brute, (p, max_edits)
 
 
+def test_es_dsl_single_index(eng):
+    """The ES JSON request body runs unchanged and equals the direct
+    API calls, including from/size and the response envelope."""
+    # match
+    r = eng.query({"query": {"match": {"body": f"{T_A} {T_B}"}}, "size": 5})
+    want = eng.search_text(f"{T_A} {T_B}", k=5)
+    assert [h["_id"] for h in r["hits"]["hits"]] == [h.url for h in want]
+    assert [h["_score"] for h in r["hits"]["hits"]] == [h.score for h in want]
+    assert r["hits"]["total"]["relation"] == "gte"
+    # bool with msm + from/size pagination
+    body = {
+        "query": {
+            "bool": {
+                "must": [{"match": {"body": T_A}}],
+                "should": [{"match": {"body": T_C}}, {"match": {"body": T_D}}],
+                "must_not": [{"match": {"body": T_B}}],
+                "minimum_should_match": 1,
+            }
+        },
+        "from": 5,
+        "size": 5,
+    }
+    r2 = eng.query(body)
+    want2 = eng.search_bool(
+        must=[T_A], should=[T_C, T_D], must_not=[T_B],
+        minimum_should_match=1, k=5, offset=5,
+    )
+    assert [h["_id"] for h in r2["hits"]["hits"]] == [h.url for h in want2]
+    # fuzzy
+    probe = T_A[:2] + T_A[3:]
+    r3 = eng.query({"query": {"fuzzy": {"body": {"value": probe, "fuzziness": 1}}}})
+    want3 = eng.search_fuzzy([probe], k=10)
+    assert [h["_id"] for h in r3["hits"]["hits"]] == [h.url for h in want3]
+    # empty + unsupported
+    assert eng.query({})["hits"]["hits"] == []
+    with pytest.raises(ValueError):
+        eng.query({"query": {"regexp": {"body": "x"}}})
+
+
+def test_es_dsl_fielded(feng):
+    # field-scoped match == search_field
+    r = feng.query({"query": {"match": {"title": T_A}}, "size": 5})
+    want = feng.search_field(T_A, "title", k=5)
+    assert [h["_id"] for h in r["hits"]["hits"]] == [h.url for h in want]
+    # multi_match == search_multi
+    r2 = feng.query(
+        {"query": {"multi_match": {"query": T_A, "fields": ["title", "body"],
+                                   "type": "most_fields"}}, "size": 5}
+    )
+    want2 = feng.search_multi(T_A, fields=["title", "body"], k=5)
+    assert [h["_score"] for h in r2["hits"]["hits"]] == [s for _, s in want2]
+    # bool with field-targeted clauses == search_bool
+    r3 = feng.query(
+        {"query": {"bool": {"must": [{"match": {"title": T_A}},
+                                     {"match": {"body": T_B}}]}}, "size": 8}
+    )
+    want3 = feng.search_bool(must=[("title", T_A), ("body", T_B)], k=8)
+    assert [h["_score"] for h in r3["hits"]["hits"]] == [s for _, s in want3]
+    assert len(r3["hits"]["hits"]) > 0
+
+
 def test_empty_and_absent(eng):
     assert eng.search_bool(k=10) == []
     assert eng.search_bool(must=["zzz_not_a_term"], k=10, with_urls=False) == []
