@@ -583,6 +583,35 @@ SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT {{limit}}
 """.format(grams_sql=grams_sql, phrase=phrase.lower(), k1=BM25_K1, b=BM25_B, limit=limit)
 
 
+def dsl_bool_top10(spark, sf_dir: str) -> DataFrame:
+    """The same bool query expressed as the raw ES request-body JSON a
+    reference user writes today, run through engine.query() — same
+    oracle as bool_query_top10, so the DSL layer sits under the hash
+    gate end-to-end."""
+    eng = _engine_for(spark, sf_dir)
+    body = {
+        "query": {
+            "bool": {
+                "must": [{"match": {"body": t}} for t in BOOL_MUST],
+                "should": [{"match": {"body": t}} for t in BOOL_SHOULD],
+                "must_not": [{"match": {"body": t}} for t in BOOL_MUST_NOT],
+                "filter": [{"match": {"body": t}} for t in BOOL_FILTER],
+                "minimum_should_match": BOOL_MSM,
+            }
+        },
+        "size": 10**7,
+    }
+    resp = eng.query(body)
+    rows = sorted(
+        (
+            (int(h["_id"].split("doc://")[1]), round(h["_score"], 4))
+            for h in resp["hits"]["hits"]
+        ),
+        key=lambda r: (-r[1], r[0]),
+    )[:K]
+    return spark.createDataFrame(rows, "doc_id bigint, score double")
+
+
 # ---- ES fuzzy match ----------------------------------------------------------
 
 FUZZY_PROBES = ["sprk", "datt"]  # misspellings: expand to spark / data
@@ -817,4 +846,5 @@ QUERIES = {
     "wand_sharded_top10": (wand_sharded_top10, _bm25_sql(QUERY_TERMS, K)),
     "bool_sharded_top10": (bool_sharded_top10, _bool_sql(K)),
     "fuzzy_top10": (fuzzy_top10, _fuzzy_sql(K)),
+    "dsl_bool_top10": (dsl_bool_top10, _bool_sql(K)),
 }
