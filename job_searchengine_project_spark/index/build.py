@@ -290,6 +290,38 @@ def _write_stored_fields(
     )
 
 
+def _write_doc_values(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    cols: list[str],
+    min_doc_id: int = 0,
+) -> None:
+    """Doc-values sidecars for filterable scalar columns (the ES
+    BKD-tree / doc-values analog): per column, ``docvalues/<col>/``
+    holds (doc_id, <col>) rows globally SORTED BY VALUE, so a range or
+    term filter is a pushed parquet read whose row-group statistics
+    prune to the matching value range — never a corpus scan. Kept out
+    of the forward index (and its doc-id shuffle) on purpose; the
+    (url-keyed) join here moves only tiny scalar columns.
+
+    ``min_doc_id`` > 0 appends only the rows of a new update
+    generation (each update adds one value-sorted file set per column
+    — pruning is per-file, so generations stack like segments and a
+    purging compaction can fold them)."""
+    fwd = spark.read.parquet(os.path.join(out_dir, "forward")).select("doc_id", "url")
+    if min_doc_id:
+        fwd = fwd.filter(F.col("doc_id") >= min_doc_id)
+    joined = fwd.join(pages.select("url", *cols), "url")
+    for c in cols:
+        (
+            joined.select("doc_id", c)
+            .orderBy(c)
+            .write.mode("append" if min_doc_id else "overwrite")
+            .parquet(os.path.join(out_dir, "docvalues", c))
+        )
+
+
 def build_index(
     spark: SparkSession,
     pages: DataFrame,
@@ -304,12 +336,14 @@ def build_index(
     store_fields: bool = True,
     stored_buckets: int = 64,
     with_positions: bool = False,
+    doc_values: list[str] | None = None,
     _fail_after_groups: int | None = None,  # test-only fault injection
 ) -> BuildResult:
     os.makedirs(out_dir, exist_ok=True)
     params_fp = (
         f"analyzer={analyzer}|block={block_size}|buckets={term_buckets}"
         + ("|pos" if with_positions else "")
+        + (f"|dv={','.join(sorted(doc_values))}" if doc_values else "")
     )
     stages_run, stages_skipped = [], []
     profile = os.environ.get("JSE_BUILD_PROFILE") == "1"
@@ -378,6 +412,9 @@ def build_index(
                 use_extractor=use_extractor, stored_buckets=stored_buckets,
             )
             _tick("stored fields write")
+        if doc_values:
+            _write_doc_values(spark, pages, out_dir, doc_values)
+            _tick("doc-values write")
         fwd = spark.read.parquet(forward_dir)
         # one forward scan -> per-partition lineage AND global stats
         per_part = (
@@ -400,6 +437,7 @@ def build_index(
             term_buckets=term_buckets, fingerprint=input_fp,
             store_fields=store_fields, stored_buckets=stored_buckets,
             positions=with_positions, use_extractor=use_extractor,
+            doc_values=doc_values,
         )
         _append_lineage(
             spark, lineage_dir, stage="docs", build_fp=input_fp,
@@ -605,7 +643,7 @@ def build_index(
 def _write_stats_dict(
     stats_path, *, n_docs, avgdl, total_tokens, analyzer, block_size,
     term_buckets, fingerprint, store_fields=False, stored_buckets=64,
-    positions=False, use_extractor=False, n_purged=0,
+    positions=False, use_extractor=False, n_purged=0, doc_values=None,
 ):
     stats = {
         "n_docs": int(n_docs),
@@ -625,6 +663,7 @@ def _write_stats_dict(
         # n_docs - n_purged (n_docs itself stays monotonic — it is the
         # doc-ID SPACE, the base for the next update's dense ids)
         "n_purged": int(n_purged),
+        "doc_values": sorted(doc_values) if doc_values else [],
     }
     tmp = stats_path + ".tmp"
     with open(tmp, "w") as f:

@@ -310,5 +310,6 @@ def _purge_dead_docs(spark, out_dir: str, stats: dict, dele: np.ndarray) -> int:
         positions=stats.get("positions", False),
         use_extractor=stats.get("use_extractor", False),
         n_purged=n_purged,
+        doc_values=stats.get("doc_values"),
     )
     return int(dead)

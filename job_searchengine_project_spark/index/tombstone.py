@@ -114,6 +114,7 @@ def delete_docs(spark, index_dir: str, urls: list[str]) -> dict:
         positions=stats.get("positions", False),
         use_extractor=stats.get("use_extractor", False),
         n_purged=stats.get("n_purged", 0),
+        doc_values=stats.get("doc_values"),
     )
     os.remove(os.path.join(index_dir, PENDING_MARKER))
     return {"tombstoned": n}

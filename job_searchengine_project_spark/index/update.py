@@ -62,7 +62,7 @@ from job_searchengine_project_spark.index.prepare import prepare_docs
 
 PENDING_MARKER = "_PENDING_UPDATE.json"
 # update-appended data roots covered by the pending-manifest snapshot
-_TRACKED_SUBDIRS = ("forward", "stored", "segments", "deleted")
+_TRACKED_SUBDIRS = ("forward", "stored", "segments", "deleted", "docvalues")
 
 
 def _list_files(root: str) -> list[str]:
@@ -252,6 +252,16 @@ def update_index(
         )
     if _fail_point == "after_stored":
         raise RuntimeError("injected crash after stored append")
+    if stats.get("doc_values"):
+        from job_searchengine_project_spark.index.build import _write_doc_values
+
+        # new generation's rows only (doc_id >= n_old): one value-sorted
+        # file set per column per update — pruning is per-file, so
+        # generations stack and the pending manifest rolls a crash back
+        _write_doc_values(
+            spark, new_pages, out_dir, list(stats["doc_values"]),
+            min_doc_id=n_old,
+        )
     fwd_new = spark.read.parquet(forward_dir).filter(F.col("doc_id") >= n_old)
     agg = fwd_new.agg(
         F.count("*").alias("m"), F.sum("doclen").alias("tok")
@@ -336,6 +346,7 @@ def update_index(
         positions=stats.get("positions", False),
         use_extractor=use_extractor,
         n_purged=stats.get("n_purged", 0),
+        doc_values=stats.get("doc_values"),
     )
     if _fail_point == "after_commit":
         raise RuntimeError("injected crash after stats commit")

@@ -583,6 +583,97 @@ SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT {{limit}}
 """.format(grams_sql=grams_sql, phrase=phrase.lower(), k1=BM25_K1, b=BM25_B, limit=limit)
 
 
+# ---- doc-values range/term filters -------------------------------------------
+
+DV_RANGE = (150, 450)  # n_chars in [gte, lt)
+DV_LANG = "en"
+
+
+def _dv_engine_for(spark: SparkSession, sf_dir: str):
+    """Morph index over documents WITH doc-values sidecars for
+    n_chars (numeric range filters) and lang (term filters)."""
+    from job_searchengine_project_spark.index.build import build_index
+    from job_searchengine_project_spark.search.engine import SearchEngine
+
+    key = f"dv:{os.path.abspath(sf_dir)}"
+    if key not in _ENGINE_CACHE:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        pages = docs.select(
+            F.format_string("doc://%08d", F.col("doc_id")).alias("url"),
+            F.col("text"), F.col("n_chars"), F.col("lang"),
+        )
+        out = os.path.join(
+            tempfile.gettempdir(), "jse_idx_" + key.replace(os.sep, "_").replace(":", "_")
+        )
+        build_index(
+            spark, pages, out, resume=True, doc_values=["n_chars", "lang"]
+        )
+        _ENGINE_CACHE[key] = SearchEngine(out)
+    return _ENGINE_CACHE[key]
+
+
+def range_filter_top10(spark, sf_dir: str) -> DataFrame:
+    """ES range + term filters over doc-values sidecars, inside a bool
+    request body: must clauses score, the n_chars range and lang term
+    gate without scoring (filter context). The oracle re-derives the
+    gate from the raw columns."""
+    eng = _dv_engine_for(spark, sf_dir)
+    body = {
+        "query": {
+            "bool": {
+                "must": [{"match": {"body": t}} for t in BOOL_MUST],
+                "filter": [
+                    {"range": {"n_chars": {"gte": DV_RANGE[0], "lt": DV_RANGE[1]}}},
+                    {"term": {"lang": DV_LANG}},
+                ],
+            }
+        },
+        "size": 10**7,
+    }
+    resp = eng.query(body)
+    rows = sorted(
+        (
+            (int(h["_id"].split("doc://")[1]), round(h["_score"], 4))
+            for h in resp["hits"]["hits"]
+        ),
+        key=lambda r: (-r[1], r[0]),
+    )[:K]
+    return spark.createDataFrame(rows, "doc_id bigint, score double")
+
+
+def _range_filter_sql(limit: int) -> str:
+    terms_sql = ", ".join(f"'{t}'" for t in BOOL_MUST)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.tok AS term
+  FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+  WHERE length(t.tok) > 1
+),
+dl AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(doclen) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ({terms_sql}) GROUP BY doc_id, term),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+part AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + (s.n - dft.df + 0.5) / (dft.df + 0.5))
+           * (tf.tf / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.doclen / s.avgdl))) AS p
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+),
+m0 AS (SELECT doc_id, p FROM part WHERE term = '{BOOL_MUST[0]}'),
+m1 AS (SELECT doc_id, p FROM part WHERE term = '{BOOL_MUST[1]}'),
+fset AS (
+  SELECT doc_id FROM documents
+  WHERE n_chars >= {DV_RANGE[0]} AND n_chars < {DV_RANGE[1]} AND lang = '{DV_LANG}'
+),
+scored AS (
+  SELECT m0.doc_id, round(m0.p + m1.p, 4) AS score
+  FROM m0 JOIN m1 USING (doc_id) JOIN fset USING (doc_id)
+)
+SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT {limit}
+"""
+
+
 def dsl_bool_top10(spark, sf_dir: str) -> DataFrame:
     """The same bool query expressed as the raw ES request-body JSON a
     reference user writes today, run through engine.query() — same
@@ -847,4 +938,5 @@ QUERIES = {
     "bool_sharded_top10": (bool_sharded_top10, _bool_sql(K)),
     "fuzzy_top10": (fuzzy_top10, _fuzzy_sql(K)),
     "dsl_bool_top10": (dsl_bool_top10, _bool_sql(K)),
+    "range_filter_top10": (range_filter_top10, _range_filter_sql(K)),
 }

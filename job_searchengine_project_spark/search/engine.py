@@ -480,6 +480,48 @@ class SearchEngine:
             return []
         return self.search(sorted(expanded), k=k, **kw)
 
+    def doc_values_docs(
+        self,
+        col: str,
+        *,
+        eq=None,
+        gte=None,
+        gt=None,
+        lte=None,
+        lt=None,
+    ) -> set[int]:
+        """Live doc_ids matching a term (``eq``) or range filter on a
+        doc-values column (index/build.py _write_doc_values). The
+        sidecar is value-sorted, so the pyarrow read pushes the bounds
+        into parquet row-group statistics and touches only the
+        matching value range — the ES BKD-tree / doc-values filter
+        analog, never a corpus scan."""
+        if col not in self.stats.get("doc_values", []):
+            raise KeyError(
+                f"no doc-values for {col!r}; built columns: "
+                f"{self.stats.get('doc_values', [])}"
+            )
+        expr = None
+        for bound, val in (
+            (pads.field(col) == eq, eq),
+            (pads.field(col) >= gte, gte),
+            (pads.field(col) > gt, gt),
+            (pads.field(col) <= lte, lte),
+            (pads.field(col) < lt, lt),
+        ):
+            if val is not None:
+                expr = bound if expr is None else expr & bound
+        if expr is None:
+            raise ValueError("doc_values_docs needs at least one bound")
+        tbl = pads.dataset(
+            os.path.join(self.index_dir, "docvalues", col)
+        ).to_table(columns=["doc_id"], filter=expr)
+        docs = set(tbl.column("doc_id").to_pylist())
+        dele = self.tombstones
+        if dele.size and docs:
+            docs.difference_update(dele.tolist())
+        return docs
+
     # --- ES request-body DSL ------------------------------------------------
 
     @staticmethod
@@ -523,13 +565,41 @@ class SearchEngine:
                 term = val.get("value") if isinstance(val, dict) else val
                 fuzz = val.get("fuzziness", 1) if isinstance(val, dict) else 1
                 hits = self.search_fuzzy([term], k=size, max_edits=int(fuzz), offset=frm)
-            elif kind == "bool":
-                def texts(key):
-                    return [self._leaf_field_text(c[next(iter(c))])[1]
-                            for c in spec.get(key, [])]
+            elif kind in ("bool", "range", "term"):
+                if kind != "bool":  # standalone filter query sugar
+                    spec = {"filter": [{kind: spec}]}
+
+                def split(key, sets_ok):
+                    """Partition a clause list into match texts and
+                    doc-values hit sets (range/term leaves — ES filter
+                    context; scoring contexts reject them here)."""
+                    texts, sets = [], []
+                    for c in spec.get(key, []):
+                        ((ck, cs),) = c.items()
+                        if ck == "match":
+                            texts.append(self._leaf_field_text(cs)[1])
+                        elif ck in ("range", "term"):
+                            if not sets_ok:
+                                raise ValueError(
+                                    f"{ck} clauses are filter-context only"
+                                )
+                            ((col, bounds),) = cs.items()
+                            if ck == "term":
+                                sets.append(self.doc_values_docs(col, eq=bounds))
+                            else:
+                                sets.append(self.doc_values_docs(col, **bounds))
+                        else:
+                            raise ValueError(f"unsupported bool leaf: {ck!r}")
+                    return texts, sets
+
+                must_t, _ = split("must", sets_ok=False)
+                should_t, _ = split("should", sets_ok=False)
+                not_t, not_s = split("must_not", sets_ok=True)
+                filt_t, filt_s = split("filter", sets_ok=True)
                 hits = self.search_bool(
-                    must=texts("must"), should=texts("should"),
-                    must_not=texts("must_not"), filter=texts("filter"),
+                    must=must_t, should=should_t,
+                    must_not=not_t, filter=filt_t,
+                    filter_docs=filt_s, must_not_docs=not_s,
                     minimum_should_match=spec.get("minimum_should_match"),
                     k=size, offset=frm,
                 )
@@ -765,6 +835,8 @@ class SearchEngine:
         minimum_should_match: int | None = None,
         with_urls: bool = True,
         offset: int = 0,
+        filter_docs: list[set[int]] = (),
+        must_not_docs: list[set[int]] = (),
     ) -> list[SearchHit]:
         """ES `bool` compound query (the reference's ES surface accepts
         it on every indexed field; published queries are single-clause
@@ -787,16 +859,17 @@ class SearchEngine:
         shard-local, like index/sharded.py's kernels)."""
         must, should = list(must), list(should)
         must_not, filter = list(must_not), list(filter)
+        filter_docs, must_not_docs = list(filter_docs), list(must_not_docs)
         if minimum_should_match is None:
-            minimum_should_match = 0 if (must or filter) else 1
-        if not (must or filter or should):
+            minimum_should_match = 0 if (must or filter or filter_docs) else 1
+        if not (must or filter or should or filter_docs):
             return []
 
         scored = self.bool_algebra(
             [self.accumulate_scores(self._analyze(q)) for q in must],
             [self.accumulate_scores(self._analyze(q)) for q in should],
-            [self._match_docs(self._analyze(q)) for q in must_not],
-            [self._match_docs(self._analyze(q)) for q in filter],
+            [self._match_docs(self._analyze(q)) for q in must_not] + must_not_docs,
+            [self._match_docs(self._analyze(q)) for q in filter] + filter_docs,
             minimum_should_match,
         )
         out = [

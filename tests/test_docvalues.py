@@ -1,0 +1,120 @@
+"""Doc-values sidecars: value-sorted per-column filter artifacts
+(index/build.py _write_doc_values) behind ES range/term filters."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from job_searchengine_project_spark.index.build import build_index
+from job_searchengine_project_spark.index.update import update_index
+from job_searchengine_project_spark.search.engine import SearchEngine
+
+
+@pytest.fixture(scope="module")
+def dv_index(spark, webpages_small, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("idxdv"))
+    pages = webpages_small.withColumn(
+        "n_chars", F.length("text")
+    ).withColumn("site", F.substring("url", 9, 7))
+    build_index(spark, pages, out, doc_values=["n_chars", "site"])
+    return out, pages
+
+
+def _truth(spark, out, pages, pred):
+    fwd = spark.read.parquet(os.path.join(out, "forward")).select("doc_id", "url")
+    return {
+        r["doc_id"]
+        for r in fwd.join(pages.filter(pred).select("url"), "url").collect()
+    }
+
+
+def test_range_and_term_match_bruteforce(spark, dv_index):
+    out, pages = dv_index
+    eng = SearchEngine(out)
+    got = eng.doc_values_docs("n_chars", gte=500, lt=900)
+    want = _truth(spark, out, pages, (F.col("n_chars") >= 500) & (F.col("n_chars") < 900))
+    assert got == want and got
+    site = pages.select("site").first()["site"]
+    got_t = eng.doc_values_docs("site", eq=site)
+    want_t = _truth(spark, out, pages, F.col("site") == site)
+    assert got_t == want_t and got_t
+
+
+def test_sidecar_files_are_value_sorted(dv_index):
+    out, _ = dv_index
+    root = os.path.join(out, "docvalues", "n_chars")
+    vals = []
+    for f in sorted(os.listdir(root)):
+        if f.endswith(".parquet"):
+            col = pq.read_table(os.path.join(root, f), columns=["n_chars"])
+            v = col.column("n_chars").to_pylist()
+            assert v == sorted(v), f  # row-group stats prune only if sorted
+            vals += v
+    assert vals
+
+
+def test_unknown_column_and_no_bounds(dv_index):
+    out, _ = dv_index
+    eng = SearchEngine(out)
+    with pytest.raises(KeyError):
+        eng.doc_values_docs("nope", eq=1)
+    with pytest.raises(ValueError):
+        eng.doc_values_docs("n_chars")
+
+
+def test_update_appends_doc_values(spark, webpages_small, tmp_path):
+    from job_searchengine_project_spark.corpus import generate_webpages
+
+    out = str(tmp_path / "idx")
+    with_cols = lambda df: df.withColumn("n_chars", F.length("text")).withColumn(
+        "site", F.substring("url", 9, 7)
+    )
+    base = with_cols(webpages_small)
+    build_index(spark, base, out, doc_values=["n_chars", "site"])
+    extra = with_cols(
+        generate_webpages(spark, n_docs=80, vocab_size=500, seed=99).withColumn(
+            "url", F.concat(F.lit("upd-"), F.col("url"))
+        )
+    )
+    update_index(spark, extra, out)
+    eng = SearchEngine(out)
+    got = eng.doc_values_docs("n_chars", gte=0)
+    assert len(got) == 380  # base 300 + 80 new docs all present
+    # bool filter over the combined generations agrees with brute force
+    pages_all = base.unionByName(extra)
+    want = _truth(spark, out, pages_all, F.col("n_chars") >= 700)
+    assert eng.doc_values_docs("n_chars", gte=700) == want
+
+
+def test_dsl_range_filter_end_to_end(spark, dv_index):
+    out, pages = dv_index
+    eng = SearchEngine(out)
+    from job_searchengine_project_spark.corpus import HEAD_TERMS
+
+    t = HEAD_TERMS[1]
+    body = {
+        "query": {
+            "bool": {
+                "must": [{"match": {"body": t}}],
+                "filter": [{"range": {"n_chars": {"gte": 400}}}],
+            }
+        },
+        "size": 10**6,
+    }
+    resp = eng.query(body)
+    base = {h.doc_id: h.score for h in eng.search_bool(must=[t], k=10**6, with_urls=False)}
+    gate = eng.doc_values_docs("n_chars", gte=400)
+    ids = [h["_id"] for h in resp["hits"]["hits"]]
+    # resolve returned urls back to doc ids via the forward index
+    fwd = {r["url"]: r["doc_id"] for r in spark.read.parquet(os.path.join(out, "forward")).select("url", "doc_id").collect()}
+    got_ids = {fwd[u] for u in ids}
+    assert got_ids == set(base) & gate and got_ids
+    for h in resp["hits"]["hits"]:  # filter context: scores unchanged
+        assert h["_score"] == base[fwd[h["_id"]]]
+    # range in a scoring context is rejected
+    with pytest.raises(ValueError):
+        eng.query({"query": {"bool": {"must": [{"range": {"n_chars": {"gte": 1}}}]}}})
