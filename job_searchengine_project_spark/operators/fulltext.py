@@ -674,6 +674,64 @@ SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT {limit}
 """
 
 
+def terms_agg(spark, sf_dir: str) -> DataFrame:
+    """ES `terms` aggregation inside a query context (the Kibana
+    dashboard shape): per-lang live-doc counts over the docs matching
+    'spark', desc count then asc key — oracle'd by a plain GROUP BY."""
+    eng = _dv_engine_for(spark, sf_dir)
+    resp = eng.query(
+        {
+            "query": {"match": {"body": "spark"}},
+            "size": 0,
+            "aggs": {"langs": {"terms": {"field": "lang", "size": 10}}},
+        }
+    )
+    rows = [
+        (b["key"], int(b["doc_count"]))
+        for b in resp["aggregations"]["langs"]["buckets"]
+    ]
+    return spark.createDataFrame(rows, "key string, doc_count bigint")
+
+
+TERMS_AGG_SQL = """
+WITH toks AS (
+  SELECT doc_id, t.tok AS term
+  FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+  WHERE length(t.tok) > 1
+),
+hit AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark')
+SELECT d.lang AS key, count(*)::BIGINT AS doc_count
+FROM documents d JOIN hit USING (doc_id)
+GROUP BY d.lang ORDER BY doc_count DESC, key LIMIT 10
+"""
+
+
+def histogram_agg(spark, sf_dir: str) -> DataFrame:
+    """ES `histogram` aggregation under a term filter: n_chars in
+    interval-100 buckets over lang='en' docs (empty buckets omitted,
+    ES min_doc_count=1 shape)."""
+    eng = _dv_engine_for(spark, sf_dir)
+    resp = eng.query(
+        {
+            "query": {"bool": {"filter": [{"term": {"lang": DV_LANG}}]}},
+            "size": 0,
+            "aggs": {"h": {"histogram": {"field": "n_chars", "interval": 100}}},
+        }
+    )
+    rows = [
+        (float(b["key"]), int(b["doc_count"]))
+        for b in resp["aggregations"]["h"]["buckets"]
+    ]
+    return spark.createDataFrame(rows, "key double, doc_count bigint")
+
+
+HISTOGRAM_AGG_SQL = f"""
+SELECT (floor(n_chars / 100) * 100)::DOUBLE AS key, count(*)::BIGINT AS doc_count
+FROM documents WHERE lang = '{DV_LANG}'
+GROUP BY key ORDER BY key
+"""
+
+
 def dsl_bool_top10(spark, sf_dir: str) -> DataFrame:
     """The same bool query expressed as the raw ES request-body JSON a
     reference user writes today, run through engine.query() — same
@@ -939,4 +997,6 @@ QUERIES = {
     "fuzzy_top10": (fuzzy_top10, _fuzzy_sql(K)),
     "dsl_bool_top10": (dsl_bool_top10, _bool_sql(K)),
     "range_filter_top10": (range_filter_top10, _range_filter_sql(K)),
+    "terms_agg": (terms_agg, TERMS_AGG_SQL),
+    "histogram_agg": (histogram_agg, HISTOGRAM_AGG_SQL),
 }

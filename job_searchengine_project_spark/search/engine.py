@@ -522,6 +522,62 @@ class SearchEngine:
             docs.difference_update(dele.tolist())
         return docs
 
+    # --- aggregations -------------------------------------------------------
+
+    def _doc_values_table(self, col: str, doc_filter: set[int] | None):
+        if col not in self.stats.get("doc_values", []):
+            raise KeyError(
+                f"no doc-values for {col!r}; built columns: "
+                f"{self.stats.get('doc_values', [])}"
+            )
+        tbl = pads.dataset(
+            os.path.join(self.index_dir, "docvalues", col)
+        ).to_table(columns=["doc_id", col])
+        ids = tbl.column("doc_id").to_numpy()
+        vals = tbl.column(col)
+        mask = None
+        dele = self.tombstones
+        if dele.size:
+            mask = ~np.isin(ids, dele)
+        if doc_filter is not None:
+            keep = np.isin(ids, np.fromiter(doc_filter, dtype=np.int64))
+            mask = keep if mask is None else (mask & keep)
+        if mask is not None:
+            ids, vals = ids[mask], vals.filter(mask)
+        return ids, vals
+
+    def aggregate_terms(
+        self, col: str, size: int = 10, doc_filter: set[int] | None = None
+    ) -> list[tuple[object, int]]:
+        """ES `terms` aggregation over a doc-values column: the top
+        ``size`` values by live-doc count (desc count, then asc value —
+        ES's own tie order). ``doc_filter`` scopes the agg to a query's
+        hit set (ES aggs run inside the query context). Driver-side
+        over the columnar sidecar; at cluster scale the same agg is one
+        Spark groupBy on the sidecar table."""
+        _, vals = self._doc_values_table(col, doc_filter)
+        import collections
+
+        counts = collections.Counter(vals.to_pylist())
+        return sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:size]
+
+    def aggregate_histogram(
+        self,
+        col: str,
+        interval: float,
+        doc_filter: set[int] | None = None,
+    ) -> list[tuple[float, int]]:
+        """ES `histogram` aggregation: live-doc counts in
+        floor(value / interval) * interval buckets, ascending, empty
+        buckets omitted (ES min_doc_count=1 shape)."""
+        _, vals = self._doc_values_table(col, doc_filter)
+        arr = vals.to_numpy(zero_copy_only=False).astype(np.float64)
+        if arr.size == 0:
+            return []
+        keys = np.floor(arr / interval) * interval
+        uniq, cnt = np.unique(keys, return_counts=True)
+        return [(float(u), int(c)) for u, c in zip(uniq, cnt)]
+
     # --- ES request-body DSL ------------------------------------------------
 
     @staticmethod
@@ -550,6 +606,38 @@ class SearchEngine:
         size = int(body.get("size", 10))
         frm = int(body.get("from", 0))
         q = body.get("query") or {}
+        hits = self._query_hits(q, size, frm)
+        aggs_spec = body.get("aggs") or body.get("aggregations")
+        aggregations = None
+        if aggs_spec:
+            # ES aggs run over the FULL query hit set, not the page —
+            # re-evaluate unpaged (no query -> whole live index scope)
+            doc_filter = (
+                {h.doc_id for h in self._query_hits(q, 10**9, 0)} if q else None
+            )
+            aggregations = {}
+            for name, aspec in aggs_spec.items():
+                ((akind, aargs),) = aspec.items()
+                if akind == "terms":
+                    buckets = self.aggregate_terms(
+                        aargs["field"], size=int(aargs.get("size", 10)),
+                        doc_filter=doc_filter,
+                    )
+                elif akind == "histogram":
+                    buckets = self.aggregate_histogram(
+                        aargs["field"], interval=float(aargs["interval"]),
+                        doc_filter=doc_filter,
+                    )
+                else:
+                    raise ValueError(f"unsupported agg kind: {akind!r}")
+                aggregations[name] = {
+                    "buckets": [
+                        {"key": k, "doc_count": n} for k, n in buckets
+                    ]
+                }
+        return self._query_response(hits, size, frm, aggregations)
+
+    def _query_hits(self, q: dict, size: int, frm: int) -> list["SearchHit"]:
         if not q:
             hits: list[SearchHit] = []
         else:
@@ -605,6 +693,11 @@ class SearchEngine:
                 )
             else:
                 raise ValueError(f"unsupported query kind: {kind!r}")
+        return hits
+
+    def _query_response(
+        self, hits: list["SearchHit"], size: int, frm: int, aggregations=None
+    ) -> dict:
         with_src = self.stats.get("store_fields", False)
         out_hits = []
         for h in hits:
@@ -614,7 +707,7 @@ class SearchEngine:
             if with_src:
                 entry["_source"] = self.fields_of(h.doc_id)
             out_hits.append(entry)
-        return {
+        out = {
             "hits": {
                 "total": {
                     "value": frm + len(hits),
@@ -623,6 +716,9 @@ class SearchEngine:
                 "hits": out_hits,
             }
         }
+        if aggregations is not None:
+            out["aggregations"] = aggregations
+        return out
 
     def search_text(self, query: str, k: int = 10, **kw) -> list[SearchHit]:
         """ES `match` semantics: analyze the query string with the

@@ -90,6 +90,37 @@ def test_update_appends_doc_values(spark, webpages_small, tmp_path):
     assert eng.doc_values_docs("n_chars", gte=700) == want
 
 
+def test_aggregations(spark, dv_index):
+    out, pages = dv_index
+    eng = SearchEngine(out)
+    # unscoped terms agg == full group-by
+    want = {
+        (r["site"], r["cnt"])
+        for r in pages.groupBy("site").agg(F.count("*").alias("cnt")).collect()
+    }
+    got = set(eng.aggregate_terms("site", size=10**6))
+    assert got == want
+    # doc_filter scopes the agg (ES query context)
+    gate = eng.doc_values_docs("n_chars", gte=700)
+    scoped = dict(eng.aggregate_terms("site", size=10**6, doc_filter=gate))
+    fwd = {r["doc_id"]: r["url"] for r in spark.read.parquet(out + "/forward").select("doc_id", "url").collect()}
+    sites = {r["url"]: r["site"] for r in pages.select("url", "site").collect()}
+    want_scoped: dict = {}
+    for d in gate:
+        want_scoped[sites[fwd[d]]] = want_scoped.get(sites[fwd[d]], 0) + 1
+    assert scoped == want_scoped
+    # histogram buckets ascending, counts sum to corpus size
+    h = eng.aggregate_histogram("n_chars", interval=200)
+    assert [k for k, _ in h] == sorted(k for k, _ in h)
+    assert sum(n for _, n in h) == 300
+    # DSL envelope + unsupported agg kind
+    resp = eng.query({"size": 0, "aggs": {"s": {"terms": {"field": "site"}}}})
+    assert resp["aggregations"]["s"]["buckets"]
+    assert resp["hits"]["hits"] == []
+    with pytest.raises(ValueError):
+        eng.query({"aggs": {"x": {"avg": {"field": "n_chars"}}}})
+
+
 def test_dsl_range_filter_end_to_end(spark, dv_index):
     out, pages = dv_index
     eng = SearchEngine(out)
