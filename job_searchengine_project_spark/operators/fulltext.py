@@ -674,6 +674,42 @@ SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT {limit}
 """
 
 
+def sort_by_field_top10(spark, sf_dir: str) -> DataFrame:
+    """ES field sort (doc-values sort): docs matching 'spark' ranked
+    by n_chars DESC (tie asc doc_id, pinned) — relevance replaced by a
+    field ordering, the other half of ES's ranking surface."""
+    eng = _dv_engine_for(spark, sf_dir)
+    resp = eng.query(
+        {
+            "query": {"match": {"body": "spark"}},
+            "sort": [{"n_chars": {"order": "desc"}}],
+            "size": 10**7,  # all matches: the engine tie-breaks on its
+            # INTERNAL doc ids; re-rank on the table ids like the oracle
+        }
+    )
+    rows = sorted(
+        (
+            (int(h["_id"].split("doc://")[1]), int(h["sort"][0]))
+            for h in resp["hits"]["hits"]
+        ),
+        key=lambda r: (-r[1], r[0]),
+    )[:K]
+    return spark.createDataFrame(rows, "doc_id bigint, n_chars bigint")
+
+
+SORT_BY_FIELD_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, t.tok AS term
+  FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+  WHERE length(t.tok) > 1
+),
+hit AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark')
+SELECT d.doc_id, d.n_chars
+FROM documents d JOIN hit USING (doc_id)
+ORDER BY d.n_chars DESC, d.doc_id LIMIT {K}
+"""
+
+
 def terms_agg(spark, sf_dir: str) -> DataFrame:
     """ES `terms` aggregation inside a query context (the Kibana
     dashboard shape): per-lang live-doc counts over the docs matching
@@ -999,4 +1035,5 @@ QUERIES = {
     "range_filter_top10": (range_filter_top10, _range_filter_sql(K)),
     "terms_agg": (terms_agg, TERMS_AGG_SQL),
     "histogram_agg": (histogram_agg, HISTOGRAM_AGG_SQL),
+    "sort_by_field_top10": (sort_by_field_top10, SORT_BY_FIELD_SQL),
 }

@@ -606,7 +606,49 @@ class SearchEngine:
         size = int(body.get("size", 10))
         frm = int(body.get("from", 0))
         q = body.get("query") or {}
-        hits = self._query_hits(q, size, frm)
+        sort_spec = body.get("sort")
+        if sort_spec:
+            # field sort (ES doc-values sort): rank the FULL hit set by
+            # the sort keys, then page. Keys are doc-values columns or
+            # "_score"; final tie-break asc doc_id (pinned — ES leaves
+            # it undefined). Each hit carries its "sort" values.
+            hits = self._query_hits(q, 10**9, 0)
+            keys = []
+            for s in sort_spec:
+                if isinstance(s, str):
+                    col, order = s, "asc"
+                else:
+                    ((col, spec),) = s.items()
+                    order = (spec.get("order", "asc") if isinstance(spec, dict) else spec)
+                keys.append((col, order))
+            vals: dict[str, dict[int, object]] = {}
+            for col, _ in keys:
+                if col == "_score":
+                    continue
+                ids, v = self._doc_values_table(col, {h.doc_id for h in hits})
+                vals[col] = dict(zip(ids.tolist(), v.to_pylist()))
+
+            # stable successive sorts (last key first) handle desc on
+            # any comparable type, strings included
+            hits.sort(key=lambda h: h.doc_id)
+            for col, order in reversed(keys):
+                hits.sort(
+                    key=lambda h, c=col: (
+                        h.score if c == "_score" else vals[c][h.doc_id]
+                    ),
+                    reverse=(order == "desc"),
+                )
+            self._last_sort_values = {
+                h.doc_id: [
+                    h.score if c == "_score" else vals[c][h.doc_id]
+                    for c, _ in keys
+                ]
+                for h in hits[frm : frm + size]
+            }
+            hits = hits[frm : frm + size]
+        else:
+            self._last_sort_values = None
+            hits = self._query_hits(q, size, frm)
         aggs_spec = body.get("aggs") or body.get("aggregations")
         aggregations = None
         if aggs_spec:
@@ -704,6 +746,9 @@ class SearchEngine:
             if h.url is None:
                 h.url = self.url_of(h.doc_id)
             entry = {"_id": h.url, "_score": h.score}
+            sv = getattr(self, "_last_sort_values", None)
+            if sv is not None:
+                entry["sort"] = sv[h.doc_id]
             if with_src:
                 entry["_source"] = self.fields_of(h.doc_id)
             out_hits.append(entry)

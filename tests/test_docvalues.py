@@ -90,6 +90,38 @@ def test_update_appends_doc_values(spark, webpages_small, tmp_path):
     assert eng.doc_values_docs("n_chars", gte=700) == want
 
 
+def test_field_sort(spark, dv_index):
+    out, pages = dv_index
+    eng = SearchEngine(out)
+    from job_searchengine_project_spark.corpus import HEAD_TERMS
+
+    t = HEAD_TERMS[1]
+    resp = eng.query(
+        {"query": {"match": {"b": t}},
+         "sort": [{"site": "desc"}, {"n_chars": {"order": "asc"}}],
+         "size": 10**6}
+    )
+    hits = resp["hits"]["hits"]
+    assert hits
+    keys = [(h["sort"][0], h["sort"][1]) for h in hits]
+    # desc site (string) first, asc n_chars inside equal sites
+    for a, b in zip(keys, keys[1:]):
+        assert a[0] > b[0] or (a[0] == b[0] and a[1] <= b[1])
+    # same doc set as the unsorted query
+    plain = eng.query({"query": {"match": {"b": t}}, "size": 10**6})
+    assert {h["_id"] for h in hits} == {h["_id"] for h in plain["hits"]["hits"]}
+    # sort pagination tiles
+    p1 = eng.query({"query": {"match": {"b": t}},
+                    "sort": [{"n_chars": "asc"}], "from": 0, "size": 5})
+    p2 = eng.query({"query": {"match": {"b": t}},
+                    "sort": [{"n_chars": "asc"}], "from": 5, "size": 5})
+    full = eng.query({"query": {"match": {"b": t}},
+                      "sort": [{"n_chars": "asc"}], "size": 10})
+    assert [h["_id"] for h in p1["hits"]["hits"] + p2["hits"]["hits"]] == [
+        h["_id"] for h in full["hits"]["hits"]
+    ]
+
+
 def test_aggregations(spark, dv_index):
     out, pages = dv_index
     eng = SearchEngine(out)
