@@ -59,6 +59,9 @@ HEADLINE = [
     "bool_query_top10",
     "fielded_search_top10",
     "upsert_purge_top10",
+    "fuzzy_top10",
+    "range_filter_top10",
+    "terms_agg",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -153,6 +153,50 @@ def test_aggregations(spark, dv_index):
         eng.query({"aggs": {"x": {"avg": {"field": "n_chars"}}}})
 
 
+def _hash_tree(root):
+    import hashlib
+
+    out = {}
+    for r, _, fs in os.walk(root):
+        for f in fs:
+            p = os.path.join(r, f)
+            out[os.path.relpath(p, root)] = hashlib.md5(open(p, "rb").read()).hexdigest()
+    return out
+
+
+def test_docvalues_crash_rolls_back_and_replays(spark, webpages_small, tmp_path):
+    """A crashed update (after the doc-values append, before the stats
+    commit) must roll the docvalues sidecars back with everything else
+    — the new subdir is covered by the pending manifest — and the
+    replay must land the combined filter set exactly once."""
+    from job_searchengine_project_spark.index.update import recover_index
+
+    out = str(tmp_path / "idx")
+    with_cols = lambda df: df.withColumn("n_chars", F.length("text"))
+    a = with_cols(webpages_small.limit(200))
+    b = with_cols(webpages_small).subtract(a)
+    build_index(spark, a, out, target_postings_per_salt=50,
+                term_buckets=16, doc_values=["n_chars"])
+    pre = _hash_tree(os.path.join(out, "docvalues"))
+    base_set = SearchEngine(out).doc_values_docs("n_chars", gte=0)
+
+    with pytest.raises(RuntimeError, match="injected crash"):
+        update_index(spark, b, out, target_postings_per_salt=50,
+                     _fail_point="after_segments")
+    recover_index(out)
+    assert _hash_tree(os.path.join(out, "docvalues")) == pre
+    assert SearchEngine(out).doc_values_docs("n_chars", gte=0) == base_set
+
+    update_index(spark, b, out, target_postings_per_salt=50)
+    eng = SearchEngine(out)
+    assert len(eng.doc_values_docs("n_chars", gte=0)) == 300  # no dup rows
+    # values still correct for the replayed generation
+    want = _truth(
+        spark, out, with_cols(webpages_small), F.col("n_chars") >= 900
+    )
+    assert eng.doc_values_docs("n_chars", gte=900) == want
+
+
 def test_dsl_range_filter_end_to_end(spark, dv_index):
     out, pages = dv_index
     eng = SearchEngine(out)
