@@ -53,12 +53,19 @@ def build_fielded_index(
     fields: dict[str, str],
     store_fields: bool = True,
     stored_buckets: int = 64,
+    doc_values: list[str] | None = None,
     **build_kw,
 ) -> dict:
     """Build one sub-index per (column -> analyzer) entry.
 
     ``pages`` must carry ``url`` plus one column per field name. Extra
-    build_index kwargs apply to every sub-index."""
+    build_index kwargs apply to every sub-index. ``doc_values``
+    columns get ONE set of value-sorted sidecars at the TOP level
+    (docvalues/<col>/) — doc ids are shared across every field's
+    sub-index (deterministic url-derived assignment), so one sidecar
+    serves range/term filters, sorts and aggs for all of them, exactly
+    as ES keeps one doc-values store per index regardless of how many
+    fields are analyzed."""
     from job_searchengine_project_spark.index.build import (
         _write_stored_fields,
         build_index,
@@ -92,10 +99,27 @@ def build_fielded_index(
             os.path.join(out_dir, "stored"),
             use_extractor=False, stored_buckets=stored_buckets,
         )
+    if doc_values:
+        # the sidecar writer resolves doc ids through a forward index;
+        # every sub-index agrees on them, so point it at the first
+        from job_searchengine_project_spark.index.build import _write_doc_values
+
+        first = next(iter(fields))
+        _write_doc_values(
+            spark, pages, os.path.join(out_dir, "fields", first), doc_values
+        )
+        src = os.path.join(out_dir, "fields", first, "docvalues")
+        dst = os.path.join(out_dir, "docvalues")
+        if os.path.exists(dst):
+            import shutil
+
+            shutil.rmtree(dst)
+        os.rename(src, dst)
     with open(os.path.join(out_dir, FIELDS_MANIFEST), "w") as f:
         json.dump(
             {"fields": fields, "store_fields": bool(store_fields),
-             "stored_buckets": int(stored_buckets)},
+             "stored_buckets": int(stored_buckets),
+             "doc_values": sorted(doc_values) if doc_values else []},
             f,
         )
     return results
@@ -145,6 +169,19 @@ class FieldedSearchEngine:
         THAT field's analyzer and scored with its df/avgdl stats."""
         return self.engine(field).search_text(query, k=k, **kw)
 
+    def doc_values_docs(self, col: str, **bounds) -> set[int]:
+        """Range/term filter over the index's SHARED doc-values
+        sidecars (one per column at the top level — doc ids agree
+        across every field's sub-index). Tombstones come from the
+        first sub-index; fielded deletes apply the same batch to all."""
+        from job_searchengine_project_spark.search.engine import doc_values_docs_at
+
+        first = self.engine(sorted(self.fields)[0])
+        return doc_values_docs_at(
+            self.index_dir, self.manifest.get("doc_values", []),
+            first.tombstones, col, **bounds,
+        )
+
     def _clause_acc(self, field: str, query: str) -> dict[int, float]:
         eng = self.engine(field)
         return eng.accumulate_scores(eng._analyze(query))
@@ -161,6 +198,8 @@ class FieldedSearchEngine:
         filter: list[tuple[str, str]] = (),
         k: int = 10,
         minimum_should_match: int | None = None,
+        filter_docs: list[set[int]] = (),
+        must_not_docs: list[set[int]] = (),
     ) -> list[tuple[int, float]]:
         """ES `bool` with per-clause FIELD targeting — the full ES
         request shape ({"match": {"title": ...}} clauses under
@@ -170,20 +209,23 @@ class FieldedSearchEngine:
         same algebra as the single-index engine (SearchEngine.
         bool_algebra — doc ids are shared across sub-indexes by the
         deterministic url-derived assignment, so cross-field set ops
-        are exact). Returns [(doc_id, score)] rank-ordered."""
+        are exact). ``filter_docs``/``must_not_docs`` take precomputed
+        hit sets (doc-values range/term filters). Returns
+        [(doc_id, score)] rank-ordered."""
         from job_searchengine_project_spark.search.engine import SearchEngine
 
         must, should = list(must), list(should)
         must_not, filter = list(must_not), list(filter)
+        filter_docs, must_not_docs = list(filter_docs), list(must_not_docs)
         if minimum_should_match is None:
-            minimum_should_match = 0 if (must or filter) else 1
-        if not (must or filter or should):
+            minimum_should_match = 0 if (must or filter or filter_docs) else 1
+        if not (must or filter or should or filter_docs):
             return []
         scored = SearchEngine.bool_algebra(
             [self._clause_acc(f, q) for f, q in must],
             [self._clause_acc(f, q) for f, q in should],
-            [self._clause_hits(f, q) for f, q in must_not],
-            [self._clause_hits(f, q) for f, q in filter],
+            [self._clause_hits(f, q) for f, q in must_not] + must_not_docs,
+            [self._clause_hits(f, q) for f, q in filter] + filter_docs,
             minimum_should_match,
         )
         return scored[:k]
@@ -242,15 +284,39 @@ class FieldedSearchEngine:
                     spec["query"], fields=spec.get("fields"), k=frm + size
                 )[frm:]
                 urls = None
-            elif kind == "bool":
-                def fpairs(key):
-                    return [
-                        SearchEngine._leaf_field_text(c[next(iter(c))])
-                        for c in spec.get(key, [])
-                    ]
+            elif kind in ("bool", "range", "term"):
+                if kind != "bool":  # standalone filter query sugar
+                    spec = {"filter": [{kind: spec}]}
+
+                def split(key, sets_ok):
+                    pairs_, sets_ = [], []
+                    for c in spec.get(key, []):
+                        ((ck, cs),) = c.items()
+                        if ck == "match":
+                            pairs_.append(SearchEngine._leaf_field_text(cs))
+                        elif ck in ("range", "term"):
+                            if not sets_ok:
+                                raise ValueError(
+                                    f"{ck} clauses are filter-context only"
+                                )
+                            ((col, bounds),) = cs.items()
+                            sets_.append(
+                                self.doc_values_docs(col, eq=bounds)
+                                if ck == "term"
+                                else self.doc_values_docs(col, **bounds)
+                            )
+                        else:
+                            raise ValueError(f"unsupported bool leaf: {ck!r}")
+                    return pairs_, sets_
+
+                must_p, _ = split("must", sets_ok=False)
+                should_p, _ = split("should", sets_ok=False)
+                not_p, not_s = split("must_not", sets_ok=True)
+                filt_p, filt_s = split("filter", sets_ok=True)
                 pairs = self.search_bool(
-                    must=fpairs("must"), should=fpairs("should"),
-                    must_not=fpairs("must_not"), filter=fpairs("filter"),
+                    must=must_p, should=should_p,
+                    must_not=not_p, filter=filt_p,
+                    filter_docs=filt_s, must_not_docs=not_s,
                     minimum_should_match=spec.get("minimum_should_match"),
                     k=frm + size,
                 )[frm:]

@@ -29,6 +29,43 @@ from job_searchengine_project_spark.index.build import _term_bucket_py
 from job_searchengine_project_spark.search.wand import TermCursor, wand_topk
 
 
+def doc_values_docs_at(
+    root: str,
+    dv_cols: list[str],
+    tombstones: np.ndarray,
+    col: str,
+    *,
+    eq=None,
+    gte=None,
+    gt=None,
+    lte=None,
+    lt=None,
+) -> set[int]:
+    """Shared doc-values filter read over ``root/docvalues/<col>``
+    (used by both the single-index and fielded engines)."""
+    if col not in dv_cols:
+        raise KeyError(f"no doc-values for {col!r}; built columns: {dv_cols}")
+    expr = None
+    for bound, val in (
+        (pads.field(col) == eq, eq),
+        (pads.field(col) >= gte, gte),
+        (pads.field(col) > gt, gt),
+        (pads.field(col) <= lte, lte),
+        (pads.field(col) < lt, lt),
+    ):
+        if val is not None:
+            expr = bound if expr is None else expr & bound
+    if expr is None:
+        raise ValueError("doc_values filter needs at least one bound")
+    tbl = pads.dataset(os.path.join(root, "docvalues", col)).to_table(
+        columns=["doc_id"], filter=expr
+    )
+    docs = set(tbl.column("doc_id").to_pylist())
+    if tombstones.size and docs:
+        docs.difference_update(tombstones.tolist())
+    return docs
+
+
 def accumulate_arrays(
     term_arrays: dict,
     idf_of,
@@ -496,31 +533,11 @@ class SearchEngine:
         into parquet row-group statistics and touches only the
         matching value range — the ES BKD-tree / doc-values filter
         analog, never a corpus scan."""
-        if col not in self.stats.get("doc_values", []):
-            raise KeyError(
-                f"no doc-values for {col!r}; built columns: "
-                f"{self.stats.get('doc_values', [])}"
-            )
-        expr = None
-        for bound, val in (
-            (pads.field(col) == eq, eq),
-            (pads.field(col) >= gte, gte),
-            (pads.field(col) > gt, gt),
-            (pads.field(col) <= lte, lte),
-            (pads.field(col) < lt, lt),
-        ):
-            if val is not None:
-                expr = bound if expr is None else expr & bound
-        if expr is None:
-            raise ValueError("doc_values_docs needs at least one bound")
-        tbl = pads.dataset(
-            os.path.join(self.index_dir, "docvalues", col)
-        ).to_table(columns=["doc_id"], filter=expr)
-        docs = set(tbl.column("doc_id").to_pylist())
-        dele = self.tombstones
-        if dele.size and docs:
-            docs.difference_update(dele.tolist())
-        return docs
+        return doc_values_docs_at(
+            self.index_dir, self.stats.get("doc_values", []),
+            self.tombstones, col,
+            eq=eq, gte=gte, gt=gt, lte=lte, lt=lt,
+        )
 
     # --- aggregations -------------------------------------------------------
 

@@ -153,6 +153,53 @@ def test_aggregations(spark, dv_index):
         eng.query({"aggs": {"x": {"avg": {"field": "n_chars"}}}})
 
 
+def test_fielded_doc_values(spark, webpages_small, tmp_path):
+    """One top-level sidecar set serves every field's sub-index
+    (shared doc ids): range filters gate field-scoped bool queries."""
+    from job_searchengine_project_spark.index.fielded import (
+        FieldedSearchEngine,
+        build_fielded_index,
+    )
+
+    out = str(tmp_path / "fdv")
+    pages = webpages_small.select(
+        "url",
+        F.substring("text", 1, 60).alias("title"),
+        F.col("text").alias("body"),
+    ).withColumn("n_chars", F.length("body"))
+    build_fielded_index(
+        spark, pages, out, fields={"title": "morph", "body": "morph"},
+        store_fields=False, doc_values=["n_chars"],
+    )
+    feng = FieldedSearchEngine(out)
+    gate = feng.doc_values_docs("n_chars", gte=800)
+    fwd = {
+        r["url"]: r["doc_id"]
+        for r in spark.read.parquet(f"{out}/fields/body/forward")
+        .select("url", "doc_id").collect()
+    }
+    want = {
+        fwd[r["url"]] for r in pages.filter(F.col("n_chars") >= 800).collect()
+    }
+    assert gate == want and gate
+    # DSL: title-scoped match gated by the range filter
+    from job_searchengine_project_spark.corpus import HEAD_TERMS
+
+    t = HEAD_TERMS[1]
+    resp = feng.query(
+        {"query": {"bool": {"must": [{"match": {"title": t}}],
+                            "filter": [{"range": {"n_chars": {"gte": 800}}}]}},
+         "size": 10**6}
+    )
+    base = dict(feng.search_bool(must=[("title", t)], k=10**6))
+    got = {fwd[h["_id"]]: h["_score"] for h in resp["hits"]["hits"]}
+    assert set(got) == set(base) & gate
+    for d, s in got.items():
+        assert s == base[d]  # filter context never scores
+    with pytest.raises(KeyError):
+        feng.doc_values_docs("nope", eq=1)
+
+
 def _hash_tree(root):
     import hashlib
 
