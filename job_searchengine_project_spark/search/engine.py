@@ -696,6 +696,12 @@ class SearchEngine:
                 }
         return self._query_response(hits, size, frm, aggregations)
 
+    def count(self, body: dict) -> dict:
+        """ES `_count` endpoint parity: the exact number of live docs
+        matching the request body's query (no pagination, no hits)."""
+        q = (body or {}).get("query") or {}
+        return {"count": len(self._query_hits(q, 10**9, 0))}
+
     def _query_hits(self, q: dict, size: int, frm: int) -> list["SearchHit"]:
         if not q:
             hits: list[SearchHit] = []
@@ -703,15 +709,18 @@ class SearchEngine:
             ((kind, spec),) = q.items()
             if kind == "match":
                 _, text = self._leaf_field_text(spec)
-                hits = self.search_text(text, k=size, offset=frm)
+                hits = self.search_text(text, k=size, offset=frm, with_urls=False)
             elif kind == "match_phrase":
                 _, text = self._leaf_field_text(spec)
-                hits = self.search_phrase(text, k=frm + size)[frm : frm + size]
+                hits = self.search_phrase(text, k=frm + size, with_urls=False)[frm : frm + size]
             elif kind == "fuzzy":
                 ((_, val),) = spec.items()
                 term = val.get("value") if isinstance(val, dict) else val
                 fuzz = val.get("fuzziness", 1) if isinstance(val, dict) else 1
-                hits = self.search_fuzzy([term], k=size, max_edits=int(fuzz), offset=frm)
+                hits = self.search_fuzzy(
+                    [term], k=size, max_edits=int(fuzz), offset=frm,
+                    with_urls=False,
+                )
             elif kind in ("bool", "range", "term"):
                 if kind != "bool":  # standalone filter query sugar
                     spec = {"filter": [{kind: spec}]}
@@ -748,7 +757,7 @@ class SearchEngine:
                     must_not=not_t, filter=filt_t,
                     filter_docs=filt_s, must_not_docs=not_s,
                     minimum_should_match=spec.get("minimum_should_match"),
-                    k=size, offset=frm,
+                    k=size, offset=frm, with_urls=False,
                 )
             else:
                 raise ValueError(f"unsupported query kind: {kind!r}")
@@ -758,6 +767,9 @@ class SearchEngine:
         self, hits: list["SearchHit"], size: int, frm: int, aggregations=None
     ) -> dict:
         with_src = self.stats.get("store_fields", False)
+        # hit evaluation runs urls-off (counts/aggs must not fetch a
+        # url per match); resolve the PAGE's urls in one pruned read
+        self._fetch_urls([h.doc_id for h in hits if h.url is None])
         out_hits = []
         for h in hits:
             if h.url is None:

@@ -371,6 +371,13 @@ def test_es_dsl_single_index(eng):
         eng.query({"query": {"regexp": {"body": "x"}}})
 
 
+def test_count_endpoint(eng):
+    body = {"query": {"match": {"b": T_A}}}
+    assert eng.count(body) == {"count": len(eng.accumulate_scores([T_A]))}
+    assert eng.count({"query": {"match": {"b": "zzz_not_a_term"}}}) == {"count": 0}
+    assert eng.count({}) == {"count": 0}
+
+
 def test_es_dsl_fielded(feng):
     # field-scoped match == search_field
     r = feng.query({"query": {"match": {"title": T_A}}, "size": 5})
