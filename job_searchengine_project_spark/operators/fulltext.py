@@ -710,6 +710,35 @@ ORDER BY d.n_chars DESC, d.doc_id LIMIT {K}
 """
 
 
+def match_count(spark, sf_dir: str) -> DataFrame:
+    """ES _count endpoint: exact live-doc count of a bool query with a
+    range filter — no hits fetched."""
+    eng = _dv_engine_for(spark, sf_dir)
+    n = eng.count(
+        {
+            "query": {
+                "bool": {
+                    "must": [{"match": {"body": "spark"}}],
+                    "filter": [{"range": {"n_chars": {"gte": DV_RANGE[0]}}}],
+                }
+            }
+        }
+    )["count"]
+    return spark.createDataFrame([(n,)], "count bigint")
+
+
+MATCH_COUNT_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, t.tok AS term
+  FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+  WHERE length(t.tok) > 1
+)
+SELECT count(DISTINCT d.doc_id)::BIGINT AS count
+FROM documents d JOIN toks USING (doc_id)
+WHERE toks.term = 'spark' AND d.n_chars >= {DV_RANGE[0]}
+"""
+
+
 def terms_agg(spark, sf_dir: str) -> DataFrame:
     """ES `terms` aggregation inside a query context (the Kibana
     dashboard shape): per-lang live-doc counts over the docs matching
@@ -1036,4 +1065,5 @@ QUERIES = {
     "terms_agg": (terms_agg, TERMS_AGG_SQL),
     "histogram_agg": (histogram_agg, HISTOGRAM_AGG_SQL),
     "sort_by_field_top10": (sort_by_field_top10, SORT_BY_FIELD_SQL),
+    "match_count": (match_count, MATCH_COUNT_SQL),
 }
