@@ -298,6 +298,21 @@ def _purge_dead_docs(spark, out_dir: str, stats: dict, dele: np.ndarray) -> int:
                 .parquet(staged)
             )
             _swap_dir(staged, stored_dir)
+    for col in stats.get("doc_values") or []:
+        # the purge clears the tombstone files below, so doc-values
+        # rows of purged docs MUST go now or range/term filters would
+        # resurrect them; the rewrite also folds update generations
+        # back into one value-sorted file set per column
+        dv_dir = os.path.join(out_dir, "docvalues", col)
+        dv = spark.read.parquet(dv_dir)
+        staged = dv_dir + "_staged"
+        (
+            dv.filter(~F.col("doc_id").isin(ids))
+            .orderBy(col)
+            .write.mode("overwrite")
+            .parquet(staged)
+        )
+        _swap_dir(staged, dv_dir)
     n_purged = int(stats.get("n_purged", 0)) + int(dead)
     _write_stats_dict(
         os.path.join(out_dir, "stats.json"),

@@ -244,6 +244,42 @@ def test_docvalues_crash_rolls_back_and_replays(spark, webpages_small, tmp_path)
     assert eng.doc_values_docs("n_chars", gte=900) == want
 
 
+def test_purge_drops_doc_values_of_dead_docs(spark, webpages_small, tmp_path):
+    """A purging compaction clears the tombstone files — doc-values
+    rows of purged docs must go WITH them, or range/term filters would
+    resurrect deleted docs. The rewrite also folds generations."""
+    from job_searchengine_project_spark.index.compact import compact_index
+    from job_searchengine_project_spark.index.tombstone import delete_docs
+
+    out = str(tmp_path / "idx")
+    pages = webpages_small.withColumn("n_chars", F.length("text"))
+    build_index(spark, pages, out, doc_values=["n_chars"])
+    eng = SearchEngine(out)
+    all_docs = eng.doc_values_docs("n_chars", gte=0)
+    victims = [r["url"] for r in pages.limit(40).select("url").collect()]
+    victim_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{out}/forward")
+        .filter(F.col("url").isin(victims)).select("doc_id").collect()
+    }
+    delete_docs(spark, out, victims)
+    # pre-purge: tombstone subtraction already hides them
+    eng = SearchEngine(out)
+    assert eng.doc_values_docs("n_chars", gte=0) == all_docs - victim_ids
+    res = compact_index(spark, out)
+    assert res["purged_docs"] == 40
+    # post-purge: tombstones are gone — the sidecar itself must be clean
+    eng2 = SearchEngine(out)
+    assert eng2.tombstones.size == 0
+    assert eng2.doc_values_docs("n_chars", gte=0) == all_docs - victim_ids
+    # still value-sorted after the rewrite (pruning contract)
+    root = os.path.join(out, "docvalues", "n_chars")
+    for f in os.listdir(root):
+        if f.endswith(".parquet"):
+            v = pq.read_table(os.path.join(root, f), columns=["n_chars"]).column("n_chars").to_pylist()
+            assert v == sorted(v)
+
+
 def test_dsl_range_filter_end_to_end(spark, dv_index):
     out, pages = dv_index
     eng = SearchEngine(out)
