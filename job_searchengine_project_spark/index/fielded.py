@@ -129,15 +129,42 @@ def update_fielded_index(
     spark: SparkSession, new_pages: DataFrame, out_dir: str, **kw
 ) -> dict:
     """Append the same batch to every field's sub-index (identical new
-    doc_ids in each — deterministic url-derived assignment)."""
+    doc_ids in each — deterministic url-derived assignment). Indexes
+    built with ``doc_values`` get the new generation's sidecar rows
+    appended once at the top level (``new_pages`` must carry those
+    columns)."""
     from job_searchengine_project_spark.index.update import update_index
 
     with open(os.path.join(out_dir, FIELDS_MANIFEST)) as f:
         manifest = json.load(f)
+    dv_cols = manifest.get("doc_values") or []
+    first = sorted(manifest["fields"])[0]
+    n_old = None
+    if dv_cols:
+        with open(os.path.join(out_dir, "fields", first, "stats.json")) as f:
+            n_old = int(json.load(f)["n_docs"])
     out = {}
     for field in manifest["fields"]:
         sub = os.path.join(out_dir, "fields", field)
         out[field] = update_index(spark, _project(new_pages, field), sub, **kw)
+    if dv_cols:
+        import shutil
+
+        from job_searchengine_project_spark.index.build import _write_doc_values
+
+        # the writer resolves ids via <dir>/forward; point it at the
+        # first sub-index, then move the appended files up
+        sub = os.path.join(out_dir, "fields", first)
+        _write_doc_values(spark, new_pages, sub, dv_cols, min_doc_id=n_old)
+        for c in dv_cols:
+            src = os.path.join(sub, "docvalues", c)
+            dst = os.path.join(out_dir, "docvalues", c)
+            for fname in os.listdir(src):
+                if not fname.startswith("_"):
+                    os.rename(
+                        os.path.join(src, fname), os.path.join(dst, fname)
+                    )
+        shutil.rmtree(os.path.join(sub, "docvalues"), ignore_errors=True)
     return out
 
 

@@ -244,6 +244,45 @@ def test_docvalues_crash_rolls_back_and_replays(spark, webpages_small, tmp_path)
     assert eng.doc_values_docs("n_chars", gte=900) == want
 
 
+def test_fielded_update_appends_doc_values(spark, webpages_small, tmp_path):
+    from job_searchengine_project_spark.corpus import generate_webpages
+    from job_searchengine_project_spark.index.fielded import (
+        FieldedSearchEngine,
+        build_fielded_index,
+        update_fielded_index,
+    )
+
+    def fielded(df):
+        return df.select(
+            "url",
+            F.substring("text", 1, 60).alias("title"),
+            F.col("text").alias("body"),
+        ).withColumn("n_chars", F.length("body"))
+
+    out = str(tmp_path / "fdvu")
+    base = fielded(webpages_small)
+    build_fielded_index(
+        spark, base, out, fields={"title": "morph", "body": "morph"},
+        store_fields=False, doc_values=["n_chars"],
+    )
+    extra = fielded(
+        generate_webpages(spark, n_docs=50, vocab_size=500, seed=5).withColumn(
+            "url", F.concat(F.lit("upd-"), F.col("url"))
+        )
+    )
+    update_fielded_index(spark, extra, out)
+    feng = FieldedSearchEngine(out)
+    assert len(feng.doc_values_docs("n_chars", gte=0)) == 350
+    fwd = {
+        r["url"]: r["doc_id"]
+        for r in spark.read.parquet(f"{out}/fields/body/forward")
+        .select("url", "doc_id").collect()
+    }
+    allp = base.unionByName(extra)
+    want = {fwd[r["url"]] for r in allp.filter(F.col("n_chars") >= 800).collect()}
+    assert feng.doc_values_docs("n_chars", gte=800) == want
+
+
 def test_purge_drops_doc_values_of_dead_docs(spark, webpages_small, tmp_path):
     """A purging compaction clears the tombstone files — doc-values
     rows of purged docs must go WITH them, or range/term filters would
