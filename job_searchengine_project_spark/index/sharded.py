@@ -474,8 +474,18 @@ def search_sharded_bool(
     filter: list[str] = (),
     k: int = 10,
     minimum_should_match: int | None = None,
+    filter_docs: list[set[int]] = (),
+    must_not_docs: list[set[int]] = (),
 ) -> DataFrame:
     """Distributed ES `bool` query over the sharded layout.
+
+    ``filter_docs``/``must_not_docs``: precomputed doc-id hit sets
+    (doc-values range/term filters) BROADCAST to every shard — right
+    for selective filters (the common case: a date range, a language).
+    A filter matching a large corpus fraction should instead live as a
+    doc-range-partitioned sidecar joined per shard; the broadcast
+    bound is the executor memory the set costs, same trade as any
+    broadcast join.
 
     The clause algebra (SearchEngine.bool_algebra) is doc-local —
     every per-doc decision (must conjunction, must_not exclusion,
@@ -517,10 +527,12 @@ def search_sharded_bool(
 
     must, should = list(must), list(should)
     must_not, filter = list(must_not), list(filter)
+    filter_docs = [frozenset(s) for s in filter_docs]
+    must_not_docs = [frozenset(s) for s in must_not_docs]
     if minimum_should_match is None:
-        minimum_should_match = 0 if (must or filter) else 1
+        minimum_should_match = 0 if (must or filter or filter_docs) else 1
     empty = spark.createDataFrame([], "doc_id long, score double, url string")
-    if not (must or filter or should):
+    if not (must or filter or should or filter_docs):
         return empty
     # (kind, index, sorted terms) — kinds: m(ust)/s(hould)/n(ot)/f(ilter)
     clauses = (
@@ -531,7 +543,27 @@ def search_sharded_bool(
     )
     all_terms = sorted({t for _, _, ts in clauses for t in ts})
     if not all_terms:
-        return empty
+        if not filter_docs:
+            return empty
+        # termless pure-filter query: the hit sets were computed
+        # driver-side already — nothing to distribute
+        from job_searchengine_project_spark.index.tombstone import load_tombstones
+        from job_searchengine_project_spark.search.engine import SearchEngine
+
+        scored = SearchEngine.bool_algebra(
+            [], [], list(must_not_docs), list(filter_docs), minimum_should_match
+        )
+        dele0 = set(load_tombstones(index_dir).tolist())
+        if dele0:
+            scored = [(d, s) for d, s in scored if d not in dele0]
+        top0 = spark.createDataFrame(
+            [(int(d), float(s)) for d, s in scored[:k]], "doc_id long, score double"
+        )
+        return (
+            _attach_urls_pruned(spark, index_dir, top0)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .select("doc_id", "score", "url")
+        )
     seg = (
         spark.read.parquet(os.path.join(index_dir, "shards"))
         .filter(F.col("term").isin(all_terms))
@@ -542,6 +574,8 @@ def search_sharded_bool(
     }
     bc_df = spark.sparkContext.broadcast(df_map)
     bc_clauses = spark.sparkContext.broadcast(clauses)
+    bc_fsets = spark.sparkContext.broadcast(filter_docs)
+    bc_nsets = spark.sparkContext.broadcast(must_not_docs)
     n_must, n_should = len(must), len(should)
     n_not = len(must_not)
     msm = minimum_should_match
@@ -608,7 +642,11 @@ def search_sharded_bool(
                 else:
                     filter_sets[i] = clause_hits(ts)
             scored = SearchEngine.bool_algebra(
-                must_accs, should_accs, not_sets, filter_sets, msm
+                must_accs,
+                should_accs,
+                not_sets + [set(s) for s in bc_nsets.value],
+                filter_sets + [set(s) for s in bc_fsets.value],
+                msm,
             )[:k]
             if scored:
                 docs_out, scores_out = zip(*scored)

@@ -244,6 +244,41 @@ def test_docvalues_crash_rolls_back_and_replays(spark, webpages_small, tmp_path)
     assert eng.doc_values_docs("n_chars", gte=900) == want
 
 
+def test_sharded_bool_with_doc_values_filter(spark, dv_index):
+    """Distributed bool + broadcast doc-values hit sets == driver
+    bool with the same sets, including the termless pure-filter case."""
+    from job_searchengine_project_spark.corpus import HEAD_TERMS
+    from job_searchengine_project_spark.index.sharded import (
+        build_sharded_segments,
+        search_sharded_bool,
+    )
+
+    out, _ = dv_index
+    build_sharded_segments(spark, out, n_shards=4)
+    eng = SearchEngine(out)
+    t = HEAD_TERMS[1]
+    gate = eng.doc_values_docs("n_chars", gte=700)
+    excl = eng.doc_values_docs("n_chars", lt=450)
+    want = [
+        (h.doc_id, h.score)
+        for h in eng.search_bool(
+            must=[t], filter_docs=[gate], must_not_docs=[excl],
+            k=50, with_urls=False,
+        )
+    ]
+    got = [
+        (int(r["doc_id"]), float(r["score"]))
+        for r in search_sharded_bool(
+            spark, out, must=[t], filter_docs=[gate], must_not_docs=[excl], k=50
+        ).collect()
+    ]
+    assert got == want and got
+    # termless pure-filter: driver-side fallback, scores 0.0
+    rows = search_sharded_bool(spark, out, filter_docs=[gate], k=20).collect()
+    assert {r["doc_id"] for r in rows} <= gate
+    assert all(r["score"] == 0.0 and r["url"] for r in rows) and rows
+
+
 def test_fielded_update_appends_doc_values(spark, webpages_small, tmp_path):
     from job_searchengine_project_spark.corpus import generate_webpages
     from job_searchengine_project_spark.index.fielded import (
