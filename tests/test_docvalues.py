@@ -318,6 +318,49 @@ def test_fielded_update_appends_doc_values(spark, webpages_small, tmp_path):
     assert feng.doc_values_docs("n_chars", gte=800) == want
 
 
+def test_replace_updates_doc_values_view(spark, webpages_small, tmp_path):
+    """ES _id overwrite: a re-crawled doc's NEW doc-values row serves
+    filters; the old version's row is tombstone-masked pre-purge and
+    physically dropped by the purge."""
+    from job_searchengine_project_spark.index.compact import compact_index
+
+    out = str(tmp_path / "idx")
+    pages = webpages_small.withColumn("n_chars", F.length("text"))
+    build_index(spark, pages, out, doc_values=["n_chars"])
+    # replace 30 urls with text 10x longer (n_chars changes decisively)
+    repl = (
+        webpages_small.limit(30)
+        .select("url", F.concat(*[F.col("text")] * 10).alias("text"))
+        .withColumn("n_chars", F.length("text"))
+    )
+    update_index(spark, repl, out, replace=True)
+    repl_urls = {r["url"] for r in repl.select("url").collect()}
+    big = int(repl.agg(F.min("n_chars")).collect()[0][0])
+    # truth over the POST-replace corpus: replaced urls use their new
+    # 10x length, everything else its original length
+    want_urls = repl_urls | {
+        r["url"]
+        for r in pages.filter(
+            (F.col("n_chars") >= big) & ~F.col("url").isin(list(repl_urls))
+        ).collect()
+    }
+    for purged in (False, True):
+        if purged:
+            assert compact_index(spark, out)["purged_docs"] == 30
+        eng = SearchEngine(out)
+        hits = eng.doc_values_docs("n_chars", gte=big)
+        fwd = {
+            r["doc_id"]: r["url"]
+            for r in spark.read.parquet(f"{out}/forward")
+            .select("doc_id", "url").collect()
+        }
+        assert {fwd[d] for d in hits} == want_urls, purged
+        # exactly one live row per matching url — the replaced urls'
+        # OLD rows never leak in (tombstone mask pre-purge, dropped
+        # rows post-purge)
+        assert len(hits) == len(want_urls), purged
+
+
 def test_purge_drops_doc_values_of_dead_docs(spark, webpages_small, tmp_path):
     """A purging compaction clears the tombstone files — doc-values
     rows of purged docs must go WITH them, or range/term filters would
