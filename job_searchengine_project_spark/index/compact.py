@@ -218,18 +218,31 @@ def compact_index(spark: SparkSession, out_dir: str, purge_deletes: bool = True)
         ),
         schema=SEGMENT_SCHEMA_POS if with_pos else SEGMENT_SCHEMA,
     )
-    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (
-            compacted.repartition("term_bucket")
-            .sortWithinPartitions("term")
-            .write.mode("overwrite")
-            .partitionBy("term_bucket")
-            .parquet(segments_dir)
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    # Stage the rewrite, then swap per touched bucket. A dynamic
+    # partition overwrite would silently SKIP a touched bucket whose
+    # every term was fully tombstoned (zero output rows -> partition
+    # never overwritten -> stale postings resurrect after the purge
+    # clears the tombstones); the explicit swap deletes such buckets.
+    # Tombstones stay active until the very end, so queries during the
+    # swap window remain correct and a crashed swap re-runs cleanly.
+    staged_root = segments_dir + "_staged"
+    shutil.rmtree(staged_root, ignore_errors=True)
+    (
+        compacted.repartition("term_bucket")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(staged_root)
+    )
+    for b in touched:
+        part = f"term_bucket={b}"
+        staged_part = os.path.join(staged_root, part)
+        live_part = os.path.join(segments_dir, part)
+        if os.path.isdir(staged_part):
+            _swap_dir(staged_part, live_part)
+        else:
+            shutil.rmtree(live_part, ignore_errors=True)
+    shutil.rmtree(staged_root, ignore_errors=True)
 
     purged_docs = 0
     if dele.size:
@@ -260,12 +273,18 @@ def _swap_dir(staged: str, live: str) -> None:
 def _purge_dead_docs(spark, out_dir: str, stats: dict, dele: np.ndarray) -> int:
     """Drop tombstoned docs' forward rows and superseded/dead docstore
     rows, then commit n_purged + a new fingerprint (executor norms
-    caches key on it). Returns the number of forward rows removed —
-    exact and idempotent (a re-run finds 0 dead rows)."""
+    caches key on it). The purge COUNT is the distinct tombstone-id
+    count, not the forward rows removed: a crash between the forward
+    swap and the stats commit leaves the rows already gone but the
+    tombstones still present, and the re-run must still credit them to
+    n_purged (idf N) or the count is permanently undercounted — every
+    tombstone id was a real doc exactly once (replace/delete append
+    from the forward index; a completed purge clears the files)."""
     from job_searchengine_project_spark.index.build import _write_stats_dict
 
     forward_dir = os.path.join(out_dir, "forward")
     ids = [int(x) for x in dele.tolist()]
+    n_tomb = int(np.unique(dele).size)
     fwd = spark.read.parquet(forward_dir)
     dead = fwd.filter(F.col("doc_id").isin(ids)).count()
     if dead:
@@ -313,13 +332,13 @@ def _purge_dead_docs(spark, out_dir: str, stats: dict, dele: np.ndarray) -> int:
             .parquet(staged)
         )
         _swap_dir(staged, dv_dir)
-    n_purged = int(stats.get("n_purged", 0)) + int(dead)
+    n_purged = int(stats.get("n_purged", 0)) + n_tomb
     _write_stats_dict(
         os.path.join(out_dir, "stats.json"),
         n_docs=stats["n_docs"], avgdl=stats["avgdl"],
         total_tokens=stats["total_tokens"], analyzer=stats["analyzer"],
         block_size=stats["block_size"], term_buckets=stats["term_buckets"],
-        fingerprint=stats["fingerprint"] + f"+purge{dead}",
+        fingerprint=stats["fingerprint"] + f"+purge{n_tomb}",
         store_fields=stats.get("store_fields", False),
         stored_buckets=stats.get("stored_buckets", 64),
         positions=stats.get("positions", False),
@@ -327,4 +346,4 @@ def _purge_dead_docs(spark, out_dir: str, stats: dict, dele: np.ndarray) -> int:
         n_purged=n_purged,
         doc_values=stats.get("doc_values"),
     )
-    return int(dead)
+    return n_tomb

@@ -125,6 +125,21 @@ def build_fielded_index(
     return results
 
 
+PENDING_FIELDED = "_PENDING_FIELDED.json"
+
+
+def _batch_fingerprint(new_pages: DataFrame) -> str:
+    """Order-independent identity of an update batch (count + xor of
+    per-url hashes) — lets a replay after a mid-update crash recognise
+    it is re-applying the SAME batch and skip sub-indexes that already
+    committed it."""
+    row = new_pages.select(
+        F.count("*").alias("n"),
+        F.expr("bit_xor(xxhash64(url))").alias("h"),
+    ).collect()[0]
+    return f"{int(row['n'])}|{int(row['h'] or 0)}"
+
+
 def update_fielded_index(
     spark: SparkSession, new_pages: DataFrame, out_dir: str, **kw
 ) -> dict:
@@ -132,29 +147,93 @@ def update_fielded_index(
     doc_ids in each — deterministic url-derived assignment). Indexes
     built with ``doc_values`` get the new generation's sidecar rows
     appended once at the top level (``new_pages`` must carry those
-    columns)."""
-    from job_searchengine_project_spark.index.update import update_index
+    columns).
+
+    Cross-field transaction: the per-field applies run under a
+    fielded-level pending manifest (``_PENDING_FIELDED.json``) that
+    records the batch fingerprint and each sub-index's pre-update
+    stats fingerprint. A crash after some fields committed leaves
+    their n_docs ahead of the rest; replaying the SAME batch skips the
+    already-committed fields (fingerprint match) so every field ends
+    at the same n_docs with the same doc_ids — the shared-doc-id
+    invariant that cross-field set algebra and the shared doc-values
+    sidecars rely on. A DIFFERENT batch arriving while the manifest is
+    pending is refused (apply order must finish the crashed batch
+    first); so is a bare n_docs mismatch with no manifest."""
+    import shutil
+
+    from job_searchengine_project_spark.index.update import (
+        _purge_orphan_by_stat,
+        update_index,
+    )
 
     with open(os.path.join(out_dir, FIELDS_MANIFEST)) as f:
         manifest = json.load(f)
     dv_cols = manifest.get("doc_values") or []
-    first = sorted(manifest["fields"])[0]
-    n_old = None
-    if dv_cols:
-        with open(os.path.join(out_dir, "fields", first, "stats.json")) as f:
-            n_old = int(json.load(f)["n_docs"])
+    fields = sorted(manifest["fields"])
+    first = fields[0]
+
+    def _sub_stats(field: str) -> dict:
+        with open(os.path.join(out_dir, "fields", field, "stats.json")) as f:
+            return json.load(f)
+
+    bfp = _batch_fingerprint(new_pages)
+    pend_path = os.path.join(out_dir, PENDING_FIELDED)
+    if os.path.exists(pend_path):
+        with open(pend_path) as f:
+            pend = json.load(f)
+        if pend.get("batch_fp") != bfp:
+            raise RuntimeError(
+                "a previous fielded update crashed mid-apply; replay that "
+                "batch before applying a new one "
+                f"(pending {pend.get('batch_fp')!r}, got {bfp!r})"
+            )
+        n_old = int(pend["n_old"])
+        skip = {
+            f for f in fields
+            if _sub_stats(f).get("fingerprint") != pend["pre"].get(f)
+        }
+    else:
+        n_by_field = {f: int(_sub_stats(f)["n_docs"]) for f in fields}
+        if len(set(n_by_field.values())) > 1:
+            raise RuntimeError(
+                "fielded sub-indexes disagree on n_docs with no pending "
+                f"manifest to repair from: {n_by_field} — the shared "
+                "doc-id invariant is broken; rebuild the fielded index"
+            )
+        n_old = n_by_field[first]
+        pend = {
+            "batch_fp": bfp,
+            "n_old": n_old,
+            "pre": {f: _sub_stats(f).get("fingerprint") for f in fields},
+        }
+        tmp = pend_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(pend, f)
+        os.replace(tmp, pend_path)
+        skip = set()
+
     out = {}
-    for field in manifest["fields"]:
+    for field in fields:
+        if field in skip:
+            out[field] = {"skipped": "already committed (replay)"}
+            continue
         sub = os.path.join(out_dir, "fields", field)
         out[field] = update_index(spark, _project(new_pages, field), sub, **kw)
     if dv_cols:
-        import shutil
-
         from job_searchengine_project_spark.index.build import _write_doc_values
 
-        # the writer resolves ids via <dir>/forward; point it at the
-        # first sub-index, then move the appended files up
+        # idempotent sidecar append: drop any files of THIS generation
+        # left by a crashed prior attempt (per-file row-group min
+        # doc_id >= n_old identifies them), then write fresh. The
+        # writer resolves ids via <dir>/forward; point it at the first
+        # sub-index, then move the appended files up.
         sub = os.path.join(out_dir, "fields", first)
+        shutil.rmtree(os.path.join(sub, "docvalues"), ignore_errors=True)
+        for c in dv_cols:
+            _purge_orphan_by_stat(
+                os.path.join(out_dir, "docvalues", c), "doc_id", n_old
+            )
         _write_doc_values(spark, new_pages, sub, dv_cols, min_doc_id=n_old)
         for c in dv_cols:
             src = os.path.join(sub, "docvalues", c)
@@ -165,6 +244,7 @@ def update_fielded_index(
                         os.path.join(src, fname), os.path.join(dst, fname)
                     )
         shutil.rmtree(os.path.join(sub, "docvalues"), ignore_errors=True)
+    os.remove(pend_path)
     return out
 
 
@@ -281,18 +361,25 @@ class FieldedSearchEngine:
         frm = int(body.get("from", 0))
         q = body.get("query") or {}
         pairs: list[tuple[int, float]] = []
+        total = 0  # exact full match count (ES track_total_hits=true)
         url_field = None  # engine whose forward index resolves urls
         if q:
             ((kind, spec),) = q.items()
             if kind == "match":
                 field, text = SearchEngine._leaf_field_text(spec)
                 hits = self.search_field(text, field, k=frm + size)[frm:]
+                eng = self.engine(field)
+                total = len(eng._match_docs(eng._analyze(text)))
                 url_field = field
                 pairs = [(h.doc_id, h.score) for h in hits]
                 urls = {h.doc_id: h.url for h in hits}
             elif kind == "match_phrase":
                 field, text = SearchEngine._leaf_field_text(spec)
-                hits = self.search_phrase_field(text, field, k=frm + size)[frm:]
+                # the phrase kernel verifies and scores every match
+                # before truncating — the unpaged call costs the same
+                full = self.search_phrase_field(text, field, k=10**9)
+                total = len(full)
+                hits = full[frm : frm + size]
                 url_field = field
                 pairs = [(h.doc_id, h.score) for h in hits]
                 urls = {h.doc_id: h.url for h in hits}
@@ -300,16 +387,25 @@ class FieldedSearchEngine:
                 ((field, val),) = spec.items()
                 term = val.get("value") if isinstance(val, dict) else val
                 fuzz = val.get("fuzziness", 1) if isinstance(val, dict) else 1
-                hits = self.engine(field).search_fuzzy(
+                eng = self.engine(field)
+                hits = eng.search_fuzzy(
                     [term], k=size, max_edits=int(fuzz), offset=frm
+                )
+                total = len(
+                    eng._match_docs(eng.fuzzy_expand(term, max_edits=int(fuzz)))
                 )
                 url_field = field
                 pairs = [(h.doc_id, h.score) for h in hits]
                 urls = {h.doc_id: h.url for h in hits}
             elif kind == "multi_match":
-                pairs = self.search_multi(
-                    spec["query"], fields=spec.get("fields"), k=frm + size
-                )[frm:]
+                full = self.search_multi(
+                    spec["query"], fields=spec.get("fields"),
+                    type=spec.get("type", "most_fields"),
+                    tie_breaker=spec.get("tie_breaker"),
+                    k=10**9,
+                )
+                total = len(full)
+                pairs = full[frm : frm + size]
                 urls = None
             elif kind in ("bool", "range", "term"):
                 if kind != "bool":  # standalone filter query sugar
@@ -340,13 +436,17 @@ class FieldedSearchEngine:
                 should_p, _ = split("should", sets_ok=False)
                 not_p, not_s = split("must_not", sets_ok=True)
                 filt_p, filt_s = split("filter", sets_ok=True)
-                pairs = self.search_bool(
+                # the clause algebra scores every candidate before
+                # truncating — unpaged call establishes the exact total
+                full = self.search_bool(
                     must=must_p, should=should_p,
                     must_not=not_p, filter=filt_p,
                     filter_docs=filt_s, must_not_docs=not_s,
                     minimum_should_match=spec.get("minimum_should_match"),
-                    k=frm + size,
-                )[frm:]
+                    k=10**9,
+                )
+                total = len(full)
+                pairs = full[frm : frm + size]
                 urls = None
             else:
                 raise ValueError(f"unsupported query kind: {kind!r}")
@@ -358,40 +458,62 @@ class FieldedSearchEngine:
             urls = {d: eng.url_of(d) for d, _ in pairs}
         return {
             "hits": {
-                "total": {
-                    "value": frm + len(pairs),
-                    "relation": "eq" if len(pairs) < size else "gte",
-                },
+                # exact total, relation always "eq" (the kernels
+                # materialize the full match set anyway)
+                "total": {"value": int(total), "relation": "eq"},
                 "hits": [
                     {"_id": urls[d], "_score": s} for d, s in pairs
                 ],
             }
         }
 
-    def search_multi(self, query: str, fields: list[str] | None = None, k: int = 10):
-        """ES `multi_match` type=most_fields: per-field BM25 scores sum
-        per doc. Exact: every matched doc is accumulated per field
-        before the global top-k; fields sum in sorted-field order (a
-        fixed float summation order, like sorted-term within a field).
-        Returns [(doc_id, score)] rank-ordered."""
+    def search_multi(
+        self,
+        query: str,
+        fields: list[str] | None = None,
+        k: int = 10,
+        type: str = "most_fields",
+        tie_breaker: float | None = None,
+    ):
+        """ES `multi_match`. ``type``:
+
+        - ``most_fields``: per-field BM25 scores SUM per doc (fields
+          sum in sorted-field order — a fixed float summation order,
+          like sorted-term within a field);
+        - ``best_fields`` (ES's default combiner): score = the BEST
+          single field's score + ``tie_breaker`` x each other matching
+          field's score (ES dis_max semantics; tie_breaker defaults to
+          0.0). The non-best contributions also add in sorted-field
+          order, so DuckDB oracles reproduce scores exactly.
+
+        Exact: every matched doc is accumulated per field before the
+        global top-k. Returns [(doc_id, score)] rank-ordered, asc
+        doc_id tie-break."""
+        if type not in ("most_fields", "best_fields"):
+            raise ValueError(f"unsupported multi_match type: {type!r}")
+        tb = float(tie_breaker) if tie_breaker is not None else 0.0
         fields = sorted(fields if fields is not None else self.fields)
-        acc: dict[int, float] = {}
+        per_field: list[dict[int, float]] = []
         for field in fields:
             eng = self.engine(field)
-            analyzer = eng.stats.get("analyzer", "morph")
-            from job_searchengine_project_spark.functions.tokenize import (
-                tokenize_2gram_py,
-                tokenize_morph_py,
-            )
-
-            terms = (
-                tokenize_2gram_py(query)
-                if analyzer == "2gram"
-                else tokenize_morph_py(query, dedup=True)
-            )
+            terms = eng._analyze(query)
             if not terms:
                 continue
-            for d, s in eng.accumulate_scores(terms).items():
-                acc[d] = acc.get(d, 0.0) + s
+            per_field.append(eng.accumulate_scores(terms))
+        acc: dict[int, float] = {}
+        if type == "most_fields":
+            for facc in per_field:
+                for d, s in facc.items():
+                    acc[d] = acc.get(d, 0.0) + s
+        else:  # best_fields
+            for d in {d for facc in per_field for d in facc}:
+                scores = [facc[d] for facc in per_field if d in facc]
+                best = max(scores)
+                bi = scores.index(best)  # first max counts as "best"
+                s = best
+                for j, fs in enumerate(scores):  # sorted-field order
+                    if j != bi:
+                        s += tb * fs
+                acc[d] = s
         top = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
         return top

@@ -629,7 +629,7 @@ class SearchEngine:
             # the sort keys, then page. Keys are doc-values columns or
             # "_score"; final tie-break asc doc_id (pinned — ES leaves
             # it undefined). Each hit carries its "sort" values.
-            hits = self._query_hits(q, 10**9, 0)
+            hits, total = self._query_hits(q, 10**9, 0)
             keys = []
             for s in sort_spec:
                 if isinstance(s, str):
@@ -646,18 +646,26 @@ class SearchEngine:
                 vals[col] = dict(zip(ids.tolist(), v.to_pylist()))
 
             # stable successive sorts (last key first) handle desc on
-            # any comparable type, strings included
+            # any comparable type, strings included. A doc with a NULL
+            # or missing doc-values entry sorts LAST under either order
+            # (ES missing=_last default) — partition-then-sort keeps
+            # each key pass a stable permutation, so multi-key
+            # semantics are unchanged.
             hits.sort(key=lambda h: h.doc_id)
             for col, order in reversed(keys):
-                hits.sort(
-                    key=lambda h, c=col: (
-                        h.score if c == "_score" else vals[c][h.doc_id]
-                    ),
-                    reverse=(order == "desc"),
+                if col == "_score":
+                    hits.sort(key=lambda h: h.score, reverse=(order == "desc"))
+                    continue
+                vc = vals[col]
+                present = [h for h in hits if vc.get(h.doc_id) is not None]
+                absent = [h for h in hits if vc.get(h.doc_id) is None]
+                present.sort(
+                    key=lambda h: vc[h.doc_id], reverse=(order == "desc")
                 )
+                hits[:] = present + absent
             self._last_sort_values = {
                 h.doc_id: [
-                    h.score if c == "_score" else vals[c][h.doc_id]
+                    h.score if c == "_score" else vals[c].get(h.doc_id)
                     for c, _ in keys
                 ]
                 for h in hits[frm : frm + size]
@@ -665,14 +673,16 @@ class SearchEngine:
             hits = hits[frm : frm + size]
         else:
             self._last_sort_values = None
-            hits = self._query_hits(q, size, frm)
+            hits, total = self._query_hits(q, size, frm)
         aggs_spec = body.get("aggs") or body.get("aggregations")
         aggregations = None
         if aggs_spec:
             # ES aggs run over the FULL query hit set, not the page —
             # re-evaluate unpaged (no query -> whole live index scope)
             doc_filter = (
-                {h.doc_id for h in self._query_hits(q, 10**9, 0)} if q else None
+                {h.doc_id for h in self._query_hits(q, 10**9, 0)[0]}
+                if q
+                else None
             )
             aggregations = {}
             for name, aspec in aggs_spec.items():
@@ -694,25 +704,39 @@ class SearchEngine:
                         {"key": k, "doc_count": n} for k, n in buckets
                     ]
                 }
-        return self._query_response(hits, size, frm, aggregations)
+        return self._query_response(hits, total, aggregations)
 
     def count(self, body: dict) -> dict:
         """ES `_count` endpoint parity: the exact number of live docs
         matching the request body's query (no pagination, no hits)."""
         q = (body or {}).get("query") or {}
-        return {"count": len(self._query_hits(q, 10**9, 0))}
+        return {"count": self._query_hits(q, 0, 0)[1]}
 
-    def _query_hits(self, q: dict, size: int, frm: int) -> list["SearchHit"]:
+    def _query_hits(
+        self, q: dict, size: int, frm: int
+    ) -> tuple[list["SearchHit"], int]:
+        """Evaluate one DSL query: the (frm, size) page of hits PLUS
+        the exact full match count (ES track_total_hits=true — the
+        kernels or hit-set reads establish the total anyway, so
+        hits.total is always {value: exact, relation: "eq"})."""
         if not q:
             hits: list[SearchHit] = []
+            total = 0
         else:
             ((kind, spec),) = q.items()
             if kind == "match":
                 _, text = self._leaf_field_text(spec)
                 hits = self.search_text(text, k=size, offset=frm, with_urls=False)
+                # exact total without scoring: the union of the terms'
+                # live posting docs (one pruned decode, no norms pass)
+                total = len(self._match_docs(self._analyze(text)))
             elif kind == "match_phrase":
                 _, text = self._leaf_field_text(spec)
-                hits = self.search_phrase(text, k=frm + size, with_urls=False)[frm : frm + size]
+                # search_phrase verifies and scores EVERY match before
+                # truncating, so the unpaged call costs the same
+                full = self.search_phrase(text, k=10**9, with_urls=False)
+                total = len(full)
+                hits = full[frm : frm + size]
             elif kind == "fuzzy":
                 ((_, val),) = spec.items()
                 term = val.get("value") if isinstance(val, dict) else val
@@ -721,6 +745,10 @@ class SearchEngine:
                     [term], k=size, max_edits=int(fuzz), offset=frm,
                     with_urls=False,
                 )
+                expanded: set[str] = set()
+                for t in [term]:
+                    expanded.update(self.fuzzy_expand(t, max_edits=int(fuzz)))
+                total = len(self._match_docs(sorted(expanded)))
             elif kind in ("bool", "range", "term"):
                 if kind != "bool":  # standalone filter query sugar
                     spec = {"filter": [{kind: spec}]}
@@ -759,12 +787,15 @@ class SearchEngine:
                     minimum_should_match=spec.get("minimum_should_match"),
                     k=size, offset=frm, with_urls=False,
                 )
+                # search_bool materializes the full scored candidate
+                # set before paging; it records the exact match count
+                total = self._bool_total
             else:
                 raise ValueError(f"unsupported query kind: {kind!r}")
-        return hits
+        return hits, total
 
     def _query_response(
-        self, hits: list["SearchHit"], size: int, frm: int, aggregations=None
+        self, hits: list["SearchHit"], total: int, aggregations=None
     ) -> dict:
         with_src = self.stats.get("store_fields", False)
         # hit evaluation runs urls-off (counts/aggs must not fetch a
@@ -783,10 +814,9 @@ class SearchEngine:
             out_hits.append(entry)
         out = {
             "hits": {
-                "total": {
-                    "value": frm + len(hits),
-                    "relation": "eq" if len(hits) < size else "gte",
-                },
+                # exact (kernel-established) total — ES with
+                # track_total_hits=true; relation is always "eq"
+                "total": {"value": int(total), "relation": "eq"},
                 "hits": out_hits,
             }
         }
@@ -1033,6 +1063,7 @@ class SearchEngine:
         if minimum_should_match is None:
             minimum_should_match = 0 if (must or filter or filter_docs) else 1
         if not (must or filter or should or filter_docs):
+            self._bool_total = 0
             return []
 
         scored = self.bool_algebra(
@@ -1042,6 +1073,9 @@ class SearchEngine:
             [self._match_docs(self._analyze(q)) for q in filter] + filter_docs,
             minimum_should_match,
         )
+        # exact match count for hits.total (the algebra scored every
+        # candidate anyway); read back by the DSL layer (_query_hits)
+        self._bool_total = len(scored)
         out = [
             SearchHit(doc_id=d, score=s)
             for d, s in scored[max(0, offset) : max(0, offset) + k]

@@ -340,7 +340,15 @@ def test_es_dsl_single_index(eng):
     want = eng.search_text(f"{T_A} {T_B}", k=5)
     assert [h["_id"] for h in r["hits"]["hits"]] == [h.url for h in want]
     assert [h["_score"] for h in r["hits"]["hits"]] == [h.score for h in want]
-    assert r["hits"]["total"]["relation"] == "gte"
+    # exact total even on a full page (ADVICE r3): a query whose
+    # matches exactly fill `size` must report the true count with
+    # relation "eq", not an approximate "gte"
+    assert r["hits"]["total"]["relation"] == "eq"
+    assert (
+        r["hits"]["total"]["value"]
+        == eng.count({"query": {"match": {"body": f"{T_A} {T_B}"}}})["count"]
+        >= len(want)
+    )
     # bool with msm + from/size pagination
     body = {
         "query": {

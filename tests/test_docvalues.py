@@ -425,3 +425,41 @@ def test_dsl_range_filter_end_to_end(spark, dv_index):
     # range in a scoring context is rejected
     with pytest.raises(ValueError):
         eng.query({"query": {"bool": {"must": [{"range": {"n_chars": {"gte": 1}}}]}}})
+
+
+def test_field_sort_null_values_sort_last(spark, webpages_small, tmp_path):
+    """ADVICE r4: a doc whose doc-values entry is NULL must sort LAST
+    under either order (ES missing=_last default), not raise a
+    None-comparison TypeError."""
+    out = str(tmp_path / "idxdv_null")
+    pages = webpages_small.limit(60).withColumn(
+        "n_chars",
+        F.when(F.pmod(F.xxhash64("url"), F.lit(4)) == 0, F.lit(None)).otherwise(
+            F.length("text")
+        ),
+    )
+    build_index(spark, pages, out, doc_values=["n_chars"],
+                target_postings_per_salt=50, term_buckets=16)
+    eng = SearchEngine(out)
+    n_null = pages.filter(F.col("n_chars").isNull()).count()
+    assert n_null > 0
+    from job_searchengine_project_spark.corpus import HEAD_TERMS
+
+    for order in ("asc", "desc"):
+        resp = eng.query(
+            {"query": {"match": {"b": HEAD_TERMS[2]}},
+             "sort": [{"n_chars": order}], "size": 10**6}
+        )
+        hits = resp["hits"]["hits"]
+        assert hits
+        keys = [h["sort"][0] for h in hits]
+        seen_null = False
+        prev = None
+        for v in keys:
+            if v is None:
+                seen_null = True
+                continue
+            assert not seen_null, "non-null key after a null (missing must be last)"
+            if prev is not None:
+                assert v >= prev if order == "asc" else v <= prev
+            prev = v

@@ -215,3 +215,105 @@ def test_unknown_field_raises(fielded_index):
     feng = FieldedSearchEngine(out)
     with pytest.raises(KeyError, match="unknown field"):
         feng.search_field("spark", "nope")
+
+
+def test_fielded_update_crash_between_fields_replays(
+    spark, webpages_small, tmp_path, monkeypatch
+):
+    """ADVICE r4: a crash after some sub-indexes committed a batch
+    leaves fields at different n_docs. Replaying the SAME batch skips
+    the committed fields (fingerprint match) and converges every field
+    to the same n_docs/doc_ids; a DIFFERENT batch is refused while the
+    fielded pending manifest is open."""
+    from job_searchengine_project_spark.index import update as umod
+
+    out = str(tmp_path / "idx_ftxn")
+    a = webpages_small.limit(200)
+    b = webpages_small.subtract(a)
+    build_fielded_index(
+        spark, _fielded_pages(a), out,
+        fields={"title": "morph", "body": "morph"},
+        target_postings_per_salt=50, term_buckets=16,
+    )
+    real = umod.update_index
+    calls = {"n": 0}
+
+    def flaky(spark_, pages_, sub, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:  # first field commits, second crashes
+            raise RuntimeError("injected crash on second field")
+        return real(spark_, pages_, sub, **kw)
+
+    monkeypatch.setattr(umod, "update_index", flaky)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        update_fielded_index(spark, _fielded_pages(b), out,
+                             target_postings_per_salt=50)
+    monkeypatch.setattr(umod, "update_index", real)
+    # fields now disagree on n_docs; a different batch must be refused
+    other = _fielded_pages(webpages_small.limit(50))
+    with pytest.raises(RuntimeError, match="crashed mid-apply"):
+        update_fielded_index(spark, other, out, target_postings_per_salt=50)
+    # replaying the SAME batch completes: one field skips, one applies
+    res = update_fielded_index(spark, _fielded_pages(b), out,
+                               target_postings_per_salt=50)
+    assert sorted(res) == ["body", "title"]
+    assert any("skipped" in v for v in res.values())
+    tmap = {
+        r["url"]: r["doc_id"]
+        for r in spark.read.parquet(f"{out}/fields/title/forward").collect()
+    }
+    bmap = {
+        r["url"]: r["doc_id"]
+        for r in spark.read.parquet(f"{out}/fields/body/forward").collect()
+    }
+    assert tmap == bmap and len(tmap) == 300
+    # cross-field algebra still exact on the shared ids
+    feng = FieldedSearchEngine(out)
+    hits = feng.search_bool(must=[("body", QUERY)], filter=[("title", "spark")], k=50)
+    for d, _ in hits:
+        assert d in set(bmap.values())
+    # the pending manifest is gone after the successful replay
+    assert not os.path.exists(os.path.join(out, "_PENDING_FIELDED.json"))
+
+
+def test_multi_match_best_fields(spark, fielded_index):
+    """ES multi_match type=best_fields: max per-field score +
+    tie_breaker x other matching fields (dis_max), vs most_fields SUM."""
+    out, _ = fielded_index
+    feng = FieldedSearchEngine(out)
+    t_acc = feng._clause_acc("title", QUERY)
+    b_acc = feng._clause_acc("body", QUERY)
+    union = set(t_acc) | set(b_acc)
+
+    def expect(tb):
+        exp = {}
+        for d in union:
+            scores = [a[d] for a in (b_acc, t_acc) if d in a]  # sorted fields
+            best = max(scores)
+            bi = scores.index(best)
+            exp[d] = best + sum(tb * s for j, s in enumerate(scores) if j != bi)
+        return sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))
+
+    for tb in (0.0, 0.3):
+        got = feng.search_multi(QUERY, k=25, type="best_fields", tie_breaker=tb)
+        assert got == expect(tb)[:25], tb
+    # most_fields unchanged: sum of fields
+    most = feng.search_multi(QUERY, k=25)
+    exp_most = sorted(
+        (
+            (d, b_acc.get(d, 0.0) + t_acc.get(d, 0.0))
+            for d in union
+        ),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:25]
+    assert [(d, pytest.approx(s, abs=1e-12)) for d, s in exp_most] == most
+    # DSL round-trip with type/tie_breaker
+    r = feng.query({"query": {"multi_match": {
+        "query": QUERY, "type": "best_fields", "tie_breaker": 0.3}}, "size": 5})
+    want = feng.search_multi(QUERY, k=5, type="best_fields", tie_breaker=0.3)
+    eng0 = feng.engine("body")
+    eng0._fetch_urls([d for d, _ in want])
+    assert [h["_id"] for h in r["hits"]["hits"]] == [eng0.url_of(d) for d, _ in want]
+    assert r["hits"]["total"] == {"value": len(union), "relation": "eq"}
+    with pytest.raises(ValueError):
+        feng.search_multi(QUERY, type="cross_fields")

@@ -203,3 +203,70 @@ def test_delete_then_purge_only(spark, webpages_small, tmp_path):
     eng3 = SearchEngine(out)
     assert victim not in {h.url for h in eng3.search(["spark"], k=100)}
     assert eng3.n_eff == 99
+
+
+def test_fully_tombstoned_bucket_is_dropped(spark, tmp_path):
+    """ADVICE r4: a term_bucket whose EVERY posting is tombstoned
+    emits zero compacted rows; the partition swap must DELETE it, not
+    leave the stale files a dynamic overwrite would skip — otherwise
+    the purged docs resurrect in query results once tombstones clear."""
+    from job_searchengine_project_spark.index.build import _term_bucket_py
+
+    # two disjoint vocabularies landing in DIFFERENT term buckets
+    buckets = 16
+    t_dead, t_live = "unicornterm", "zebraterm"
+    assert _term_bucket_py(t_dead, buckets) != _term_bucket_py(t_live, buckets)
+    rows = [(f"https://t.test/d{i}", f"{t_dead} {t_dead} filler{i}") for i in range(10)]
+    rows += [(f"https://t.test/l{i}", f"{t_live} {t_live} filler{i}") for i in range(10)]
+    pages = spark.createDataFrame(rows, "url string, text string")
+    out = str(tmp_path / "idx_deadbucket")
+    build_index(spark, pages, out, term_buckets=buckets,
+                target_postings_per_salt=50, store_fields=False)
+    dead_urls = [u for u, _ in rows[:10]]
+    assert delete_docs(spark, out, dead_urls)["tombstoned"] == 10
+    res = compact_index(spark, out)
+    assert res["purged_docs"] == 10
+    eng = SearchEngine(out)
+    # the fully-dead term is GONE (its bucket partition was deleted)
+    assert eng.search([t_dead], k=10, with_urls=False) == []
+    assert {h.url for h in eng.search([t_live], k=20)} == {u for u, _ in rows[10:]}
+    # and no parquet file survives in the dead term's partition dir
+    dead_part = os.path.join(
+        out, "segments", f"term_bucket={_term_bucket_py(t_dead, buckets)}"
+    )
+    assert not os.path.isdir(dead_part) or not any(
+        f.endswith(".parquet") for f in os.listdir(dead_part)
+    )
+
+
+def test_purge_count_survives_crash_before_stats_commit(
+    spark, webpages_small, tmp_path, monkeypatch
+):
+    """ADVICE r4: a crash between the forward swap and the stats
+    commit must not permanently undercount n_purged — the re-run finds
+    dead=0 forward rows but still credits every tombstone id."""
+    import job_searchengine_project_spark.index.build as build_mod
+
+    out = str(tmp_path / "idx_purgecrash")
+    build_index(spark, webpages_small.limit(100), out,
+                target_postings_per_salt=50, term_buckets=16)
+    victims = [
+        r["url"] for r in webpages_small.limit(100).select("url").limit(20).collect()
+    ]
+    assert delete_docs(spark, out, victims)["tombstoned"] == 20
+    real = build_mod._write_stats_dict
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before stats commit")
+
+    monkeypatch.setattr(build_mod, "_write_stats_dict", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        compact_index(spark, out)
+    monkeypatch.setattr(build_mod, "_write_stats_dict", real)
+    # forward rows are already gone, tombstones still present: the
+    # replay must still count all 20 toward n_purged
+    res = compact_index(spark, out)
+    assert res["purged_docs"] == 20
+    eng = SearchEngine(out)
+    assert eng.n_eff == 80
+    assert not load_tombstones(out).size
