@@ -51,6 +51,7 @@ from job_searchengine_project_spark.index.build import (
 
 SHARDS_META = "shards_meta.json"
 NORMS_DIR = "shard_norms"
+SHARD_DV_DIR = "shard_docvalues"
 _EMPTY_DEL = np.empty(0, dtype=np.int64)
 
 
@@ -110,9 +111,58 @@ def build_sharded_segments(
         .partitionBy("shard")
         .parquet(os.path.join(index_dir, NORMS_DIR))
     )
+    # shard-partitioned doc-values: each shard's slice of every sidecar
+    # column lives beside its segments (`shard_docvalues/<col>/shard=K/`,
+    # VALUE-sorted within the shard so a range/term filter is still a
+    # row-group-pruned read). The query kernels evaluate filters against
+    # their OWN slice — no doc-id set is ever built on or broadcast from
+    # the driver, so a filter matching half the corpus costs each shard
+    # only its own doc range (the ES per-shard filter-context shape,
+    # schema/es/es.sh:13-14).
+    for col in stats.get("doc_values") or []:
+        dv = spark.read.parquet(os.path.join(index_dir, "docvalues", col))
+        (
+            dv.withColumn(
+                "shard", (F.col("doc_id") / F.lit(rng)).cast("int")
+            )
+            .repartition("shard")
+            .sortWithinPartitions(col)
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(os.path.join(index_dir, SHARD_DV_DIR, col))
+        )
     with open(os.path.join(index_dir, SHARDS_META), "w") as f:
         json.dump({"n_shards": n_shards, "rng": rng, "n_docs": n_docs}, f)
     return out
+
+
+def _shard_dv_docs(
+    index_dir: str, shard: int, spec: dict, dele: np.ndarray
+) -> set[int]:
+    """Executor-side doc-values filter against ONE shard's slice:
+    reads only `shard_docvalues/<col>/shard=K/` with the bounds pushed
+    into parquet row-group statistics (the slice is value-sorted).
+    Returns the shard-local live doc-id hit set — never more than the
+    shard's own doc range."""
+    import pyarrow.dataset as pads
+
+    from job_searchengine_project_spark.search.engine import dv_filter_expr
+
+    spec = dict(spec)
+    col = spec.pop("col")
+    part = os.path.join(index_dir, SHARD_DV_DIR, col, f"shard={shard}")
+    if not os.path.isdir(part):  # shard holds no rows of this column
+        return set()
+    expr = dv_filter_expr(col, **spec)
+    ids = (
+        pads.dataset(part)
+        .to_table(columns=["doc_id"], filter=expr)
+        .column("doc_id")
+        .to_numpy()
+    )
+    if dele.size and ids.size:
+        ids = ids[~np.isin(ids, dele)]
+    return set(ids.tolist())
 
 
 class _ShardNorms:
@@ -476,16 +526,27 @@ def search_sharded_bool(
     minimum_should_match: int | None = None,
     filter_docs: list[set[int]] = (),
     must_not_docs: list[set[int]] = (),
+    filter_specs: list[dict] = (),
+    must_not_specs: list[dict] = (),
 ) -> DataFrame:
     """Distributed ES `bool` query over the sharded layout.
 
+    ``filter_specs``/``must_not_specs``: DECLARATIVE doc-values
+    range/term filters — each spec is ``{"col": <doc-values column>,
+    <bound>: <value>, ...}`` with bounds from eq/gte/gt/lte/lt. Every
+    shard kernel evaluates its specs against its OWN slice of the
+    shard-partitioned sidecars (``shard_docvalues/<col>/shard=K/``,
+    written by build_sharded_segments; value-sorted, so the bounds
+    prune to matching row groups). No doc-id set is ever materialized
+    on or broadcast from the driver — a filter matching half the
+    corpus costs each shard only its own doc range, exactly ES's
+    per-shard filter context (schema/es/es.sh:13-14). This is the
+    scale path; use it whenever the index was built with doc_values.
+
     ``filter_docs``/``must_not_docs``: precomputed doc-id hit sets
-    (doc-values range/term filters) BROADCAST to every shard — right
-    for selective filters (the common case: a date range, a language).
-    A filter matching a large corpus fraction should instead live as a
-    doc-range-partitioned sidecar joined per shard; the broadcast
-    bound is the executor memory the set costs, same trade as any
-    broadcast join.
+    BROADCAST to every shard — only for sets known to be small (an
+    external id list); the broadcast bound is the executor memory the
+    set costs, same trade as any broadcast join.
 
     The clause algebra (SearchEngine.bool_algebra) is doc-local —
     every per-doc decision (must conjunction, must_not exclusion,
@@ -529,10 +590,14 @@ def search_sharded_bool(
     must_not, filter = list(must_not), list(filter)
     filter_docs = [frozenset(s) for s in filter_docs]
     must_not_docs = [frozenset(s) for s in must_not_docs]
+    filter_specs = [dict(s) for s in filter_specs]
+    must_not_specs = [dict(s) for s in must_not_specs]
     if minimum_should_match is None:
-        minimum_should_match = 0 if (must or filter or filter_docs) else 1
+        minimum_should_match = (
+            0 if (must or filter or filter_docs or filter_specs) else 1
+        )
     empty = spark.createDataFrame([], "doc_id long, score double, url string")
-    if not (must or filter or should or filter_docs):
+    if not (must or filter or should or filter_docs or filter_specs):
         return empty
     # (kind, index, sorted terms) — kinds: m(ust)/s(hould)/n(ot)/f(ilter)
     clauses = (
@@ -543,6 +608,41 @@ def search_sharded_bool(
     )
     all_terms = sorted({t for _, _, ts in clauses for t in ts})
     if not all_terms:
+        if filter_specs:
+            # termless pure-spec query: evaluate ENTIRELY as DataFrame
+            # algebra over the distributed sidecar tables — semi-joins
+            # intersect the spec hit sets, anti-joins subtract, the
+            # tombstone table anti-joins out deletes. Catalyst pushes
+            # each spec's bounds into the parquet scan; nothing reaches
+            # the driver but the final top-k.
+            cand = dv_filter_docs_sharded(spark, index_dir, filter_specs[0])
+            for sp in filter_specs[1:]:
+                cand = cand.join(
+                    dv_filter_docs_sharded(spark, index_dir, sp),
+                    "doc_id",
+                    "left_semi",
+                )
+            for sp in must_not_specs:
+                cand = cand.join(
+                    dv_filter_docs_sharded(spark, index_dir, sp),
+                    "doc_id",
+                    "left_anti",
+                )
+            for s in must_not_docs:
+                if s:
+                    cand = cand.filter(~F.col("doc_id").isin(sorted(s)))
+            for s in filter_docs:
+                cand = cand.filter(F.col("doc_id").isin(sorted(s)))
+            top0 = (
+                cand.withColumn("score", F.lit(0.0))
+                .orderBy(F.asc("doc_id"))  # score 0 ties: pinned order
+                .limit(k)
+            )
+            return (
+                _attach_urls_pruned(spark, index_dir, top0)
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .select("doc_id", "score", "url")
+            )
         if not filter_docs:
             return empty
         # termless pure-filter query: the hit sets were computed
@@ -641,11 +741,22 @@ def search_sharded_bool(
                     not_sets[i] = clause_hits(ts)
                 else:
                     filter_sets[i] = clause_hits(ts)
+            # declarative doc-values specs: evaluated HERE against this
+            # shard's own sidecar slice (value-pruned read) — the only
+            # thing shipped from the driver is the tiny spec dict
+            spec_fsets = [
+                _shard_dv_docs(index_dir, int(shard_val), sp, dele)
+                for sp in filter_specs
+            ]
+            spec_nsets = [
+                _shard_dv_docs(index_dir, int(shard_val), sp, dele)
+                for sp in must_not_specs
+            ]
             scored = SearchEngine.bool_algebra(
                 must_accs,
                 should_accs,
-                not_sets + [set(s) for s in bc_nsets.value],
-                filter_sets + [set(s) for s in bc_fsets.value],
+                not_sets + [set(s) for s in bc_nsets.value] + spec_nsets,
+                filter_sets + [set(s) for s in bc_fsets.value] + spec_fsets,
                 msm,
             )[:k]
             if scored:
@@ -662,6 +773,160 @@ def search_sharded_bool(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .select("doc_id", "score", "url")
     )
+
+
+def match_docs_sharded(
+    spark: SparkSession, index_dir: str, query_terms: list[str]
+) -> DataFrame:
+    """Distributed ES match-clause hit SET (no scoring): every live
+    doc holding >= 1 query term, as a DataFrame of doc_id. Each
+    segment row decodes independently (no per-shard state — a doc's
+    membership needs no cross-term float order), so this is a plain
+    flatMap over the pushed-down term rows + a distinct on doc_id;
+    tombstones anti-join from the deleted table. Feeds the
+    query-context scope of the distributed aggregations exactly as ES
+    runs its aggs over the per-shard hit sets."""
+    terms = sorted(set(query_terms))
+    if not terms:
+        return spark.createDataFrame([], "doc_id long")
+    seg = (
+        spark.read.parquet(os.path.join(index_dir, "shards"))
+        .filter(F.col("term").isin(terms))
+    )
+
+    def decode_docs(batches):
+        from job_searchengine_project_spark.index import codec
+
+        for pdf in batches:
+            for r in pdf.itertuples():
+                docs, _ = codec.decode_postings(_enc_from_row(r))
+                yield pd.DataFrame({"doc_id": docs})
+
+    hits = seg.mapInPandas(decode_docs, schema="doc_id long").distinct()
+    tomb_dir = os.path.join(index_dir, "deleted")
+    if os.path.isdir(tomb_dir):
+        hits = hits.join(
+            spark.read.parquet(tomb_dir).select("doc_id").distinct(),
+            "doc_id",
+            "left_anti",
+        )
+    return hits
+
+
+def _live_dv_table(spark: SparkSession, index_dir: str, col: str) -> DataFrame:
+    """The doc-values sidecar of ``col`` as a distributed table with
+    tombstoned docs anti-joined out — the scan every distributed
+    filter/agg starts from."""
+    dv = spark.read.parquet(os.path.join(index_dir, "docvalues", col))
+    tomb_dir = os.path.join(index_dir, "deleted")
+    if os.path.isdir(tomb_dir):
+        dv = dv.join(
+            spark.read.parquet(tomb_dir).select("doc_id").distinct(),
+            "doc_id",
+            "left_anti",
+        )
+    return dv
+
+
+def aggregate_terms_sharded(
+    spark: SparkSession,
+    index_dir: str,
+    col: str,
+    size: int = 10,
+    doc_filter: DataFrame | None = None,
+) -> DataFrame:
+    """Distributed ES `terms` aggregation: ONE Spark groupBy over the
+    doc-values sidecar table — Catalyst's partial (map-side) aggregate
+    per scan partition IS the per-shard partial, and the exchange on
+    `key` is the associative merge, so no driver-side Counter ever
+    sees the column. ``doc_filter`` (a doc_id DataFrame, e.g.
+    match_docs_sharded) scopes the agg to a query's hit set via a
+    semi-join — the ES query-context contract. Returns
+    (key, doc_count) in ES tie order (desc count, asc key), top
+    ``size``. The driver engine's aggregate_terms remains as the
+    single-node oracle of this path (tested equal)."""
+    dv = _live_dv_table(spark, index_dir, col)
+    if doc_filter is not None:
+        dv = dv.join(doc_filter, "doc_id", "left_semi")
+    return (
+        dv.groupBy(F.col(col).alias("key"))
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy(F.desc("doc_count"), F.asc("key"))
+        .limit(size)
+    )
+
+
+def aggregate_histogram_sharded(
+    spark: SparkSession,
+    index_dir: str,
+    col: str,
+    interval: float,
+    doc_filter: DataFrame | None = None,
+) -> DataFrame:
+    """Distributed ES `histogram` aggregation: floor(value/interval)
+    buckets via one Spark groupBy over the sidecar table (partial agg
+    + associative merge, like aggregate_terms_sharded); empty buckets
+    omitted (ES min_doc_count=1 shape), ascending keys."""
+    dv = _live_dv_table(spark, index_dir, col)
+    if doc_filter is not None:
+        dv = dv.join(doc_filter, "doc_id", "left_semi")
+    key = (
+        F.floor(F.col(col).cast("double") / F.lit(float(interval)))
+        * F.lit(float(interval))
+    ).cast("double")
+    return (
+        dv.select(key.alias("key"))
+        .groupBy("key")
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy(F.asc("key"))
+    )
+
+
+def dv_filter_docs_sharded(
+    spark: SparkSession, index_dir: str, spec: dict
+) -> DataFrame:
+    """One doc-values range/term filter as a distributed doc_id
+    DataFrame (bounds pushed into the parquet scan) — composes with
+    the aggregations' ``doc_filter`` and with semi/anti joins, never
+    materializing a driver-side set."""
+    spec = dict(spec)
+    col = spec.pop("col")
+    dv = _live_dv_table(spark, index_dir, col)
+    cond = None
+    for op, val in spec.items():
+        c = {
+            "eq": F.col(col) == F.lit(val),
+            "gte": F.col(col) >= F.lit(val),
+            "gt": F.col(col) > F.lit(val),
+            "lte": F.col(col) <= F.lit(val),
+            "lt": F.col(col) < F.lit(val),
+        }[op]
+        cond = c if cond is None else (cond & c)
+    if cond is None:
+        raise ValueError("doc_values filter needs at least one bound")
+    return dv.filter(cond).select("doc_id")
+
+
+def search_sharded_fuzzy(
+    spark: SparkSession,
+    index_dir: str,
+    query_terms: list[str],
+    k: int = 10,
+    max_edits: int = 1,
+) -> DataFrame:
+    """Distributed ES fuzzy match: expand each query term through the
+    PERSISTED delete-variant table (index/fuzzy.py — a variant-pruned
+    parquet lookup, O(per-term variants), never vocabulary-sized on
+    the driver), then score the expansion as plain match-OR BM25 via
+    the sharded kernels. Same scoring contract as the driver engine's
+    search_fuzzy (no fuzziness boost discount — documented,
+    oracle-checked); rank parity with it is exact."""
+    from job_searchengine_project_spark.index.fuzzy import fuzzy_expand_terms
+
+    expanded = fuzzy_expand_terms(index_dir, query_terms, max_edits=max_edits)
+    if not expanded:
+        return spark.createDataFrame([], "doc_id long, score double, url string")
+    return search_sharded(spark, index_dir, expanded, k=k)
 
 
 def search_sharded(

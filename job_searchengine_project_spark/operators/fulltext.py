@@ -905,6 +905,148 @@ def wand_sharded_top10(spark, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "doc_id bigint, score double")
 
 
+def _sharded_dv_index_for(spark: SparkSession, sf_dir: str) -> str:
+    """Sharded layout over the doc-values index: the shards AND the
+    shard-partitioned sidecar slices (build_sharded_segments writes
+    both when the index has doc_values)."""
+    from job_searchengine_project_spark.index.sharded import (
+        SHARD_DV_DIR,
+        SHARDS_META,
+        build_sharded_segments,
+    )
+
+    eng = _dv_engine_for(spark, sf_dir)
+    idx = eng.index_dir
+    if not (
+        os.path.exists(os.path.join(idx, SHARDS_META))
+        and os.path.isdir(os.path.join(idx, SHARD_DV_DIR))
+    ):
+        build_sharded_segments(spark, idx, n_shards=8)
+    return idx
+
+
+def bool_sharded_filter_top10(spark, sf_dir: str) -> DataFrame:
+    """VERDICT r3 #1 closure: a BROAD doc-values filter (n_chars >=
+    150 matches most of the corpus, plus a lang term) evaluated
+    SHARD-LOCALLY — the specs ship as tiny dicts and each shard kernel
+    reads only its own value-pruned sidecar slice
+    (shard_docvalues/<col>/shard=K); no doc-id set is built on or
+    broadcast from the driver (regression-tested). Same oracle family
+    as range_filter_top10."""
+    from job_searchengine_project_spark.index.sharded import search_sharded_bool
+
+    idx = _sharded_dv_index_for(spark, sf_dir)
+    df = search_sharded_bool(
+        spark, idx, must=BOOL_MUST,
+        filter_specs=[
+            {"col": "n_chars", "gte": DV_RANGE[0]},
+            {"col": "lang", "eq": DV_LANG},
+        ],
+        k=10**7,
+    )
+    rows = sorted(
+        (
+            (int(r["url"].split("doc://")[1]), round(float(r["score"]), 4))
+            for r in df.collect()
+        ),
+        key=lambda r: (-r[1], r[0]),
+    )[:K]
+    return spark.createDataFrame(rows, "doc_id bigint, score double")
+
+
+def _broad_filter_sql(limit: int) -> str:
+    terms_sql = ", ".join(f"'{t}'" for t in BOOL_MUST)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.tok AS term
+  FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+  WHERE length(t.tok) > 1
+),
+dl AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(doclen) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ({terms_sql}) GROUP BY doc_id, term),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+part AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + (s.n - dft.df + 0.5) / (dft.df + 0.5))
+           * (tf.tf / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.doclen / s.avgdl))) AS p
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+),
+m0 AS (SELECT doc_id, p FROM part WHERE term = '{BOOL_MUST[0]}'),
+m1 AS (SELECT doc_id, p FROM part WHERE term = '{BOOL_MUST[1]}'),
+fset AS (
+  SELECT doc_id FROM documents
+  WHERE n_chars >= {DV_RANGE[0]} AND lang = '{DV_LANG}'
+),
+scored AS (
+  SELECT m0.doc_id, round(m0.p + m1.p, 4) AS score
+  FROM m0 JOIN m1 USING (doc_id) JOIN fset USING (doc_id)
+)
+SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT {limit}
+"""
+
+
+def terms_agg_sharded(spark, sf_dir: str) -> DataFrame:
+    """VERDICT r3 #2 closure: the same query-scoped `terms` agg as
+    terms_agg, computed as ONE Spark groupBy over the sidecar table
+    scoped by the distributed match-docs hit set — Catalyst's map-side
+    partial aggregate is the per-shard partial, the key exchange the
+    associative merge; the driver Counter path is demoted to oracle.
+    Same DuckDB oracle as terms_agg."""
+    from job_searchengine_project_spark.index.sharded import (
+        aggregate_terms_sharded,
+        match_docs_sharded,
+    )
+
+    idx = _sharded_dv_index_for(spark, sf_dir)
+    eng = _dv_engine_for(spark, sf_dir)
+    hits = match_docs_sharded(spark, idx, eng._analyze("spark"))
+    return aggregate_terms_sharded(spark, idx, "lang", size=10, doc_filter=hits)
+
+
+def histogram_agg_sharded(spark, sf_dir: str) -> DataFrame:
+    """Distributed `histogram` agg under a doc-values term filter:
+    the lang gate is a pushed-down DataFrame (dv_filter_docs_sharded),
+    the bucketing one groupBy — no driver-side column scan. Same
+    DuckDB oracle as histogram_agg."""
+    from job_searchengine_project_spark.index.sharded import (
+        aggregate_histogram_sharded,
+        dv_filter_docs_sharded,
+    )
+
+    idx = _sharded_dv_index_for(spark, sf_dir)
+    gate = dv_filter_docs_sharded(spark, idx, {"col": "lang", "eq": DV_LANG})
+    return aggregate_histogram_sharded(
+        spark, idx, "n_chars", 100, doc_filter=gate
+    )
+
+
+def fuzzy_sharded_top10(spark, sf_dir: str) -> DataFrame:
+    """VERDICT r3 #3 closure: distributed fuzzy match — expansion via
+    the PERSISTED delete-variant table (index/fuzzy.py, variant-pruned
+    lookup), scoring via the sharded kernels. Same DuckDB
+    levenshtein() oracle as fuzzy_top10."""
+    from job_searchengine_project_spark.index.fuzzy import (
+        build_fuzzy_variants,
+        variants_dir,
+    )
+    from job_searchengine_project_spark.index.sharded import search_sharded_fuzzy
+
+    idx = _sharded_index_for(spark, sf_dir)
+    if not os.path.isdir(variants_dir(idx, 1)):
+        build_fuzzy_variants(spark, idx, max_edits=1)
+    df = search_sharded_fuzzy(spark, idx, FUZZY_PROBES, k=20 * K, max_edits=1)
+    rows = sorted(
+        (
+            (int(r["url"].split("doc://")[1]), round(float(r["score"]), 4))
+            for r in df.collect()
+        ),
+        key=lambda r: (-r[1], r[0]),
+    )[:K]
+    return spark.createDataFrame(rows, "doc_id bigint, score double")
+
+
 def bool_sharded_top10(spark, sf_dir: str) -> DataFrame:
     """The distributed bool path: shard-local clause algebra, global
     merge — same oracle as the driver-side bool_query_top10."""
@@ -1062,8 +1204,12 @@ QUERIES = {
     "fuzzy_top10": (fuzzy_top10, _fuzzy_sql(K)),
     "dsl_bool_top10": (dsl_bool_top10, _bool_sql(K)),
     "range_filter_top10": (range_filter_top10, _range_filter_sql(K)),
+    "bool_sharded_filter_top10": (bool_sharded_filter_top10, _broad_filter_sql(K)),
+    "fuzzy_sharded_top10": (fuzzy_sharded_top10, _fuzzy_sql(K)),
     "terms_agg": (terms_agg, TERMS_AGG_SQL),
     "histogram_agg": (histogram_agg, HISTOGRAM_AGG_SQL),
+    "terms_agg_sharded": (terms_agg_sharded, TERMS_AGG_SQL),
+    "histogram_agg_sharded": (histogram_agg_sharded, HISTOGRAM_AGG_SQL),
     "sort_by_field_top10": (sort_by_field_top10, SORT_BY_FIELD_SQL),
     "match_count": (match_count, MATCH_COUNT_SQL),
 }

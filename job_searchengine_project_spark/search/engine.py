@@ -29,6 +29,25 @@ from job_searchengine_project_spark.index.build import _term_bucket_py
 from job_searchengine_project_spark.search.wand import TermCursor, wand_topk
 
 
+def dv_filter_expr(col: str, *, eq=None, gte=None, gt=None, lte=None, lt=None):
+    """Bounds of a doc-values range/term filter as ONE pyarrow dataset
+    expression (pushed into parquet row-group statistics by every
+    reader — driver sidecars and shard-partitioned slices alike)."""
+    expr = None
+    for bound, val in (
+        (pads.field(col) == eq, eq),
+        (pads.field(col) >= gte, gte),
+        (pads.field(col) > gt, gt),
+        (pads.field(col) <= lte, lte),
+        (pads.field(col) < lt, lt),
+    ):
+        if val is not None:
+            expr = bound if expr is None else expr & bound
+    if expr is None:
+        raise ValueError("doc_values filter needs at least one bound")
+    return expr
+
+
 def doc_values_docs_at(
     root: str,
     dv_cols: list[str],
@@ -45,18 +64,7 @@ def doc_values_docs_at(
     (used by both the single-index and fielded engines)."""
     if col not in dv_cols:
         raise KeyError(f"no doc-values for {col!r}; built columns: {dv_cols}")
-    expr = None
-    for bound, val in (
-        (pads.field(col) == eq, eq),
-        (pads.field(col) >= gte, gte),
-        (pads.field(col) > gt, gt),
-        (pads.field(col) <= lte, lte),
-        (pads.field(col) < lt, lt),
-    ):
-        if val is not None:
-            expr = bound if expr is None else expr & bound
-    if expr is None:
-        raise ValueError("doc_values filter needs at least one bound")
+    expr = dv_filter_expr(col, eq=eq, gte=gte, gt=gt, lte=lte, lt=lt)
     tbl = pads.dataset(os.path.join(root, "docvalues", col)).to_table(
         columns=["doc_id"], filter=expr
     )
@@ -141,6 +149,23 @@ def exhaustive_topk_arrays(
         idx = np.flatnonzero(sums >= kth)
     cand = sorted(zip(uniq[idx].tolist(), sums[idx].tolist()), key=lambda x: (-x[1], x[0]))
     return cand[:k]
+
+
+def fuzzy_expand_at(variants_dir: str, term: str, max_edits: int) -> list[str]:
+    """Pruned lookup against a persisted delete-variant table
+    (index/fuzzy.py): read only the row groups holding the query
+    term's own variants (the table is variant-sorted, so the isin
+    filter prunes on row-group statistics), then exact-Levenshtein
+    verify. O(|variants(term)|) regardless of vocabulary size —
+    shared by the driver engine and the sharded query path."""
+    variants = sorted(SearchEngine._delete_variants(term, max_edits))
+    tbl = pads.dataset(variants_dir).to_table(
+        columns=["term"], filter=pads.field("variant").isin(variants)
+    )
+    cands = set(tbl.column("term").to_pylist())
+    return sorted(
+        t for t in cands if SearchEngine._edit_distance(t, term) <= max_edits
+    )
 
 
 @dataclass
@@ -465,6 +490,11 @@ class SearchEngine:
             frontier = nxt
         return outs
 
+    def fuzzy_variants_dir(self, max_edits: int) -> str:
+        return os.path.join(
+            self.index_dir, "fuzzy_variants", f"edits={max_edits}"
+        )
+
     def _fuzzy_index(self, max_edits: int) -> dict[str, list[str]]:
         """SymSpell delete-variant index: variant -> dictionary terms.
         If ed(a, b) <= k then a and b share a <= k-deletion variant, so
@@ -489,7 +519,18 @@ class SearchEngine:
         """Dictionary terms within ``max_edits`` of ``term`` (the term
         itself included when indexed): SymSpell candidate lookup, then
         exact Levenshtein verification — provably the same set as a
-        full dictionary scan (tested against one)."""
+        full dictionary scan (tested against one).
+
+        When the PERSISTED variant table exists
+        (``fuzzy_variants/edits=K/`` — index/fuzzy.py
+        build_fuzzy_variants, one shuffle at index time), the lookup
+        is a variant-pruned parquet read instead of an in-process
+        dictionary walk: the scale path (nothing vocabulary-sized is
+        ever built driver-side), shared with the sharded engine.
+        Falls back to the in-memory SymSpell index when absent."""
+        vdir = self.fuzzy_variants_dir(max_edits)
+        if os.path.isdir(vdir):
+            return fuzzy_expand_at(vdir, term, max_edits)
         idx = self._fuzzy_index(max_edits)
         cands: set[str] = set()
         for v in self._delete_variants(term, max_edits):

@@ -417,3 +417,49 @@ def test_empty_and_absent(eng):
         must=[T_A], must_not=["zzz_not_a_term"], k=10**9, with_urls=False
     )
     assert [(h.doc_id, h.score) for h in a] == [(h.doc_id, h.score) for h in b]
+
+
+def test_persisted_fuzzy_variants_and_sharded_fuzzy(spark, eng):
+    """VERDICT r3 #3: the delete-variant table persists beside the
+    index (one shuffle at index time); the driver expansion becomes a
+    variant-pruned parquet lookup returning EXACTLY the in-memory
+    SymSpell set, and the sharded path gains a fuzzy entry point with
+    rank/score parity against the driver engine."""
+    import os
+
+    from job_searchengine_project_spark.index.fuzzy import (
+        build_fuzzy_variants,
+        fuzzy_expand_terms,
+    )
+    from job_searchengine_project_spark.index.sharded import (
+        SHARDS_META,
+        build_sharded_segments,
+        search_sharded_fuzzy,
+    )
+
+    out = eng.index_dir
+    probes = [T_A, T_A[:2] + T_A[3:], T_A + "x", "zzq", T_C[1:]]
+    # in-memory expansions captured BEFORE the table exists
+    want_exp = {p: eng.fuzzy_expand(p, max_edits=1) for p in probes}
+    vdir = build_fuzzy_variants(spark, out, max_edits=1)
+    assert os.path.isdir(vdir)
+    # persisted-table route (a fresh engine takes it automatically)
+    eng2 = SearchEngine(out)
+    for p in probes:
+        assert eng2.fuzzy_expand(p, max_edits=1) == want_exp[p], p
+    assert fuzzy_expand_terms(out, probes, max_edits=1) == sorted(
+        {t for ts in want_exp.values() for t in ts}
+    )
+    # sharded fuzzy == driver fuzzy (same expansion, same BM25)
+    if not os.path.exists(os.path.join(out, SHARDS_META)):
+        build_sharded_segments(spark, out, n_shards=4)
+    probe = T_A[:2] + T_A[3:]
+    want = [
+        (h.doc_id, round(h.score, 9))
+        for h in eng.search_fuzzy([probe], k=20, max_edits=1, with_urls=False)
+    ]
+    got = [
+        (int(r["doc_id"]), round(float(r["score"]), 9))
+        for r in search_sharded_fuzzy(spark, out, [probe], k=20).collect()
+    ]
+    assert got == want and got

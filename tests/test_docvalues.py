@@ -463,3 +463,116 @@ def test_field_sort_null_values_sort_last(spark, webpages_small, tmp_path):
             if prev is not None:
                 assert v >= prev if order == "asc" else v <= prev
             prev = v
+
+
+def test_sharded_spec_filters_no_driver_sets(spark, dv_index, monkeypatch):
+    """VERDICT r3 #1: declarative filter_specs evaluate inside the
+    shard kernels against shard-partitioned sidecar slices. Parity
+    with the driver engine on a BROAD filter (>10% of docs), and the
+    driver-side set builder is never called."""
+    from job_searchengine_project_spark.corpus import HEAD_TERMS
+    from job_searchengine_project_spark.index.sharded import (
+        SHARD_DV_DIR,
+        build_sharded_segments,
+        search_sharded_bool,
+    )
+    from job_searchengine_project_spark.search import engine as engmod
+
+    out, pages = dv_index
+    build_sharded_segments(spark, out, n_shards=4)
+    # shard-partitioned sidecars exist for every doc-values column
+    for col in ("n_chars", "site"):
+        assert os.path.isdir(os.path.join(out, SHARD_DV_DIR, col, "shard=0"))
+    site0 = pages.select("site").first()["site"]
+    eng = SearchEngine(out)
+    t = HEAD_TERMS[1]
+    # broad filter: n_chars >= 100 matches most of the corpus
+    gate = eng.doc_values_docs("n_chars", gte=100)
+    assert len(gate) > 30  # >10% of the 300-doc corpus
+    excl = eng.doc_values_docs("n_chars", lt=450)
+    want = [
+        (h.doc_id, round(h.score, 9))
+        for h in eng.search_bool(
+            must=[t], filter_docs=[gate], must_not_docs=[excl],
+            k=100, with_urls=False,
+        )
+    ]
+
+    def boom(*a, **k):
+        raise AssertionError("driver-side doc-values set built for sharded path")
+
+    monkeypatch.setattr(engmod, "doc_values_docs_at", boom)
+    got = [
+        (int(r["doc_id"]), round(float(r["score"]), 9))
+        for r in search_sharded_bool(
+            spark, out, must=[t],
+            filter_specs=[{"col": "n_chars", "gte": 100}],
+            must_not_specs=[{"col": "n_chars", "lt": 450}],
+            k=100,
+        ).collect()
+    ]
+    assert got == want and got
+    # termless pure-spec query: distributed DataFrame algebra
+    rows = search_sharded_bool(
+        spark, out,
+        filter_specs=[{"col": "n_chars", "gte": 100}, {"col": "site", "eq": site0}],
+        must_not_specs=[{"col": "n_chars", "gte": 2000}],
+        k=20,
+    ).collect()
+    monkeypatch.undo()
+    want_set = (
+        eng.doc_values_docs("n_chars", gte=100)
+        & eng.doc_values_docs("site", eq=site0)
+    ) - eng.doc_values_docs("n_chars", gte=2000)
+    assert rows and {r["doc_id"] for r in rows} == set(sorted(want_set)[:20])
+    assert all(r["score"] == 0.0 and r["url"] for r in rows)
+
+
+def test_distributed_aggregations_match_driver(spark, dv_index):
+    """VERDICT r3 #2: terms/histogram aggs as one Spark groupBy over
+    the sidecar table (partial agg + associative merge) equal the
+    driver-side Counter oracle, scoped and unscoped."""
+    from job_searchengine_project_spark.corpus import HEAD_TERMS
+    from job_searchengine_project_spark.index.sharded import (
+        aggregate_histogram_sharded,
+        aggregate_terms_sharded,
+        build_sharded_segments,
+        dv_filter_docs_sharded,
+        match_docs_sharded,
+    )
+
+    out, _ = dv_index
+    build_sharded_segments(spark, out, n_shards=4)
+    eng = SearchEngine(out)
+    # unscoped terms agg
+    got = [
+        (r["key"], int(r["doc_count"]))
+        for r in aggregate_terms_sharded(spark, out, "site", size=10).collect()
+    ]
+    assert got == eng.aggregate_terms("site", size=10)
+    # query-scoped: hit set from the distributed match-docs path
+    t = HEAD_TERMS[0]
+    hits = match_docs_sharded(spark, out, eng._analyze(t))
+    assert {r["doc_id"] for r in hits.collect()} == eng._match_docs(eng._analyze(t))
+    got_scoped = [
+        (r["key"], int(r["doc_count"]))
+        for r in aggregate_terms_sharded(
+            spark, out, "site", size=10, doc_filter=hits
+        ).collect()
+    ]
+    want_scoped = eng.aggregate_terms(
+        "site", size=10, doc_filter=eng._match_docs(eng._analyze(t))
+    )
+    assert got_scoped == want_scoped
+    # histogram under a dv term filter
+    gate_df = dv_filter_docs_sharded(spark, out, {"col": "n_chars", "lt": 900})
+    got_h = [
+        (float(r["key"]), int(r["doc_count"]))
+        for r in aggregate_histogram_sharded(
+            spark, out, "n_chars", 200, doc_filter=gate_df
+        ).collect()
+    ]
+    want_h = eng.aggregate_histogram(
+        "n_chars", 200, doc_filter=eng.doc_values_docs("n_chars", lt=900)
+    )
+    assert got_h == want_h and got_h
