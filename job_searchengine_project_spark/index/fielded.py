@@ -375,9 +375,15 @@ class FieldedSearchEngine:
                 urls = {h.doc_id: h.url for h in hits}
             elif kind == "match_phrase":
                 field, text = SearchEngine._leaf_field_text(spec)
+                ((_, mp_val),) = spec.items()
+                mp_slop = (
+                    int(mp_val.get("slop", 0)) if isinstance(mp_val, dict) else 0
+                )
                 # the phrase kernel verifies and scores every match
                 # before truncating — the unpaged call costs the same
-                full = self.search_phrase_field(text, field, k=10**9)
+                full = self.search_phrase_field(
+                    text, field, k=10**9, slop=mp_slop
+                )
                 total = len(full)
                 hits = full[frm : frm + size]
                 url_field = field

@@ -396,6 +396,44 @@ ORDER BY score DESC, doc_id LIMIT {limit}
 """
 
 
+MULTI_TIE_BREAKER = 0.3
+
+
+def multi_field_best_top10(spark, sf_dir: str) -> DataFrame:
+    """ES multi_match type=best_fields (the DEFAULT ES combiner) across
+    title+body: dis_max — the best single field's score plus
+    tie_breaker x the other matching field's (index/fielded.py
+    search_multi). Oracle: CASE over the two field-BM25 CTEs with the
+    engine's first-max tie rule (sorted-field order: body before
+    title)."""
+    feng = _fielded_engine_for(spark, sf_dir)
+    top = feng.search_multi(
+        FIELD_QUERY, k=20 * K, type="best_fields", tie_breaker=MULTI_TIE_BREAKER
+    )
+    url_of = feng.engine("body").url_of
+    rows = sorted(
+        ((int(url_of(d).split("doc://")[1]), round(s, 4)) for d, s in top),
+        key=lambda r: (-r[1], r[0]),
+    )[:K]
+    return spark.createDataFrame(rows, "doc_id bigint, score double")
+
+
+def _multi_field_best_sql(terms: list[str], limit: int) -> str:
+    tb = MULTI_TIE_BREAKER
+    return f"""
+WITH {_field_scored_cte("t", f"substr(text, 1, {TITLE_LEN})", terms).lstrip()},
+{_field_scored_cte("b", "text", terms).lstrip()}
+SELECT coalesce(t.doc_id, b.doc_id) AS doc_id,
+       round(CASE
+         WHEN b.score IS NOT NULL AND (t.score IS NULL OR b.score >= t.score)
+           THEN b.score + CASE WHEN t.score IS NOT NULL THEN {tb} * t.score ELSE 0 END
+         ELSE t.score + CASE WHEN b.score IS NOT NULL THEN {tb} * b.score ELSE 0 END
+       END, 4) AS score
+FROM t_scored t FULL OUTER JOIN b_scored b ON t.doc_id = b.doc_id
+ORDER BY score DESC, doc_id LIMIT {limit}
+"""
+
+
 # ---- upsert/delete lifecycle (ES `_id` overwrite parity) ---------------------
 
 REPLACE_MOD = 10   # doc_id % 10 == 0 -> re-crawled with boosted text
@@ -581,6 +619,85 @@ scored AS (
 )
 SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT {{limit}}
 """.format(grams_sql=grams_sql, phrase=phrase.lower(), k1=BM25_K1, b=BM25_B, limit=limit)
+
+
+# ---- ES match_phrase slop + search_after cursor pagination -------------------
+
+PHRASE_SLOP_QUERY = "spark data"
+PHRASE_SLOP = 2  # terms in order within a window of len + 2
+
+
+def phrase_slop_top10(spark, sf_dir: str) -> DataFrame:
+    """ES match_phrase with slop over a MORPH positional index:
+    'spark' then 'data' in order within <= slop intervening tokens
+    (ordered-window contract, search/engine.py search_phrase — exact
+    adjacency at slop=0, oracle-expressible superset of it here).
+    Ranked by the distinct-term BM25 sum like every phrase query."""
+    eng = _engine_for(spark, sf_dir, analyzer="morph", positions=True)
+    hits = eng.search_phrase(PHRASE_SLOP_QUERY, k=10**9, slop=PHRASE_SLOP)
+    rows = sorted(
+        ((int(h.url.split("doc://")[1]), round(h.score, 4)) for h in hits),
+        key=lambda r: (-r[1], r[0]),
+    )[:K]
+    return spark.createDataFrame(rows, "doc_id bigint, score double")
+
+
+def _phrase_slop_sql(limit: int) -> str:
+    t0, t1 = PHRASE_SLOP_QUERY.split()
+    return f"""
+WITH base AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 1) AS lst
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(lst) AS term, generate_subscripts(lst, 1) AS p
+  FROM base
+),
+m AS (
+  SELECT DISTINCT a.doc_id
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id
+  WHERE a.term = '{t0}' AND b.term = '{t1}'
+    AND b.p > a.p AND b.p - a.p <= 1 + {PHRASE_SLOP}
+),
+dl AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(doclen) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ('{t0}', '{t1}') GROUP BY doc_id, term),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         round(sum(ln(1 + (s.n - dft.df + 0.5) / (dft.df + 0.5))
+             * (tf.tf / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.doclen / s.avgdl)))), 4) AS score
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  WHERE tf.doc_id IN (SELECT doc_id FROM m)
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT {limit}
+"""
+
+
+def search_after_top10(spark, sf_dir: str) -> DataFrame:
+    """ES search_after cursor pagination: page 2 is reachable ONLY
+    through page 1's last (score, doc_id) sort key — the scale-safe
+    deep-pagination form (O(candidates) per page, no from+size depth
+    term; ES caps from+size at 10k for exactly this reason). Emits
+    pages 1+2 concatenated so the oracle is the plain top-2K — page 2
+    rows prove the cursor tiles exactly."""
+    eng = _engine_for(spark, sf_dir)
+    p1 = eng.search(QUERY_TERMS, k=K, strategy="exhaustive", with_urls=False)
+    cursor = (p1[-1].score, p1[-1].doc_id)
+    p2 = eng.search(QUERY_TERMS, k=K, search_after=cursor, with_urls=False)
+    hits = p1 + p2
+    assert len({h.doc_id for h in hits}) == len(hits), "cursor pages overlap"
+    eng._fetch_urls([h.doc_id for h in hits])
+    rows = sorted(
+        (
+            (int(eng.url_of(h.doc_id).split("doc://")[1]), round(h.score, 4))
+            for h in hits
+        ),
+        key=lambda r: (-r[1], r[0]),
+    )
+    return spark.createDataFrame(rows, "doc_id bigint, score double")
 
 
 # ---- doc-values range/term filters -------------------------------------------
@@ -1197,6 +1314,9 @@ QUERIES = {
     "upsert_purge_top10": (upsert_purge_top10, _upsert_sql(QUERY_TERMS, K, purge=True)),
     "fielded_search_top10": (fielded_search_top10, _fielded_sql(QUERY_TERMS, K)),
     "multi_field_top10": (multi_field_top10, _multi_field_sql(QUERY_TERMS, K)),
+    "multi_field_best_top10": (multi_field_best_top10, _multi_field_best_sql(QUERY_TERMS, K)),
+    "phrase_slop_top10": (phrase_slop_top10, _phrase_slop_sql(K)),
+    "search_after_top10": (search_after_top10, _bm25_sql(QUERY_TERMS, 2 * K)),
     "bool_query_top10": (bool_query_top10, _bool_sql(K)),
     "bool_fielded_top10": (bool_fielded_top10, _bool_fielded_sql(K)),
     "wand_sharded_top10": (wand_sharded_top10, _bm25_sql(QUERY_TERMS, K)),

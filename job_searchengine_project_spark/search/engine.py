@@ -122,6 +122,7 @@ def exhaustive_topk_arrays(
     k1: float,
     b: float,
     deleted: np.ndarray,
+    after: tuple[float, int] | None = None,
 ) -> list[tuple[int, float]]:
     """Vectorized term-at-a-time OR scoring over decoded posting
     arrays (exact, oracle sum order) — the shared kernel behind the
@@ -139,6 +140,17 @@ def exhaustive_topk_arrays(
     uniq, sums = accumulate_arrays(
         term_arrays, idf_of, dl_of, avgdl, k1, b, deleted
     )
+    if after is not None:
+        # search_after cursor (ES deep-pagination): keep only docs
+        # STRICTLY after (score desc, doc_id asc) the cursor — one
+        # vectorized mask, O(candidates) memory per page instead of the
+        # O(from + size) heap from/size pays. Exact when the cursor's
+        # floats come from this kernel (the search_after path always
+        # does); a cursor from the WAND kernel can differ by 1 ulp on
+        # ties (documented cross-kernel bound).
+        s_a, d_a = float(after[0]), int(after[1])
+        keep = (sums < s_a) | ((sums == s_a) & (uniq > d_a))
+        uniq, sums = uniq[keep], sums[keep]
     if uniq.size == 0:
         return []
     if k >= uniq.size:
@@ -333,6 +345,7 @@ class SearchEngine:
         with_fields: bool = False,
         strategy: str = "auto",
         offset: int = 0,
+        search_after: tuple[float, int] | None = None,
     ) -> list[SearchHit]:
         """BM25 top-k (ES match-OR semantics). Exact under every
         strategy; `auto` picks block-max WAND for selective queries and
@@ -342,11 +355,31 @@ class SearchEngine:
         top (offset + k) and the first ``offset`` rows are dropped —
         deep pagination costs what it costs in ES/Lucene for the same
         reason (rank ``offset + k`` must be proven before anything
-        after it is correct)."""
+        after it is correct). ES caps from+size (10k default) exactly
+        because of that cost; ``search_after`` is the scale-safe
+        cursor form: pass the LAST hit's (score, doc_id) and the next
+        page costs O(candidates) with no depth term. The cursor path
+        always runs the vectorized exact kernel (a cursor needs every
+        candidate's score anyway); for exact page tiling fetch page 1
+        with strategy="exhaustive" too (a WAND-produced cursor can
+        differ by 1 ulp on exact ties — documented kernel bound)."""
         terms = sorted(set(query_terms))
         segs = self.load_segments(terms)
         if not segs:
             return []
+        if search_after is not None:
+            if offset:
+                raise ValueError("search_after and offset are exclusive")
+            hits = self._exhaustive_topk(segs, k, after=search_after)
+            out = [SearchHit(doc_id=d, score=s) for d, s in hits]
+            if with_urls or with_fields:
+                self._fetch_urls([h.doc_id for h in out])
+                for h in out:
+                    h.url = self.url_of(h.doc_id)
+            if with_fields:
+                for h in out:
+                    h.fields = self.fields_of(h.doc_id)
+            return out
         depth = k + max(0, offset)
         if strategy == "auto":
             total = sum(s.count for s in segs.values())
@@ -376,7 +409,9 @@ class SearchEngine:
                 h.fields = self.fields_of(h.doc_id)
         return out
 
-    def _exhaustive_topk(self, segs: dict, k: int) -> list[tuple[int, float]]:
+    def _exhaustive_topk(
+        self, segs: dict, k: int, after: tuple[float, int] | None = None
+    ) -> list[tuple[int, float]]:
         """Vectorized term-at-a-time OR scoring (exact, oracle sum order)."""
         term_arrays = {t: codec.decode_postings(enc) for t, enc in segs.items()}
         return exhaustive_topk_arrays(
@@ -388,6 +423,7 @@ class SearchEngine:
             k1=BM25_K1,
             b=BM25_B,
             deleted=self.tombstones,
+            after=after,
         )
 
     def explain(self, doc_id: int, query_terms: list[str]) -> dict:
@@ -773,9 +809,15 @@ class SearchEngine:
                 total = len(self._match_docs(self._analyze(text)))
             elif kind == "match_phrase":
                 _, text = self._leaf_field_text(spec)
+                ((_, mp_val),) = spec.items()
+                mp_slop = (
+                    int(mp_val.get("slop", 0)) if isinstance(mp_val, dict) else 0
+                )
                 # search_phrase verifies and scores EVERY match before
                 # truncating, so the unpaged call costs the same
-                full = self.search_phrase(text, k=10**9, with_urls=False)
+                full = self.search_phrase(
+                    text, k=10**9, slop=mp_slop, with_urls=False
+                )
                 total = len(full)
                 hits = full[frm : frm + size]
             elif kind == "fuzzy":
@@ -884,13 +926,51 @@ class SearchEngine:
             return []
         return self.search(terms, k=k, **kw)
 
-    def search_phrase(self, query: str, k: int = 10, **kw) -> list[SearchHit]:
+    @staticmethod
+    def _slop_chain(pos_lists: list[np.ndarray], slop: int) -> bool:
+        """Ordered sloppy-window test over one doc's per-term position
+        lists: exists strictly-increasing positions p_1 < ... < p_n
+        (term i at p_i, query order) with window p_n - p_1 + 1 <=
+        n + slop. Greedy earliest-successor per start is optimal (it
+        minimizes p_n for a given p_1), so the scan is
+        O(sum positions)."""
+        n = len(pos_lists)
+        for s in pos_lists[0]:
+            p = int(s)
+            ok = True
+            for arr in pos_lists[1:]:
+                j = int(np.searchsorted(arr, p + 1))
+                if j >= arr.size:
+                    ok = False
+                    break
+                p = int(arr[j])
+            if not ok:
+                # no successor chain for this start; later starts only
+                # move right — no chain can exist at all
+                return False
+            if (p - int(s) + 1) <= n + slop:
+                return True
+        return False
+
+    def search_phrase(
+        self, query: str, k: int = 10, slop: int = 0, **kw
+    ) -> list[SearchHit]:
         """ES ``match_phrase`` over a positional index: the query is
         analyzed with the index's analyzer into an ORDERED term
         sequence; a doc matches iff some start position p has term_i at
         p+i for every i (the reference exposes this through the 2-gram
         analyzed body_text field, schema/es/es.sh:16-29 — consecutive
         2-gram positions == a contiguous substring).
+
+        ``slop`` (ES match_phrase slop): a doc matches iff the terms
+        occur IN ORDER at strictly increasing positions whose window
+        (last - first + 1) exceeds the phrase length by at most
+        ``slop``; slop=0 is exact adjacency. Documented contract
+        difference vs Lucene (oracle-checked): Lucene's slop also
+        admits out-of-order transpositions (slop >= 2 can match
+        reversed terms); the ordered-window form keeps the DuckDB
+        oracle expressible and is the common intent ("words near each
+        other, in order").
 
         Scoring contract (documented, oracle-matched): matching docs
         are ranked by the BM25 match-OR score of the phrase's DISTINCT
@@ -924,19 +1004,52 @@ class SearchEngine:
             if pos.size:
                 max_pos = max(max_pos, int(pos.max()))
             decoded[t] = (docs, tfs, pos)
-        # (doc, start) composite keys: doc * M + (pos - i). M leaves the
-        # i-shift no room to bleed into a neighbor doc's real positions.
-        M = max_pos + len(seq) + 2
-        if M * (max(int(d[0].max()) for d in decoded.values()) + 1) >= (1 << 62):
-            raise OverflowError("phrase key space exceeds int64")
-        survivors: np.ndarray | None = None
-        for i, t in enumerate(seq):
-            docs, tfs, pos = decoded[t]
-            keys = np.repeat(docs, tfs) * M + (pos - i)
-            survivors = keys if survivors is None else np.intersect1d(survivors, keys)
-            if survivors.size == 0:
+        if slop == 0:
+            # (doc, start) composite keys: doc * M + (pos - i). M leaves
+            # the i-shift no room to bleed into a neighbor doc's
+            # real positions.
+            M = max_pos + len(seq) + 2
+            if M * (max(int(d[0].max()) for d in decoded.values()) + 1) >= (1 << 62):
+                raise OverflowError("phrase key space exceeds int64")
+            survivors: np.ndarray | None = None
+            for i, t in enumerate(seq):
+                docs, tfs, pos = decoded[t]
+                keys = np.repeat(docs, tfs) * M + (pos - i)
+                survivors = keys if survivors is None else np.intersect1d(survivors, keys)
+                if survivors.size == 0:
+                    return []
+            match_docs = np.unique(survivors // M)
+        else:
+            # sloppy path: conjunctive candidate prefilter (docs holding
+            # every term), then the ordered-window chain test on each
+            # candidate's position lists — candidates after the
+            # intersection are few, the chain scan is linear
+            cand: np.ndarray | None = None
+            for t in uniq:
+                cand = (
+                    decoded[t][0]
+                    if cand is None
+                    else np.intersect1d(cand, decoded[t][0])
+                )
+                if cand.size == 0:
+                    return []
+            starts_of = {
+                t: np.concatenate(([0], np.cumsum(decoded[t][1])))
+                for t in uniq
+            }
+            matched = []
+            for d in cand.tolist():
+                pls = []
+                for t in seq:
+                    docs, _tfs, pos = decoded[t]
+                    j = int(np.searchsorted(docs, d))  # present: cand ⊆ docs
+                    st = starts_of[t]
+                    pls.append(pos[st[j] : st[j + 1]])
+                if self._slop_chain(pls, slop):
+                    matched.append(d)
+            if not matched:
                 return []
-        match_docs = np.unique(survivors // M)
+            match_docs = np.asarray(matched, dtype=np.int64)
         dele = self.tombstones
         if dele.size:
             match_docs = match_docs[~np.isin(match_docs, dele)]

@@ -107,3 +107,117 @@ def test_phrase_morph_analyzer(spark, tmp_path):
     eng = SearchEngine(out)
     urls = sorted(h.url for h in eng.search_phrase("spark data", k=10))
     assert urls == ["u0"]
+
+
+@pytest.fixture(scope="module")
+def slop_index(spark, tmp_path_factory):
+    """Morph positional index with controlled token gaps."""
+    out = str(tmp_path_factory.mktemp("idx_slop"))
+    pages = spark.createDataFrame(
+        [
+            ("s0", "alpha beta gamma filler"),          # adjacent
+            ("s1", "alpha gap1 beta gamma filler"),     # 1 between
+            ("s2", "alpha gap1 gap2 beta gamma"),       # 2 between
+            ("s3", "beta alpha gamma filler"),          # reversed: never
+            ("s4", "alpha filler filler filler beta"),  # 3 between
+            ("s5", "alpha alpha beta gamma filler"),    # duplicate term
+        ],
+        "url string, text string",
+    )
+    build_index(
+        spark, pages, out, analyzer="morph",
+        target_postings_per_salt=50, term_buckets=8, with_positions=True,
+    )
+    return out
+
+
+def test_phrase_slop_window_semantics(spark, slop_index):
+    """Ordered-window slop: terms IN ORDER within <= slop intervening
+    tokens; slop=0 is exact adjacency; reversed order never matches."""
+    eng = SearchEngine(slop_index)
+
+    def urls(slop):
+        return sorted(h.url for h in eng.search_phrase("alpha beta", k=10, slop=slop))
+
+    assert urls(0) == ["s0", "s5"]
+    assert urls(1) == ["s0", "s1", "s5"]
+    assert urls(2) == ["s0", "s1", "s2", "s5"]
+    assert urls(3) == ["s0", "s1", "s2", "s4", "s5"]
+    assert "s3" not in urls(50)  # in-order contract: reversed never matches
+    # three-term chain: alpha..beta..gamma window
+    three = sorted(h.url for h in eng.search_phrase("alpha beta gamma", k=10, slop=1))
+    assert three == ["s0", "s1", "s5"]  # s2 window = 5 > 3 + 1
+    # sloppy matches score exactly like the slop=0 contract: BM25 of
+    # the distinct terms over matching docs
+    h0 = {h.url: h.score for h in eng.search_phrase("alpha beta", k=10, slop=0)}
+    h2 = {h.url: h.score for h in eng.search_phrase("alpha beta", k=10, slop=2)}
+    for u, s in h0.items():
+        assert h2[u] == s
+
+
+def test_phrase_slop_dsl_and_fielded(spark, slop_index):
+    eng = SearchEngine(slop_index)
+    r = eng.query(
+        {"query": {"match_phrase": {"body": {"query": "alpha beta", "slop": 1}}},
+         "size": 10}
+    )
+    assert sorted(h["_id"] for h in r["hits"]["hits"]) == ["s0", "s1", "s5"]
+    assert r["hits"]["total"] == {"value": 3, "relation": "eq"}
+
+
+def test_search_after_tiles_exactly(spark, slop_index, tmp_path):
+    """Cursor pages concatenate to exactly the exhaustive ranking —
+    no duplicates, no gaps — including across exact score ties."""
+    from job_searchengine_project_spark.corpus import generate_webpages
+
+    out = str(tmp_path / "idx_sa")
+    # identical texts -> exact score ties split only by doc_id
+    base = generate_webpages(spark, n_docs=60, vocab_size=200, seed=5)
+    build_index(spark, base, out, target_postings_per_salt=50, term_buckets=8)
+    eng = SearchEngine(out)
+    q = ["spark", "데이터엔지니어"]
+    full = eng.search(q, k=10**9, strategy="exhaustive", with_urls=False)
+    pages = []
+    cursor = None
+    while True:
+        p = (
+            eng.search(q, k=7, strategy="exhaustive", with_urls=False)
+            if cursor is None
+            else eng.search(q, k=7, search_after=cursor, with_urls=False)
+        )
+        if not p:
+            break
+        pages.extend(p)
+        cursor = (p[-1].score, p[-1].doc_id)
+    assert [(h.doc_id, h.score) for h in pages] == [
+        (h.doc_id, h.score) for h in full
+    ]
+    with pytest.raises(ValueError):
+        eng.search(q, k=5, search_after=(1.0, 3), offset=5)
+
+
+def test_search_after_splits_exact_ties(spark, tmp_path):
+    """Docs with IDENTICAL text score identically; the cursor must
+    advance through the tie group by doc_id."""
+    out = str(tmp_path / "idx_sa_ties")
+    pages = spark.createDataFrame(
+        [(f"t{i}", "alpha beta common words here") for i in range(9)],
+        "url string, text string",
+    )
+    build_index(spark, pages, out, target_postings_per_salt=50, term_buckets=8)
+    eng = SearchEngine(out)
+    full = eng.search(["alpha"], k=100, strategy="exhaustive", with_urls=False)
+    assert len({h.score for h in full}) == 1 and len(full) == 9
+    got = []
+    cursor = None
+    for _ in range(5):
+        p = (
+            eng.search(["alpha"], k=2, strategy="exhaustive", with_urls=False)
+            if cursor is None
+            else eng.search(["alpha"], k=2, search_after=cursor, with_urls=False)
+        )
+        if not p:
+            break
+        got.extend(p)
+        cursor = (p[-1].score, p[-1].doc_id)
+    assert [h.doc_id for h in got] == [h.doc_id for h in full]
