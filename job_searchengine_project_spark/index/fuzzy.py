@@ -51,8 +51,16 @@ def build_fuzzy_variants(
     One distributed expansion over the distinct term dictionary, one
     sort (range partitioning on variant) — O(vocabulary x term length)
     rows, orders of magnitude smaller than the postings. Idempotent
-    (overwrite)."""
+    (overwrite). The table records the index fingerprint it was
+    derived from (``_FUZZY_META.json``, written AFTER the parquet —
+    the commit marker): an update/compaction changes the fingerprint,
+    readers detect the stale table and fall back / demand a rebuild
+    instead of silently missing new vocabulary."""
+    import json
+
     out = variants_dir(index_dir, max_edits)
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        fingerprint = json.load(f).get("fingerprint", "")
     terms = (
         spark.read.parquet(os.path.join(index_dir, "segments"))
         .select("term")
@@ -75,21 +83,44 @@ def build_fuzzy_variants(
         .write.mode("overwrite")
         .parquet(out)
     )
+    tmp = os.path.join(out, "_FUZZY_META.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"fingerprint": fingerprint, "max_edits": int(max_edits)}, f)
+    os.replace(tmp, os.path.join(out, "_FUZZY_META.json"))
     return out
+
+
+def variants_fresh(index_dir: str, max_edits: int) -> bool:
+    """True iff the persisted table exists, committed, AND was derived
+    from the index's CURRENT fingerprint (updates/compactions change
+    it — a stale table would silently miss new vocabulary)."""
+    import json
+
+    vdir = variants_dir(index_dir, max_edits)
+    meta = os.path.join(vdir, "_FUZZY_META.json")
+    if not os.path.exists(meta):
+        return False
+    with open(meta) as f:
+        built_from = json.load(f).get("fingerprint")
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        current = json.load(f).get("fingerprint", "")
+    return built_from == current
 
 
 def fuzzy_expand_terms(
     index_dir: str, query_terms: list[str], max_edits: int = 1
 ) -> list[str]:
     """Expand every query term through the persisted variant table
-    (must exist — build_fuzzy_variants). Driver-side but O(per-term
-    variants), never vocabulary-sized."""
+    (must exist and be FRESH — build_fuzzy_variants after the latest
+    update). Driver-side but O(per-term variants), never
+    vocabulary-sized."""
     from job_searchengine_project_spark.search.engine import fuzzy_expand_at
 
     vdir = variants_dir(index_dir, max_edits)
-    if not os.path.isdir(vdir):
+    if not variants_fresh(index_dir, max_edits):
         raise FileNotFoundError(
-            f"no persisted fuzzy variants at {vdir}; run build_fuzzy_variants"
+            f"no fresh persisted fuzzy variants at {vdir}; run "
+            "build_fuzzy_variants (again after any update/compaction)"
         )
     out: set[str] = set()
     for t in query_terms:

@@ -563,9 +563,13 @@ class SearchEngine:
         is a variant-pruned parquet read instead of an in-process
         dictionary walk: the scale path (nothing vocabulary-sized is
         ever built driver-side), shared with the sharded engine.
-        Falls back to the in-memory SymSpell index when absent."""
+        Falls back to the in-memory SymSpell index when absent or
+        STALE (derived from an older index fingerprint — an update
+        adds vocabulary the persisted table does not know)."""
+        from job_searchengine_project_spark.index.fuzzy import variants_fresh
+
         vdir = self.fuzzy_variants_dir(max_edits)
-        if os.path.isdir(vdir):
+        if os.path.isdir(vdir) and variants_fresh(self.index_dir, max_edits):
             return fuzzy_expand_at(vdir, term, max_edits)
         idx = self._fuzzy_index(max_edits)
         cands: set[str] = set()

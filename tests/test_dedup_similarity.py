@@ -86,3 +86,41 @@ def test_ann_ivf_recall_at_least_092(spark):
     exact = {(r["query_id"], r["neighbor_id"]) for r in ann_cosine_topk(spark, sf).collect()}
     ivf = {(r["query_id"], r["neighbor_id"]) for r in ann_ivf_topk(spark, sf).collect()}
     assert len(ivf & exact) / len(exact) >= 0.92
+
+
+def test_ivf_codebook_persists_and_loads(spark, tmp_path, monkeypatch):
+    """VERDICT r3 minor: the trained IVF codebook is written beside
+    the derived artifacts and LOADED by later calls/processes —
+    retraining after a persist is a bug."""
+    import shutil
+
+    from job_searchengine_project_spark.operators import similarity as sim
+
+    sf_dir = "/root/testdata/sf0.001"
+    key = f"test-ivf-{tmp_path}"
+    cdir = sim.codebook_dir(key, sim.IVF_NLIST, sim.IVF_ITERS)
+    shutil.rmtree(cdir, ignore_errors=True)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    first = sim._codebook_for(spark, emb, key).collect()
+    assert sim.load_codebook(cdir) is not None
+    # drop the in-process memo; a "new process" must LOAD, not retrain
+    sim._CODEBOOK_CACHE.clear()
+
+    def no_retrain(*a, **k):
+        raise AssertionError("codebook retrained despite persisted artifact")
+
+    monkeypatch.setattr(sim, "_kmeans_codebook", no_retrain)
+    second = sim._codebook_for(spark, emb, key).collect()
+    monkeypatch.undo()
+    assert sorted((r["centroid_id"], r["cv"]) for r in first) == sorted(
+        (r["centroid_id"], r["cv"]) for r in second
+    )
+    # an uncommitted dir (no meta marker) is treated as absent
+    shutil.rmtree(cdir, ignore_errors=True)
+    import os as _os
+
+    _os.makedirs(_os.path.join(cdir, "centroids"), exist_ok=True)
+    assert sim.load_codebook(cdir) is None
+    shutil.rmtree(cdir, ignore_errors=True)
