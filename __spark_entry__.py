@@ -84,6 +84,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # run).
 _CHECK_FIRST = [
     # new in round 4
+    "prefix_top10",
+    "wildcard_match_count",
     "bool_sharded_filter_top10",
     "terms_agg_sharded",
     "histogram_agg_sharded",

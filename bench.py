@@ -237,6 +237,11 @@ def main() -> None:
         spark.stop()
     qtimes = {name: min(rt[name] for rt in qtime_rounds) for name in HEADLINE}
 
+    # per-round detail goes on its OWN stdout line: the driver records
+    # only the tail of stdout and round 3's artifact lost its headline
+    # metric when three full query_rounds dicts outgrew that capture —
+    # the FINAL line stays compact and always parses.
+    print(json.dumps({"detail": "query_rounds", "rounds": qtime_rounds}))
     out = {
         "metric": "index-build docs/sec at N and 4N cores + BM25 top-10 p50",
         "value": round(time.time() - total_t0, 2),
@@ -254,7 +259,6 @@ def main() -> None:
             "scaling_efficiency": round(efficiency, 3),
             "per_round_efficiency": per_round_eff,
         },
-        "query_rounds": qtime_rounds,
         "query_p50_ms": round(p50_ms, 2),
         "query_p50_wand_ms": round(p50_wand, 2),
         "query_p50_exhaustive_ms": round(p50_exhaustive, 2),

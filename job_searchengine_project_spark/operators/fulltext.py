@@ -621,6 +621,75 @@ SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT {{limit}}
 """.format(grams_sql=grams_sql, phrase=phrase.lower(), k1=BM25_K1, b=BM25_B, limit=limit)
 
 
+# ---- ES prefix / wildcard (constant-score multi-term queries) ----------------
+
+PREFIX_QUERY = "spa"
+WILDCARD_QUERY = "d*ta"  # fnmatch form; SQL twin LIKE 'd%ta'
+
+
+def _termdict_index_for(spark, sf_dir: str):
+    from job_searchengine_project_spark.index.termdict import (
+        build_term_dictionary,
+        termdict_fresh,
+    )
+
+    eng = _engine_for(spark, sf_dir)
+    if not termdict_fresh(eng.index_dir):
+        build_term_dictionary(spark, eng.index_dir)
+    return eng
+
+
+def prefix_top10(spark, sf_dir: str) -> DataFrame:
+    """ES `prefix` query: constant_score 1.0 per matching doc (the ES
+    multi-term rewrite), term expansion via the persisted sorted
+    dictionary (range-pruned read). Oracle: DISTINCT docs whose tokens
+    LIKE 'spa%'."""
+    eng = _termdict_index_for(spark, sf_dir)
+    hits = eng.search_prefix(PREFIX_QUERY, k=10**7, with_urls=True)
+    ids = sorted(int(h.url.split("doc://")[1]) for h in hits)[:K]
+    return spark.createDataFrame(
+        [(i, 1.0) for i in ids], "doc_id bigint, score double"
+    )
+
+
+PREFIX_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, t.tok AS term
+  FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+  WHERE length(t.tok) > 1
+)
+SELECT DISTINCT doc_id, 1.0::DOUBLE AS score FROM toks
+WHERE term LIKE '{PREFIX_QUERY}%'
+ORDER BY doc_id LIMIT {K}
+"""
+
+
+def wildcard_match_count(spark, sf_dir: str) -> DataFrame:
+    """ES `wildcard` + `_count`: pattern expands through the sorted
+    dictionary (literal-prefix pruned, fnmatch verified), the hit set
+    counts DISTRIBUTED via match_docs_sharded — dictionary artifact on
+    the driver, postings work on the executors."""
+    from job_searchengine_project_spark.index.sharded import match_docs_sharded
+    from job_searchengine_project_spark.index.termdict import wildcard_terms
+
+    eng = _termdict_index_for(spark, sf_dir)
+    terms = wildcard_terms(eng.index_dir, WILDCARD_QUERY)
+    idx = _sharded_index_for(spark, sf_dir)
+    n = match_docs_sharded(spark, idx, terms).count()
+    return spark.createDataFrame([(n,)], "count bigint")
+
+
+WILDCARD_COUNT_SQL = """
+WITH toks AS (
+  SELECT doc_id, t.tok AS term
+  FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+  WHERE length(t.tok) > 1
+)
+SELECT count(DISTINCT doc_id)::BIGINT AS count FROM toks
+WHERE term LIKE 'd%ta'
+"""
+
+
 # ---- ES match_phrase slop + search_after cursor pagination -------------------
 
 PHRASE_SLOP_QUERY = "spark data"
@@ -1146,12 +1215,12 @@ def fuzzy_sharded_top10(spark, sf_dir: str) -> DataFrame:
     levenshtein() oracle as fuzzy_top10."""
     from job_searchengine_project_spark.index.fuzzy import (
         build_fuzzy_variants,
-        variants_dir,
+        variants_fresh,
     )
     from job_searchengine_project_spark.index.sharded import search_sharded_fuzzy
 
     idx = _sharded_index_for(spark, sf_dir)
-    if not os.path.isdir(variants_dir(idx, 1)):
+    if not variants_fresh(idx, 1):
         build_fuzzy_variants(spark, idx, max_edits=1)
     df = search_sharded_fuzzy(spark, idx, FUZZY_PROBES, k=20 * K, max_edits=1)
     rows = sorted(
@@ -1332,4 +1401,6 @@ QUERIES = {
     "histogram_agg_sharded": (histogram_agg_sharded, HISTOGRAM_AGG_SQL),
     "sort_by_field_top10": (sort_by_field_top10, SORT_BY_FIELD_SQL),
     "match_count": (match_count, MATCH_COUNT_SQL),
+    "prefix_top10": (prefix_top10, PREFIX_SQL),
+    "wildcard_match_count": (wildcard_match_count, WILDCARD_COUNT_SQL),
 }

@@ -598,6 +598,56 @@ class SearchEngine:
             return []
         return self.search(sorted(expanded), k=k, **kw)
 
+    # --- prefix / wildcard (constant-score multi-term queries) --------------
+
+    def _constant_score_hits(
+        self, terms: list[str], k: int, offset: int = 0
+    ) -> list[SearchHit]:
+        """ES constant_score rewrite shape: every doc holding >= 1
+        matching term scores 1.0; ties order by doc_id asc (pinned)."""
+        docs = sorted(self._match_docs(terms))
+        self._bool_total = len(docs)  # exact total for the DSL layer
+        return [
+            SearchHit(doc_id=d, score=1.0)
+            for d in docs[max(0, offset) : max(0, offset) + k]
+        ]
+
+    def search_prefix(
+        self, prefix: str, k: int = 10, with_urls: bool = True, offset: int = 0
+    ) -> list[SearchHit]:
+        """ES `prefix` query: docs holding any indexed term starting
+        with ``prefix``, constant_score 1.0 (the ES default multi-term
+        rewrite — schema/es/es.sh two-gram fields make prefix search a
+        natural part of the reference mapping). Term expansion is a
+        range-pruned read of the persisted sorted dictionary
+        (index/termdict.py build_term_dictionary), never a vocabulary
+        scan."""
+        from job_searchengine_project_spark.index.termdict import prefix_terms
+
+        terms = prefix_terms(self.index_dir, prefix)
+        hits = self._constant_score_hits(terms, k, offset)
+        if with_urls and hits:
+            self._fetch_urls([h.doc_id for h in hits])
+            for h in hits:
+                h.url = self.url_of(h.doc_id)
+        return hits
+
+    def search_wildcard(
+        self, pattern: str, k: int = 10, with_urls: bool = True, offset: int = 0
+    ) -> list[SearchHit]:
+        """ES `wildcard` query (* / ?), constant_score 1.0; expansion
+        prunes by the pattern's literal prefix (leading wildcards pay
+        the documented full-dictionary read)."""
+        from job_searchengine_project_spark.index.termdict import wildcard_terms
+
+        terms = wildcard_terms(self.index_dir, pattern)
+        hits = self._constant_score_hits(terms, k, offset)
+        if with_urls and hits:
+            self._fetch_urls([h.doc_id for h in hits])
+            for h in hits:
+                h.url = self.url_of(h.doc_id)
+        return hits
+
     def doc_values_docs(
         self,
         col: str,
@@ -836,20 +886,32 @@ class SearchEngine:
                 for t in [term]:
                     expanded.update(self.fuzzy_expand(t, max_edits=int(fuzz)))
                 total = len(self._match_docs(sorted(expanded)))
+            elif kind in ("prefix", "wildcard"):
+                ((_, val),) = spec.items()
+                pat = val.get("value") if isinstance(val, dict) else val
+                fn = self.search_prefix if kind == "prefix" else self.search_wildcard
+                hits = fn(pat, k=size, offset=frm, with_urls=False)
+                total = self._bool_total  # set by _constant_score_hits
             elif kind in ("bool", "range", "term"):
                 if kind != "bool":  # standalone filter query sugar
                     spec = {"filter": [{kind: spec}]}
 
                 def split(key, sets_ok):
                     """Partition a clause list into match texts and
-                    doc-values hit sets (range/term leaves — ES filter
-                    context; scoring contexts reject them here)."""
+                    doc-values/term-expansion hit sets (range/term/
+                    prefix/wildcard leaves — ES filter context;
+                    scoring contexts reject them here)."""
+                    from job_searchengine_project_spark.index.termdict import (
+                        prefix_terms,
+                        wildcard_terms,
+                    )
+
                     texts, sets = [], []
                     for c in spec.get(key, []):
                         ((ck, cs),) = c.items()
                         if ck == "match":
                             texts.append(self._leaf_field_text(cs)[1])
-                        elif ck in ("range", "term"):
+                        elif ck in ("range", "term", "prefix", "wildcard"):
                             if not sets_ok:
                                 raise ValueError(
                                     f"{ck} clauses are filter-context only"
@@ -857,8 +919,24 @@ class SearchEngine:
                             ((col, bounds),) = cs.items()
                             if ck == "term":
                                 sets.append(self.doc_values_docs(col, eq=bounds))
-                            else:
+                            elif ck == "range":
                                 sets.append(self.doc_values_docs(col, **bounds))
+                            else:
+                                pat = (
+                                    bounds.get("value")
+                                    if isinstance(bounds, dict)
+                                    else bounds
+                                )
+                                expand = (
+                                    prefix_terms
+                                    if ck == "prefix"
+                                    else wildcard_terms
+                                )
+                                sets.append(
+                                    self._match_docs(
+                                        expand(self.index_dir, pat)
+                                    )
+                                )
                         else:
                             raise ValueError(f"unsupported bool leaf: {ck!r}")
                     return texts, sets

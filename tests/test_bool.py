@@ -463,3 +463,62 @@ def test_persisted_fuzzy_variants_and_sharded_fuzzy(spark, eng):
         for r in search_sharded_fuzzy(spark, out, [probe], k=20).collect()
     ]
     assert got == want and got
+
+
+def test_term_dictionary_prefix_wildcard(spark, eng):
+    """Sorted-dictionary artifact: prefix expansion == brute force
+    over the vocabulary; wildcard prunes by literal prefix and matches
+    fnmatch; staleness after an update is detected; DSL kinds work in
+    both standalone and bool filter context."""
+    import os
+
+    from job_searchengine_project_spark.index.termdict import (
+        build_term_dictionary,
+        prefix_terms,
+        termdict_fresh,
+        wildcard_terms,
+    )
+
+    out = eng.index_dir
+    build_term_dictionary(spark, out)
+    assert termdict_fresh(out)
+    vocab = eng.term_dict
+    for p in [T_A[:2], T_A[:3], "zz", "데"]:
+        assert prefix_terms(out, p) == sorted(t for t in vocab if t.startswith(p))
+    from fnmatch import fnmatchcase
+
+    for pat in [T_A[:2] + "*", "*" + T_A[-2:], "?" + T_A[1:], T_A[0] + "*" + T_A[-1]]:
+        assert wildcard_terms(out, pat) == sorted(
+            t for t in vocab if fnmatchcase(t, pat)
+        ), pat
+    # constant-score hits: docs holding any matching term, score 1.0
+    hits = eng.search_prefix(T_A[:3], k=10**6, with_urls=False)
+    want = sorted(eng._match_docs(prefix_terms(out, T_A[:3])))
+    assert [h.doc_id for h in hits] == want
+    assert all(h.score == 1.0 for h in hits)
+    # DSL: standalone + filter context + exact totals
+    r = eng.query({"query": {"prefix": {"body": {"value": T_A[:3]}}}, "size": 5})
+    assert r["hits"]["total"] == {"value": len(want), "relation": "eq"}
+    rb = eng.query(
+        {"query": {"bool": {
+            "must": [{"match": {"body": T_A}}],
+            "filter": [{"wildcard": {"body": T_A[0] + "*" + T_A[-1]}}],
+        }}, "size": 10**6}
+    )
+    wdocs = eng._match_docs(wildcard_terms(out, T_A[0] + "*" + T_A[-1]))
+    base = {h.doc_id for h in eng.search_bool(must=[T_A], k=10**6, with_urls=False)}
+    assert rb["hits"]["total"]["value"] == len(base & wdocs)
+    # staleness: an update invalidates the table
+    from pyspark.sql import functions as F
+
+    from job_searchengine_project_spark.index.update import update_index
+
+    extra = spark.createDataFrame(
+        [("dictu1", "zzqnewterm alpha content words")], "url string, text string"
+    )
+    update_index(spark, extra, out, target_postings_per_salt=50)
+    assert not termdict_fresh(out)
+    with pytest.raises(FileNotFoundError, match="fresh term dictionary"):
+        prefix_terms(out, "zz")
+    build_term_dictionary(spark, out)
+    assert "zzqnewterm" in prefix_terms(out, "zzq")
