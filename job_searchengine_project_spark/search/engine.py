@@ -771,7 +771,7 @@ class SearchEngine:
                 keys.append((col, order))
             vals: dict[str, dict[int, object]] = {}
             for col, _ in keys:
-                if col == "_score":
+                if col in ("_score", "_doc"):
                     continue
                 ids, v = self._doc_values_table(col, {h.doc_id for h in hits})
                 vals[col] = dict(zip(ids.tolist(), v.to_pylist()))
@@ -781,11 +781,15 @@ class SearchEngine:
             # or missing doc-values entry sorts LAST under either order
             # (ES missing=_last default) — partition-then-sort keeps
             # each key pass a stable permutation, so multi-key
-            # semantics are unchanged.
+            # semantics are unchanged. "_doc" is the internal-doc-id
+            # key (the ES search_after tiebreaker field).
             hits.sort(key=lambda h: h.doc_id)
             for col, order in reversed(keys):
-                if col == "_score":
-                    hits.sort(key=lambda h: h.score, reverse=(order == "desc"))
+                if col in ("_score", "_doc"):
+                    hits.sort(
+                        key=lambda h, c=col: h.score if c == "_score" else h.doc_id,
+                        reverse=(order == "desc"),
+                    )
                     continue
                 vc = vals[col]
                 present = [h for h in hits if vc.get(h.doc_id) is not None]
@@ -794,14 +798,55 @@ class SearchEngine:
                     key=lambda h: vc[h.doc_id], reverse=(order == "desc")
                 )
                 hits[:] = present + absent
-            self._last_sort_values = {
-                h.doc_id: [
-                    h.score if c == "_score" else vals[c].get(h.doc_id)
+
+            def sort_tuple(h):
+                return [
+                    h.score
+                    if c == "_score"
+                    else h.doc_id
+                    if c == "_doc"
+                    else vals[c].get(h.doc_id)
                     for c, _ in keys
                 ]
-                for h in hits[frm : frm + size]
-            }
-            hits = hits[frm : frm + size]
+
+            cursor = body.get("search_after")
+            if cursor is not None:
+                # ES search_after: resume strictly AFTER the cursor's
+                # sort tuple (from is invalid alongside it). The sorted
+                # list makes after-hits a suffix; missing values rank
+                # last under either order, matching the sort itself.
+                if frm:
+                    raise ValueError("search_after and from are exclusive")
+                if len(cursor) != len(keys):
+                    raise ValueError(
+                        "search_after must carry one value per sort key"
+                    )
+
+                def strictly_after(kv) -> bool:
+                    for (c, order), a, b in zip(keys, kv, cursor):
+                        if a is None and b is None:
+                            continue
+                        if a is None:
+                            return True
+                        if b is None:
+                            return False
+                        if a == b:
+                            continue
+                        return (a < b) if order == "desc" else (a > b)
+                    return False
+
+                start = next(
+                    (
+                        i
+                        for i, h in enumerate(hits)
+                        if strictly_after(sort_tuple(h))
+                    ),
+                    len(hits),
+                )
+                hits = hits[start : start + size]
+            else:
+                hits = hits[frm : frm + size]
+            self._last_sort_values = {h.doc_id: sort_tuple(h) for h in hits}
         else:
             self._last_sort_values = None
             hits, total = self._query_hits(q, size, frm)

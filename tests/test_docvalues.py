@@ -576,3 +576,35 @@ def test_distributed_aggregations_match_driver(spark, dv_index):
         "n_chars", 200, doc_filter=eng.doc_values_docs("n_chars", lt=900)
     )
     assert got_h == want_h and got_h
+
+
+def test_dsl_search_after_with_sort(spark, dv_index):
+    """ES search_after + sort: pages tile the full field-sorted
+    ranking via each page's last sort tuple; `_doc` is the documented
+    tiebreaker key; from alongside search_after is refused."""
+    from job_searchengine_project_spark.corpus import HEAD_TERMS
+
+    out, _ = dv_index
+    eng = SearchEngine(out)
+    t = HEAD_TERMS[1]
+    sort = [{"n_chars": "desc"}, {"_doc": "asc"}]
+    full = eng.query({"query": {"match": {"b": t}}, "sort": sort, "size": 10**6})
+    all_ids = [h["_id"] for h in full["hits"]["hits"]]
+    assert len(all_ids) > 12
+    got, cursor = [], None
+    for _ in range(100):
+        body = {"query": {"match": {"b": t}}, "sort": sort, "size": 5}
+        if cursor is not None:
+            body["search_after"] = cursor
+        page = eng.query(body)["hits"]["hits"]
+        if not page:
+            break
+        got.extend(h["_id"] for h in page)
+        cursor = page[-1]["sort"]
+    assert got == all_ids
+    with pytest.raises(ValueError, match="exclusive"):
+        eng.query({"query": {"match": {"b": t}}, "sort": sort,
+                   "search_after": [1, 2], "from": 3})
+    with pytest.raises(ValueError, match="one value per sort key"):
+        eng.query({"query": {"match": {"b": t}}, "sort": sort,
+                   "search_after": [1]})
