@@ -85,6 +85,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _CHECK_FIRST = [
     # new in round 4
     "prefix_top10",
+    "dsl_sharded_top10",
     "wildcard_match_count",
     "bool_sharded_filter_top10",
     "terms_agg_sharded",

@@ -936,6 +936,7 @@ def search_sharded(
     k: int = 10,
     with_fields: bool = False,
     strategy: str = "auto",
+    search_after: tuple[float, int] | None = None,
 ) -> DataFrame:
     """Distributed top-k: per-shard kernels in executors, associative
     global merge. Returns (doc_id, score, url) ranked.
@@ -946,7 +947,16 @@ def search_sharded(
     float order, exact) when its candidate postings exceed the
     DENSE_POSTINGS_CUTOFF — head-term queries would otherwise pay the
     document-at-a-time Python loop in EVERY shard. Both kernels are
-    exact, so mixed per-shard choices merge correctly."""
+    exact, so mixed per-shard choices merge correctly.
+
+    ``search_after``: the ES cursor form distributed — every shard
+    applies the (score, doc_id) cursor mask inside its exhaustive
+    kernel (the cursor path always runs that kernel, like the driver
+    engine) and returns its top-k AFTER the cursor; the global merge
+    stays the same associative top-k. Deep pagination therefore costs
+    each shard O(its candidates) per page with no from+size depth
+    term — the property that lets a 1000-node cluster serve page
+    10^6 at page-1 cost."""
     with open(os.path.join(index_dir, "stats.json")) as f:
         stats = json.load(f)
     n_docs = int(stats["n_docs"])
@@ -999,7 +1009,9 @@ def search_sharded(
             norms = _load_shard_norms(norms_root, int(shard_val), rng, n_docs)
             encs = {str(r.term): _enc_from_row(r) for r in grp.itertuples()}
             strat = strategy
-            if strat == "auto":
+            if search_after is not None:
+                strat = "exhaustive"  # cursor mask lives in that kernel
+            elif strat == "auto":
                 # per-shard choice on the SHARD-LOCAL posting mass —
                 # same trade the driver engine makes globally
                 total = sum(e.count for e in encs.values())
@@ -1029,6 +1041,7 @@ def search_sharded(
                     k1=k1,
                     b=b,
                     deleted=bc_del.value,
+                    after=search_after,
                 )
             if hits:
                 docs_out, scores_out = zip(*hits)

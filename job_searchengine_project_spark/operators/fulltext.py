@@ -1012,6 +1012,38 @@ def dsl_bool_top10(spark, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "doc_id bigint, score double")
 
 
+def dsl_sharded_top10(spark, sf_dir: str) -> DataFrame:
+    """The SAME ES request body as dsl_bool_top10, answered by the
+    DISTRIBUTED endpoint (search/cluster.py query_sharded): per-shard
+    bool kernels, DataFrame hit-set algebra for the exact total —
+    a reference user's ES client pointed at the cluster path, under
+    the same DuckDB oracle as the driver DSL."""
+    from job_searchengine_project_spark.search.cluster import query_sharded
+
+    idx = _sharded_index_for(spark, sf_dir)
+    body = {
+        "query": {
+            "bool": {
+                "must": [{"match": {"body": t}} for t in BOOL_MUST],
+                "should": [{"match": {"body": t}} for t in BOOL_SHOULD],
+                "must_not": [{"match": {"body": t}} for t in BOOL_MUST_NOT],
+                "filter": [{"match": {"body": t}} for t in BOOL_FILTER],
+                "minimum_should_match": BOOL_MSM,
+            }
+        },
+        "size": 10**7,
+    }
+    resp = query_sharded(spark, idx, body)
+    rows = sorted(
+        (
+            (int(h["_id"].split("doc://")[1]), round(h["_score"], 4))
+            for h in resp["hits"]["hits"]
+        ),
+        key=lambda r: (-r[1], r[0]),
+    )[:K]
+    return spark.createDataFrame(rows, "doc_id bigint, score double")
+
+
 # ---- ES fuzzy match ----------------------------------------------------------
 
 FUZZY_PROBES = ["sprk", "datt"]  # misspellings: expand to spark / data
@@ -1392,6 +1424,7 @@ QUERIES = {
     "bool_sharded_top10": (bool_sharded_top10, _bool_sql(K)),
     "fuzzy_top10": (fuzzy_top10, _fuzzy_sql(K)),
     "dsl_bool_top10": (dsl_bool_top10, _bool_sql(K)),
+    "dsl_sharded_top10": (dsl_sharded_top10, _bool_sql(K)),
     "range_filter_top10": (range_filter_top10, _range_filter_sql(K)),
     "bool_sharded_filter_top10": (bool_sharded_filter_top10, _broad_filter_sql(K)),
     "fuzzy_sharded_top10": (fuzzy_sharded_top10, _fuzzy_sql(K)),

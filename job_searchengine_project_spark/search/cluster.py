@@ -1,0 +1,351 @@
+"""Distributed ES request-body endpoint over the sharded layout.
+
+``query_sharded(spark, index_dir, body)`` accepts the same JSON a
+reference user sends to ES (README.md:43-71 via Kibana) and answers it
+ENTIRELY through the distributed paths: per-shard scoring kernels
+(index/sharded.py), shard-local doc-values filter specs, the
+persisted fuzzy/term-dictionary artifacts, DataFrame hit-set algebra
+for exact totals and aggregation scopes, and one Spark groupBy per
+aggregation. The driver-side engine (search/engine.py query()) is the
+single-node twin — parity is tested body-for-body.
+
+What stays on the driver: the request parse, query-string analysis,
+dictionary expansions (per-term variants — O(query), never
+vocabulary-sized), and the final page of hits. Everything
+corpus-sized — postings, filters, hit sets, aggregation state — lives
+in executors or DataFrame plans.
+
+Response shape mirrors ES: ``{"hits": {"total": {"value", "relation"},
+"hits": [{"_id", "_score", ...}]}, "aggregations": {...}}`` with
+``total`` always exact (relation "eq") — the hit-set DataFrames make
+the exact count one distributed count away.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _stats(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        return json.load(f)
+
+
+def _analyze(stats: dict, text: str) -> list[str]:
+    from job_searchengine_project_spark.functions.tokenize import (
+        tokenize_2gram_py,
+        tokenize_morph_py,
+    )
+
+    if stats.get("analyzer", "morph") == "2gram":
+        return tokenize_2gram_py(text)
+    return tokenize_morph_py(text, dedup=True)
+
+
+def _leaf_field_text(spec: dict) -> tuple[str, str]:
+    ((field, val),) = spec.items()
+    if isinstance(val, dict):
+        return field, val.get("query", val.get("value", ""))
+    return field, val
+
+
+def _parse_bool(spec: dict):
+    """Split a bool body into (must, should, must_not, filter) match
+    texts plus (filter_specs, must_not_specs) doc-values/dictionary
+    leaves, exactly the clause surface search_sharded_bool takes."""
+    out = {"must": [], "should": [], "must_not": [], "filter": []}
+    fspecs, nspecs = [], []
+
+    def leaf(c, key):
+        ((ck, cs),) = c.items()
+        if ck == "match":
+            out[key].append(_leaf_field_text(cs)[1])
+        elif ck in ("range", "term"):
+            if key not in ("filter", "must_not"):
+                raise ValueError(f"{ck} clauses are filter-context only")
+            ((col, bounds),) = cs.items()
+            spec = (
+                {"col": col, "eq": bounds}
+                if ck == "term"
+                else {"col": col, **bounds}
+            )
+            (fspecs if key == "filter" else nspecs).append(spec)
+        else:
+            raise ValueError(f"unsupported bool leaf: {ck!r}")
+
+    for key in out:
+        for c in spec.get(key, []):
+            leaf(c, key)
+    return out, fspecs, nspecs
+
+
+def bool_match_docs_sharded(
+    spark: SparkSession,
+    index_dir: str,
+    stats: dict,
+    clauses: dict,
+    filter_specs: list[dict],
+    must_not_specs: list[dict],
+    msm: int,
+) -> DataFrame:
+    """The bool query's EXACT hit set as DataFrame algebra: semi-joins
+    intersect must/filter clause hit sets and spec filters, a
+    clause-count groupBy applies minimum_should_match, anti-joins
+    subtract must_not — every step a distributed plan, nothing
+    driver-sized. Feeds exact totals and aggregation scopes."""
+    from job_searchengine_project_spark.index.sharded import (
+        dv_filter_docs_sharded,
+        match_docs_sharded,
+    )
+
+    cand: DataFrame | None = None
+    for q in clauses["must"] + clauses["filter"]:
+        df = match_docs_sharded(spark, index_dir, _analyze(stats, q))
+        cand = df if cand is None else cand.join(df, "doc_id", "left_semi")
+    for sp in filter_specs:
+        df = dv_filter_docs_sharded(spark, index_dir, sp)
+        cand = df if cand is None else cand.join(df, "doc_id", "left_semi")
+    should = clauses["should"]
+    if should and (msm > 0 or cand is None):
+        n_needed = max(msm, 1) if cand is None else msm
+        tagged = None
+        for i, q in enumerate(should):
+            df = match_docs_sharded(spark, index_dir, _analyze(stats, q)).withColumn(
+                "clause", F.lit(i)
+            )
+            tagged = df if tagged is None else tagged.unionByName(df)
+        ok = (
+            tagged.groupBy("doc_id")
+            .agg(F.countDistinct("clause").alias("n"))
+            .filter(F.col("n") >= n_needed)
+            .select("doc_id")
+        )
+        cand = ok if cand is None else cand.join(ok, "doc_id", "left_semi")
+    if cand is None:
+        return spark.createDataFrame([], "doc_id long")
+    for q in clauses["must_not"]:
+        cand = cand.join(
+            match_docs_sharded(spark, index_dir, _analyze(stats, q)),
+            "doc_id",
+            "left_anti",
+        )
+    for sp in must_not_specs:
+        cand = cand.join(
+            dv_filter_docs_sharded(spark, index_dir, sp), "doc_id", "left_anti"
+        )
+    return cand
+
+
+def _hits_and_scope(
+    spark: SparkSession, index_dir: str, stats: dict, q: dict, depth: int
+):
+    """Evaluate one query kind distributed: returns (ranked DataFrame
+    of (doc_id, score, url) limited to ``depth``, exact-hit-set
+    DataFrame of doc_id) — the second feeds totals and agg scopes."""
+    from job_searchengine_project_spark.index.fuzzy import fuzzy_expand_terms
+    from job_searchengine_project_spark.index.sharded import (
+        match_docs_sharded,
+        search_sharded,
+        search_sharded_bool,
+        search_sharded_fuzzy,
+        search_sharded_phrase,
+    )
+    from job_searchengine_project_spark.index.termdict import (
+        prefix_terms,
+        wildcard_terms,
+    )
+
+    ((kind, spec),) = q.items()
+    if kind == "match":
+        terms = _analyze(stats, _leaf_field_text(spec)[1])
+        return (
+            search_sharded(spark, index_dir, terms, k=depth),
+            match_docs_sharded(spark, index_dir, terms),
+        )
+    if kind == "match_phrase":
+        text = _leaf_field_text(spec)[1]
+        full = search_sharded_phrase(spark, index_dir, text, k=10**9)
+        return full.limit(depth), full.select("doc_id")
+    if kind == "fuzzy":
+        ((_, val),) = spec.items()
+        term = val.get("value") if isinstance(val, dict) else val
+        fuzz = int(val.get("fuzziness", 1)) if isinstance(val, dict) else 1
+        expanded = fuzzy_expand_terms(index_dir, [term], max_edits=fuzz)
+        return (
+            search_sharded_fuzzy(spark, index_dir, [term], k=depth, max_edits=fuzz),
+            match_docs_sharded(spark, index_dir, expanded),
+        )
+    if kind in ("prefix", "wildcard"):
+        ((_, val),) = spec.items()
+        pat = val.get("value") if isinstance(val, dict) else val
+        expand = prefix_terms if kind == "prefix" else wildcard_terms
+        terms = expand(index_dir, pat)
+        scope = match_docs_sharded(spark, index_dir, terms)
+        # ES constant_score rewrite: 1.0 per matching doc, doc_id order
+        hits = (
+            scope.withColumn("score", F.lit(1.0))
+            .orderBy(F.asc("doc_id"))
+            .limit(depth)
+        )
+        from job_searchengine_project_spark.index.sharded import (
+            _attach_urls_pruned,
+        )
+
+        return (
+            _attach_urls_pruned(spark, index_dir, hits)
+            .orderBy(F.asc("doc_id"))
+            .select("doc_id", "score", "url"),
+            scope,
+        )
+    if kind in ("bool", "range", "term"):
+        if kind != "bool":  # standalone filter sugar
+            spec = {"filter": [{kind: spec}]}
+        clauses, fspecs, nspecs = _parse_bool(spec)
+        msm = spec.get("minimum_should_match")
+        if msm is None:
+            msm = 0 if (clauses["must"] or clauses["filter"] or fspecs) else 1
+        ranked = search_sharded_bool(
+            spark, index_dir,
+            must=clauses["must"], should=clauses["should"],
+            must_not=clauses["must_not"], filter=clauses["filter"],
+            filter_specs=fspecs, must_not_specs=nspecs,
+            minimum_should_match=msm, k=depth,
+        )
+        scope = bool_match_docs_sharded(
+            spark, index_dir, stats, clauses, fspecs, nspecs, msm
+        )
+        return ranked, scope
+    raise ValueError(f"unsupported query kind: {kind!r}")
+
+
+def count_sharded(spark: SparkSession, index_dir: str, body: dict) -> dict:
+    """ES `_count` distributed: the exact live match count as one
+    DataFrame count over the hit-set algebra."""
+    q = (body or {}).get("query") or {}
+    if not q:
+        return {"count": 0}
+    stats = _stats(index_dir)
+    _, scope = _hits_and_scope(spark, index_dir, stats, q, depth=1)
+    return {"count": scope.count()}
+
+
+def query_sharded(spark: SparkSession, index_dir: str, body: dict) -> dict:
+    """The distributed twin of SearchEngine.query() (see module
+    docstring). Supported: match, match_phrase (slop=0), fuzzy,
+    prefix, wildcard, bool (match leaves + range/term filter specs +
+    minimum_should_match), from/size, sort on doc-values columns /
+    "_doc" (a distributed TakeOrdered over the sidecar join), and
+    terms/histogram aggs (one groupBy each, scoped by the query's
+    exact hit set)."""
+    stats = _stats(index_dir)
+    size = int(body.get("size", 10))
+    frm = int(body.get("from", 0))
+    q = body.get("query") or {}
+    sort_spec = body.get("sort")
+    hits_rows: list = []
+    scope: DataFrame | None = None
+    sort_vals: dict | None = None
+    if q:
+        ranked, scope = _hits_and_scope(
+            spark, index_dir, stats, q, depth=frm + size
+        )
+        if sort_spec:
+            # distributed field sort: the FULL hit set semi-joins the
+            # doc-values sidecars and one TakeOrdered produces the
+            # page — Spark's orderBy().limit() never materializes the
+            # full sort on any node. Missing values sort last via a
+            # null-flag column; "_doc" is the internal-id tiebreaker.
+            keys = []
+            for s in sort_spec:
+                if isinstance(s, str):
+                    keys.append((s, "asc"))
+                else:
+                    ((col, sp),) = s.items()
+                    keys.append(
+                        (col, sp.get("order", "asc") if isinstance(sp, dict) else sp)
+                    )
+            df = scope
+            order_cols = []
+            for col, order in keys:
+                if col == "_doc":
+                    src = F.col("doc_id")
+                else:
+                    dv = spark.read.parquet(
+                        os.path.join(index_dir, "docvalues", col)
+                    ).withColumnRenamed(col, f"_sort_{col}")
+                    df = df.join(dv, "doc_id", "left")
+                    src = F.col(f"_sort_{col}")
+                order_cols.append(F.asc(src.isNull()))  # missing last
+                order_cols.append(
+                    F.desc(src) if order == "desc" else F.asc(src)
+                )
+            order_cols.append(F.asc("doc_id"))  # pinned final tiebreak
+            page = df.orderBy(*order_cols).limit(frm + size).collect()[frm:]
+            ids = [int(r["doc_id"]) for r in page]
+            urls = {
+                int(r["doc_id"]): r["url"]
+                for r in spark.read.parquet(os.path.join(index_dir, "forward"))
+                .select("doc_id", "url")
+                .filter(F.col("doc_id").isin(ids))
+                .collect()
+            } if ids else {}
+            sort_vals = {}
+            hits_rows = []
+            for r in page:
+                d = int(r["doc_id"])
+                sv = [
+                    d if c == "_doc" else r[f"_sort_{c}"] for c, _ in keys
+                ]
+                sort_vals[d] = sv
+                hits_rows.append((d, None, urls.get(d)))
+        else:
+            hits_rows = [
+                (int(r["doc_id"]), float(r["score"]), r["url"])
+                for r in ranked.collect()[frm : frm + size]
+            ]
+    total = scope.count() if scope is not None else 0
+    out_hits = []
+    for d, s, url in hits_rows:
+        entry = {"_id": url, "_score": s}
+        if sort_vals is not None:
+            entry["sort"] = sort_vals[d]
+        out_hits.append(entry)
+    resp = {
+        "hits": {
+            "total": {"value": int(total), "relation": "eq"},
+            "hits": out_hits,
+        }
+    }
+    aggs_spec = body.get("aggs") or body.get("aggregations")
+    if aggs_spec:
+        from job_searchengine_project_spark.index.sharded import (
+            aggregate_histogram_sharded,
+            aggregate_terms_sharded,
+        )
+
+        resp["aggregations"] = {}
+        for name, aspec in aggs_spec.items():
+            ((akind, aargs),) = aspec.items()
+            if akind == "terms":
+                rows = aggregate_terms_sharded(
+                    spark, index_dir, aargs["field"],
+                    size=int(aargs.get("size", 10)), doc_filter=scope,
+                ).collect()
+            elif akind == "histogram":
+                rows = aggregate_histogram_sharded(
+                    spark, index_dir, aargs["field"],
+                    interval=float(aargs["interval"]), doc_filter=scope,
+                ).collect()
+            else:
+                raise ValueError(f"unsupported agg kind: {akind!r}")
+            resp["aggregations"][name] = {
+                "buckets": [
+                    {"key": r["key"], "doc_count": int(r["doc_count"])}
+                    for r in rows
+                ]
+            }
+    return resp

@@ -608,3 +608,78 @@ def test_dsl_search_after_with_sort(spark, dv_index):
     with pytest.raises(ValueError, match="one value per sort key"):
         eng.query({"query": {"match": {"b": t}}, "sort": sort,
                    "search_after": [1]})
+
+
+def test_query_sharded_matches_driver_engine(spark, dv_index):
+    """The distributed ES endpoint (search/cluster.py query_sharded)
+    answers the same request bodies as the driver engine: hits,
+    exact totals, aggregations, field sort, count."""
+    from job_searchengine_project_spark.corpus import HEAD_TERMS
+    from job_searchengine_project_spark.index.fuzzy import (
+        build_fuzzy_variants,
+        variants_fresh,
+    )
+    from job_searchengine_project_spark.index.sharded import (
+        SHARD_DV_DIR,
+        build_sharded_segments,
+    )
+    from job_searchengine_project_spark.index.termdict import (
+        build_term_dictionary,
+        termdict_fresh,
+    )
+    from job_searchengine_project_spark.search.cluster import (
+        count_sharded,
+        query_sharded,
+    )
+
+    out, _ = dv_index
+    if not os.path.isdir(os.path.join(out, SHARD_DV_DIR)):
+        build_sharded_segments(spark, out, n_shards=4)
+    if not variants_fresh(out, 1):
+        build_fuzzy_variants(spark, out, max_edits=1)
+    if not termdict_fresh(out):
+        build_term_dictionary(spark, out)
+    eng = SearchEngine(out)
+    t = HEAD_TERMS[1]
+
+    def ids_scores(resp, r=9):
+        return [
+            (h["_id"], None if h["_score"] is None else round(h["_score"], r))
+            for h in resp["hits"]["hits"]
+        ]
+
+    bodies = [
+        {"query": {"match": {"b": f"{t} {HEAD_TERMS[0]}"}}, "size": 7, "from": 3},
+        {"query": {"bool": {
+            "must": [{"match": {"b": t}}],
+            "filter": [{"range": {"n_chars": {"gte": 100}}}],
+            "must_not": [{"match": {"b": HEAD_TERMS[2]}}],
+        }}, "size": 8},
+        {"query": {"fuzzy": {"b": {"value": t[:-1] + "q", "fuzziness": 1}}},
+         "size": 5},
+        {"query": {"prefix": {"b": {"value": t[:3]}}}, "size": 6},
+        {"query": {"match": {"b": t}}, "size": 0,
+         "aggs": {"s": {"terms": {"field": "site", "size": 10}},
+                  "h": {"histogram": {"field": "n_chars", "interval": 300}}}},
+    ]
+    for body in bodies:
+        want = eng.query(body)
+        got = query_sharded(spark, out, body)
+        assert got["hits"]["total"] == want["hits"]["total"], body
+        assert ids_scores(got) == ids_scores(want), body
+        assert got.get("aggregations") == want.get("aggregations"), body
+    # field sort: same page ids and sort tuples (driver gives scores,
+    # the distributed sort skips them — ES null _score behavior)
+    sbody = {"query": {"match": {"b": t}},
+             "sort": [{"n_chars": "desc"}, {"_doc": "asc"}], "size": 6}
+    wantS = eng.query(sbody)
+    gotS = query_sharded(spark, out, sbody)
+    assert [h["_id"] for h in gotS["hits"]["hits"]] == [
+        h["_id"] for h in wantS["hits"]["hits"]
+    ]
+    assert [h["sort"] for h in gotS["hits"]["hits"]] == [
+        h["sort"] for h in wantS["hits"]["hits"]
+    ]
+    # _count
+    for body in bodies[:4]:
+        assert count_sharded(spark, out, body) == eng.count(body), body

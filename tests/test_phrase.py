@@ -221,3 +221,32 @@ def test_search_after_splits_exact_ties(spark, tmp_path):
         got.extend(p)
         cursor = (p[-1].score, p[-1].doc_id)
     assert [h.doc_id for h in got] == [h.doc_id for h in full]
+
+
+def test_search_after_sharded_matches_driver(spark, tmp_path):
+    """Distributed cursor pagination: every shard masks by the cursor
+    inside its exhaustive kernel; the merged pages tile exactly like
+    the driver engine's."""
+    from job_searchengine_project_spark.corpus import generate_webpages
+    from job_searchengine_project_spark.index.sharded import (
+        build_sharded_segments,
+        search_sharded,
+    )
+
+    out = str(tmp_path / "idx_sa_sh")
+    base = generate_webpages(spark, n_docs=80, vocab_size=200, seed=9)
+    build_index(spark, base, out, target_postings_per_salt=50, term_buckets=8)
+    build_sharded_segments(spark, out, n_shards=3)
+    eng = SearchEngine(out)
+    q = ["spark", "데이터엔지니어"]
+    p1 = eng.search(q, k=6, strategy="exhaustive", with_urls=False)
+    cursor = (p1[-1].score, p1[-1].doc_id)
+    want = [
+        (h.doc_id, h.score)
+        for h in eng.search(q, k=6, search_after=cursor, with_urls=False)
+    ]
+    got = [
+        (int(r["doc_id"]), float(r["score"]))
+        for r in search_sharded(spark, out, q, k=6, search_after=cursor).collect()
+    ]
+    assert got == want and got
