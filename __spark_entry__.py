@@ -89,6 +89,8 @@ _CHECK_FIRST = [
     "wildcard_match_count",
     "bool_sharded_filter_top10",
     "terms_agg_sharded",
+    "metric_aggs",
+    "metric_aggs_sharded",
     "histogram_agg_sharded",
     "fuzzy_sharded_top10",
     "multi_field_best_top10",

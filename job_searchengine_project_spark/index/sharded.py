@@ -247,6 +247,7 @@ def search_sharded_phrase(
     index_dir: str,
     query: str,
     k: int = 10,
+    slop: int = 0,
 ) -> DataFrame:
     """Distributed ES ``match_phrase`` over a positional sharded layout.
 
@@ -255,7 +256,12 @@ def search_sharded_phrase(
     BM25 sum with GLOBAL idf) — a doc lives in exactly one shard, so
     phrase verification and scoring are shard-local and the global
     top-k merge is associative. Parity with the driver engine is
-    tested."""
+    tested.
+
+    ``slop`` > 0 applies the driver engine's ordered-window contract
+    (terms in order, window <= phrase length + slop) — the
+    conjunctive candidate prefilter and the greedy chain test both
+    run shard-local on shard-local position slices."""
     from job_searchengine_project_spark.functions.tokenize import (
         tokenize_2gram_py,
         tokenize_morph_py,
@@ -322,26 +328,63 @@ def search_sharded_phrase(
                 if pos.size:
                     max_pos = max(max_pos, int(pos.max()))
                 decoded[t] = (docs, tfs, pos)
-            M = max_pos + len(seq) + 2
-            # same int64 key-space guard as the driver engine
-            # (search/engine.py search_phrase): composite doc*M+pos
-            # keys must not wrap at extreme doc_id x position scale
-            shard_max_doc = max(
-                (int(d[0].max()) for d in decoded.values() if d[0].size),
-                default=0,
-            )
-            if M * (shard_max_doc + 1) >= (1 << 62):
-                raise OverflowError("phrase key space exceeds int64")
-            survivors = None
-            for i, t in enumerate(seq):
-                docs, tfs, pos = decoded[t]
-                keys = np.repeat(docs, tfs) * M + (pos - i)
-                survivors = keys if survivors is None else np.intersect1d(survivors, keys)
-                if survivors.size == 0:
-                    break
-            if survivors is None or survivors.size == 0:
-                continue
-            match_docs = np.unique(survivors // M)
+            if slop == 0:
+                M = max_pos + len(seq) + 2
+                # same int64 key-space guard as the driver engine
+                # (search/engine.py search_phrase): composite doc*M+pos
+                # keys must not wrap at extreme doc_id x position scale
+                shard_max_doc = max(
+                    (int(d[0].max()) for d in decoded.values() if d[0].size),
+                    default=0,
+                )
+                if M * (shard_max_doc + 1) >= (1 << 62):
+                    raise OverflowError("phrase key space exceeds int64")
+                survivors = None
+                for i, t in enumerate(seq):
+                    docs, tfs, pos = decoded[t]
+                    keys = np.repeat(docs, tfs) * M + (pos - i)
+                    survivors = keys if survivors is None else np.intersect1d(survivors, keys)
+                    if survivors.size == 0:
+                        break
+                if survivors is None or survivors.size == 0:
+                    continue
+                match_docs = np.unique(survivors // M)
+            else:
+                # sloppy path, shard-local: conjunctive candidate
+                # prefilter then the driver engine's ordered-window
+                # chain test on this shard's position slices
+                from job_searchengine_project_spark.search.engine import (
+                    SearchEngine,
+                )
+
+                cand = None
+                for t in uniq:
+                    cand = (
+                        decoded[t][0]
+                        if cand is None
+                        else np.intersect1d(cand, decoded[t][0])
+                    )
+                    if cand.size == 0:
+                        break
+                if cand is None or cand.size == 0:
+                    continue
+                starts_of = {
+                    t: np.concatenate(([0], np.cumsum(decoded[t][1])))
+                    for t in uniq
+                }
+                matched = []
+                for d in cand.tolist():
+                    pls = []
+                    for t in seq:
+                        docs, _tfs, pos = decoded[t]
+                        j = int(np.searchsorted(docs, d))
+                        st = starts_of[t]
+                        pls.append(pos[st[j] : st[j + 1]])
+                    if SearchEngine._slop_chain(pls, slop):
+                        matched.append(d)
+                if not matched:
+                    continue
+                match_docs = np.asarray(matched, dtype=np.int64)
             dele = bc_del.value
             if dele.size:
                 match_docs = match_docs[~np.isin(match_docs, dele)]
@@ -880,6 +923,32 @@ def aggregate_histogram_sharded(
         .agg(F.count("*").alias("doc_count"))
         .orderBy(F.asc("key"))
     )
+
+
+def aggregate_metric_sharded(
+    spark: SparkSession,
+    index_dir: str,
+    col: str,
+    kind: str,
+    doc_filter: DataFrame | None = None,
+) -> DataFrame:
+    """Distributed ES metric aggregation (avg/sum/min/max/value_count)
+    over the sidecar table: one Spark agg — partial per scan
+    partition, associative merge, never a driver-side column scan.
+    Returns a one-row DataFrame (value)."""
+    fns = {
+        "avg": F.avg,
+        "sum": F.sum,
+        "min": F.min,
+        "max": F.max,
+        "value_count": F.count,
+    }
+    if kind not in fns:
+        raise ValueError(f"unsupported metric agg: {kind!r}")
+    dv = _live_dv_table(spark, index_dir, col).filter(F.col(col).isNotNull())
+    if doc_filter is not None:
+        dv = dv.join(doc_filter, "doc_id", "left_semi")
+    return dv.agg(fns[kind](col).alias("value"))
 
 
 def dv_filter_docs_sharded(

@@ -983,6 +983,65 @@ GROUP BY key ORDER BY key
 """
 
 
+_METRIC_BODY = {
+    "query": {"match": {"b": "spark"}},
+    "size": 0,
+    "aggs": {
+        k: {k: {"field": "n_chars"}}
+        for k in ("value_count", "min", "max", "sum", "avg")
+    },
+}
+
+
+def _metric_rows(spark, resp) -> DataFrame:
+    a = resp["aggregations"]
+    row = (
+        int(a["value_count"]["value"]),
+        int(a["min"]["value"]),
+        int(a["max"]["value"]),
+        int(a["sum"]["value"]),
+        round(float(a["avg"]["value"]), 4),
+    )
+    return spark.createDataFrame(
+        [row], "cnt bigint, mn bigint, mx bigint, sm bigint, av double"
+    )
+
+
+def metric_aggs(spark, sf_dir: str) -> DataFrame:
+    """ES metric aggregations (value_count/min/max/sum/avg) over a
+    doc-values column inside a query context — the Kibana stats-panel
+    shape. Integer sums are exact; avg = exact sum / count in float64
+    on both sides."""
+    eng = _dv_engine_for(spark, sf_dir)
+    return _metric_rows(spark, eng.query(_METRIC_BODY))
+
+
+def metric_aggs_sharded(spark, sf_dir: str) -> DataFrame:
+    """The same metric aggs answered by the DISTRIBUTED endpoint: one
+    Spark agg per metric over the sidecar table (partial + merge),
+    scoped by the distributed hit set. Same oracle as metric_aggs."""
+    from job_searchengine_project_spark.search.cluster import query_sharded
+
+    idx = _sharded_dv_index_for(spark, sf_dir)
+    return _metric_rows(spark, query_sharded(spark, idx, _METRIC_BODY))
+
+
+METRIC_AGGS_SQL = """
+WITH toks AS (
+  SELECT doc_id, t.tok AS term
+  FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+  WHERE length(t.tok) > 1
+),
+hit AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark')
+SELECT count(*)::BIGINT AS cnt,
+       min(d.n_chars)::BIGINT AS mn,
+       max(d.n_chars)::BIGINT AS mx,
+       sum(d.n_chars)::BIGINT AS sm,
+       round(avg(d.n_chars), 4)::DOUBLE AS av
+FROM documents d JOIN hit USING (doc_id)
+"""
+
+
 def dsl_bool_top10(spark, sf_dir: str) -> DataFrame:
     """The same bool query expressed as the raw ES request-body JSON a
     reference user writes today, run through engine.query() — same
@@ -1431,6 +1490,8 @@ QUERIES = {
     "terms_agg": (terms_agg, TERMS_AGG_SQL),
     "histogram_agg": (histogram_agg, HISTOGRAM_AGG_SQL),
     "terms_agg_sharded": (terms_agg_sharded, TERMS_AGG_SQL),
+    "metric_aggs": (metric_aggs, METRIC_AGGS_SQL),
+    "metric_aggs_sharded": (metric_aggs_sharded, METRIC_AGGS_SQL),
     "histogram_agg_sharded": (histogram_agg_sharded, HISTOGRAM_AGG_SQL),
     "sort_by_field_top10": (sort_by_field_top10, SORT_BY_FIELD_SQL),
     "match_count": (match_count, MATCH_COUNT_SQL),

@@ -168,7 +168,11 @@ def _hits_and_scope(
         )
     if kind == "match_phrase":
         text = _leaf_field_text(spec)[1]
-        full = search_sharded_phrase(spark, index_dir, text, k=10**9)
+        ((_, mp_val),) = spec.items()
+        mp_slop = int(mp_val.get("slop", 0)) if isinstance(mp_val, dict) else 0
+        full = search_sharded_phrase(
+            spark, index_dir, text, k=10**9, slop=mp_slop
+        )
         return full.limit(depth), full.select("doc_id")
     if kind == "fuzzy":
         ((_, val),) = spec.items()
@@ -327,6 +331,11 @@ def query_sharded(spark: SparkSession, index_dir: str, body: dict) -> dict:
             aggregate_terms_sharded,
         )
 
+        from job_searchengine_project_spark.index.sharded import (
+            aggregate_metric_sharded,
+        )
+        from job_searchengine_project_spark.search.engine import SearchEngine
+
         resp["aggregations"] = {}
         for name, aspec in aggs_spec.items():
             ((akind, aargs),) = aspec.items()
@@ -340,6 +349,15 @@ def query_sharded(spark: SparkSession, index_dir: str, body: dict) -> dict:
                     spark, index_dir, aargs["field"],
                     interval=float(aargs["interval"]), doc_filter=scope,
                 ).collect()
+            elif akind in SearchEngine.METRIC_AGGS:
+                row = aggregate_metric_sharded(
+                    spark, index_dir, aargs["field"], akind, doc_filter=scope
+                ).collect()[0]
+                v = row["value"]
+                if akind == "value_count":
+                    v = int(v or 0)
+                resp["aggregations"][name] = {"value": v}
+                continue
             else:
                 raise ValueError(f"unsupported agg kind: {akind!r}")
             resp["aggregations"][name] = {

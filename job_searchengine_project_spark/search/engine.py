@@ -726,6 +726,31 @@ class SearchEngine:
         uniq, cnt = np.unique(keys, return_counts=True)
         return [(float(u), int(c)) for u, c in zip(uniq, cnt)]
 
+    METRIC_AGGS = ("avg", "sum", "min", "max", "value_count")
+
+    def aggregate_metric(
+        self, col: str, kind: str, doc_filter: set[int] | None = None
+    ):
+        """ES metric aggregations over a doc-values column: avg / sum /
+        min / max / value_count of live values, optionally scoped to a
+        query hit set. Integer columns sum exactly; avg is sum/count in
+        float64 (the same arithmetic the SQL oracle and the Spark
+        distributed twin produce)."""
+        if kind not in self.METRIC_AGGS:
+            raise ValueError(f"unsupported metric agg: {kind!r}")
+        _, vals = self._doc_values_table(col, doc_filter)
+        pylist = [v for v in vals.to_pylist() if v is not None]
+        if kind == "value_count":
+            return len(pylist)
+        if not pylist:
+            return None  # ES null value on an empty scope
+        if kind == "min":
+            return min(pylist)
+        if kind == "max":
+            return max(pylist)
+        total = sum(pylist)
+        return total if kind == "sum" else total / len(pylist)
+
     # --- ES request-body DSL ------------------------------------------------
 
     @staticmethod
@@ -873,6 +898,13 @@ class SearchEngine:
                         aargs["field"], interval=float(aargs["interval"]),
                         doc_filter=doc_filter,
                     )
+                elif akind in self.METRIC_AGGS:
+                    aggregations[name] = {
+                        "value": self.aggregate_metric(
+                            aargs["field"], akind, doc_filter=doc_filter
+                        )
+                    }
+                    continue
                 else:
                     raise ValueError(f"unsupported agg kind: {akind!r}")
                 aggregations[name] = {

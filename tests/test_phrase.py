@@ -250,3 +250,42 @@ def test_search_after_sharded_matches_driver(spark, tmp_path):
         for r in search_sharded(spark, out, q, k=6, search_after=cursor).collect()
     ]
     assert got == want and got
+
+
+def test_sharded_phrase_slop_matches_driver(spark, slop_index):
+    """Distributed sloppy phrase == driver engine: same match set and
+    scores under the ordered-window contract, through both the direct
+    API and the distributed DSL endpoint."""
+    from job_searchengine_project_spark.index.sharded import (
+        build_sharded_segments,
+        search_sharded_phrase,
+    )
+    from job_searchengine_project_spark.search.cluster import query_sharded
+
+    build_sharded_segments(spark, slop_index, n_shards=3)
+    eng = SearchEngine(slop_index)
+    for slop in (0, 1, 2, 3):
+        want = [
+            (h.url, round(h.score, 9))
+            for h in eng.search_phrase("alpha beta", k=10, slop=slop)
+        ]
+        got = [
+            (r["url"], round(float(r["score"]), 9))
+            for r in search_sharded_phrase(
+                spark, slop_index, "alpha beta", k=10, slop=slop
+            ).collect()
+        ]
+        assert got == want, slop
+    resp = query_sharded(
+        spark, slop_index,
+        {"query": {"match_phrase": {"b": {"query": "alpha beta", "slop": 1}}},
+         "size": 10},
+    )
+    want_dsl = eng.query(
+        {"query": {"match_phrase": {"b": {"query": "alpha beta", "slop": 1}}},
+         "size": 10}
+    )
+    assert resp["hits"]["total"] == want_dsl["hits"]["total"]
+    assert {h["_id"] for h in resp["hits"]["hits"]} == {
+        h["_id"] for h in want_dsl["hits"]["hits"]
+    }
