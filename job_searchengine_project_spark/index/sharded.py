@@ -963,13 +963,18 @@ def dv_filter_docs_sharded(
     dv = _live_dv_table(spark, index_dir, col)
     cond = None
     for op, val in spec.items():
-        c = {
-            "eq": F.col(col) == F.lit(val),
-            "gte": F.col(col) >= F.lit(val),
-            "gt": F.col(col) > F.lit(val),
-            "lte": F.col(col) <= F.lit(val),
-            "lt": F.col(col) < F.lit(val),
-        }[op]
+        if op == "isin":  # ES terms query: any of a value list
+            c = F.col(col).isin(list(val))
+        elif op == "exists":  # ES exists query: non-null value
+            c = F.col(col).isNotNull()
+        else:
+            c = {
+                "eq": F.col(col) == F.lit(val),
+                "gte": F.col(col) >= F.lit(val),
+                "gt": F.col(col) > F.lit(val),
+                "lte": F.col(col) <= F.lit(val),
+                "lt": F.col(col) < F.lit(val),
+            }[op]
         cond = c if cond is None else (cond & c)
     if cond is None:
         raise ValueError("doc_values filter needs at least one bound")

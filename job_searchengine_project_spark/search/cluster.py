@@ -64,15 +64,20 @@ def _parse_bool(spec: dict):
         ((ck, cs),) = c.items()
         if ck == "match":
             out[key].append(_leaf_field_text(cs)[1])
-        elif ck in ("range", "term"):
+        elif ck in ("range", "term", "terms", "exists"):
             if key not in ("filter", "must_not"):
                 raise ValueError(f"{ck} clauses are filter-context only")
-            ((col, bounds),) = cs.items()
-            spec = (
-                {"col": col, "eq": bounds}
-                if ck == "term"
-                else {"col": col, **bounds}
-            )
+            if ck == "exists":
+                spec = {"col": cs["field"], "exists": True}
+            else:
+                ((col, bounds),) = cs.items()
+                spec = (
+                    {"col": col, "eq": bounds}
+                    if ck == "term"
+                    else {"col": col, "isin": list(bounds)}
+                    if ck == "terms"
+                    else {"col": col, **bounds}
+                )
             (fspecs if key == "filter" else nspecs).append(spec)
         else:
             raise ValueError(f"unsupported bool leaf: {ck!r}")
@@ -205,7 +210,7 @@ def _hits_and_scope(
             .select("doc_id", "score", "url"),
             scope,
         )
-    if kind in ("bool", "range", "term"):
+    if kind in ("bool", "range", "term", "terms", "exists"):
         if kind != "bool":  # standalone filter sugar
             spec = {"filter": [{kind: spec}]}
         clauses, fspecs, nspecs = _parse_bool(spec)

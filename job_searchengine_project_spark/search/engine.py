@@ -29,10 +29,22 @@ from job_searchengine_project_spark.index.build import _term_bucket_py
 from job_searchengine_project_spark.search.wand import TermCursor, wand_topk
 
 
-def dv_filter_expr(col: str, *, eq=None, gte=None, gt=None, lte=None, lt=None):
+def dv_filter_expr(
+    col: str,
+    *,
+    eq=None,
+    gte=None,
+    gt=None,
+    lte=None,
+    lt=None,
+    isin=None,
+    exists=None,
+):
     """Bounds of a doc-values range/term filter as ONE pyarrow dataset
     expression (pushed into parquet row-group statistics by every
-    reader — driver sidecars and shard-partitioned slices alike)."""
+    reader — driver sidecars and shard-partitioned slices alike).
+    ``isin`` is the ES `terms` query (any of a value list); ``exists``
+    the ES `exists` query (non-null value)."""
     expr = None
     for bound, val in (
         (pads.field(col) == eq, eq),
@@ -43,6 +55,12 @@ def dv_filter_expr(col: str, *, eq=None, gte=None, gt=None, lte=None, lt=None):
     ):
         if val is not None:
             expr = bound if expr is None else expr & bound
+    if isin is not None:
+        b = pads.field(col).isin(sorted(set(isin)))
+        expr = b if expr is None else expr & b
+    if exists:
+        b = ~pads.field(col).is_null()
+        expr = b if expr is None else expr & b
     if expr is None:
         raise ValueError("doc_values filter needs at least one bound")
     return expr
@@ -59,12 +77,16 @@ def doc_values_docs_at(
     gt=None,
     lte=None,
     lt=None,
+    isin=None,
+    exists=None,
 ) -> set[int]:
     """Shared doc-values filter read over ``root/docvalues/<col>``
     (used by both the single-index and fielded engines)."""
     if col not in dv_cols:
         raise KeyError(f"no doc-values for {col!r}; built columns: {dv_cols}")
-    expr = dv_filter_expr(col, eq=eq, gte=gte, gt=gt, lte=lte, lt=lt)
+    expr = dv_filter_expr(
+        col, eq=eq, gte=gte, gt=gt, lte=lte, lt=lt, isin=isin, exists=exists
+    )
     tbl = pads.dataset(os.path.join(root, "docvalues", col)).to_table(
         columns=["doc_id"], filter=expr
     )
@@ -232,6 +254,17 @@ class SearchEngine:
             arr[t["doc_id"].to_numpy()] = t["doclen"].to_numpy()
             self._doclens = arr
         return self._doclens
+
+    def live_doc_ids(self) -> set[int]:
+        """Every live doc id: one single-column forward read minus
+        tombstones (the match_all hit set; at cluster scale this is
+        the forward table itself — never fetched to one node)."""
+        t = self._forward_ds().to_table(columns=["doc_id"])
+        docs = set(t.column("doc_id").to_pylist())
+        dele = self.tombstones
+        if dele.size and docs:
+            docs.difference_update(dele.tolist())
+        return docs
 
     def fields_of(self, doc_id: int) -> dict | None:
         """Stored fields for one hit (ES hit _source, README.md:19-38).
@@ -657,8 +690,11 @@ class SearchEngine:
         gt=None,
         lte=None,
         lt=None,
+        isin=None,
+        exists=None,
     ) -> set[int]:
-        """Live doc_ids matching a term (``eq``) or range filter on a
+        """Live doc_ids matching a term (``eq``), terms-list
+        (``isin``), existence (``exists``) or range filter on a
         doc-values column (index/build.py _write_doc_values). The
         sidecar is value-sorted, so the pyarrow read pushes the bounds
         into parquet row-group statistics and touches only the
@@ -667,7 +703,7 @@ class SearchEngine:
         return doc_values_docs_at(
             self.index_dir, self.stats.get("doc_values", []),
             self.tombstones, col,
-            eq=eq, gte=gte, gt=gt, lte=lte, lt=lt,
+            eq=eq, gte=gte, gt=gt, lte=lte, lt=lt, isin=isin, exists=exists,
         )
 
     # --- aggregations -------------------------------------------------------
@@ -969,8 +1005,20 @@ class SearchEngine:
                 fn = self.search_prefix if kind == "prefix" else self.search_wildcard
                 hits = fn(pat, k=size, offset=frm, with_urls=False)
                 total = self._bool_total  # set by _constant_score_hits
-            elif kind in ("bool", "range", "term"):
-                if kind != "bool":  # standalone filter query sugar
+            elif kind == "match_all":
+                # every live doc, constant score 1.0 (ES match_all),
+                # asc doc_id — one single-column forward read
+                docs = sorted(self.live_doc_ids())
+                total = len(docs)
+                hits = [
+                    SearchHit(doc_id=d, score=1.0)
+                    for d in docs[frm : frm + size]
+                ]
+            elif kind in ("bool", "range", "term", "terms", "exists"):
+                # standalone range/term/terms/exists queries are
+                # filter-context sugar (documented contract: they gate,
+                # score 0.0 — same as the sharded endpoint)
+                if kind != "bool":
                     spec = {"filter": [{kind: spec}]}
 
                 def split(key, sets_ok):
@@ -988,14 +1036,28 @@ class SearchEngine:
                         ((ck, cs),) = c.items()
                         if ck == "match":
                             texts.append(self._leaf_field_text(cs)[1])
-                        elif ck in ("range", "term", "prefix", "wildcard"):
+                        elif ck in (
+                            "range", "term", "terms", "exists",
+                            "prefix", "wildcard",
+                        ):
                             if not sets_ok:
                                 raise ValueError(
                                     f"{ck} clauses are filter-context only"
                                 )
+                            if ck == "exists":
+                                sets.append(
+                                    self.doc_values_docs(
+                                        cs["field"], exists=True
+                                    )
+                                )
+                                continue
                             ((col, bounds),) = cs.items()
                             if ck == "term":
                                 sets.append(self.doc_values_docs(col, eq=bounds))
+                            elif ck == "terms":
+                                sets.append(
+                                    self.doc_values_docs(col, isin=list(bounds))
+                                )
                             elif ck == "range":
                                 sets.append(self.doc_values_docs(col, **bounds))
                             else:

@@ -149,8 +149,12 @@ def test_aggregations(spark, dv_index):
     resp = eng.query({"size": 0, "aggs": {"s": {"terms": {"field": "site"}}}})
     assert resp["aggregations"]["s"]["buckets"]
     assert resp["hits"]["hits"] == []
+    # metric aggs are supported (round 4); an unknown kind still raises
+    r_avg = eng.query({"aggs": {"x": {"avg": {"field": "n_chars"}}}})
+    vals = [r["n_chars"] for r in pages.select("n_chars").collect()]
+    assert r_avg["aggregations"]["x"]["value"] == sum(vals) / len(vals)
     with pytest.raises(ValueError):
-        eng.query({"aggs": {"x": {"avg": {"field": "n_chars"}}}})
+        eng.query({"aggs": {"x": {"cardinality": {"field": "n_chars"}}}})
 
 
 def test_fielded_doc_values(spark, webpages_small, tmp_path):
@@ -683,3 +687,59 @@ def test_query_sharded_matches_driver_engine(spark, dv_index):
     # _count
     for body in bodies[:4]:
         assert count_sharded(spark, out, body) == eng.count(body), body
+
+
+def test_terms_exists_match_all_queries(spark, dv_index):
+    """ES terms (value list), exists (non-null), and match_all kinds —
+    driver engine and distributed endpoint agree; filter-context
+    composition works in bool bodies."""
+    from job_searchengine_project_spark.search.cluster import query_sharded
+
+    out, pages = dv_index
+    eng = SearchEngine(out)
+    sites = sorted({r["site"] for r in pages.select("site").distinct().collect()})
+    vals = sites[:2] if len(sites) >= 2 else sites
+    # terms == union of eq sets
+    want = set()
+    for v in vals:
+        want |= eng.doc_values_docs("site", eq=v)
+    assert eng.doc_values_docs("site", isin=vals) == want
+    # exists == docs with non-null value
+    n_all = len(eng.doc_values_docs("n_chars", exists=True))
+    assert n_all == 300
+    # standalone DSL kinds (filter-context sugar, score 0.0)
+    r = eng.query({"query": {"terms": {"site": vals}}, "size": 5})
+    assert r["hits"]["total"] == {"value": len(want), "relation": "eq"}
+    assert all(h["_score"] == 0.0 for h in r["hits"]["hits"])
+    r2 = eng.query({"query": {"exists": {"field": "n_chars"}}, "size": 3})
+    assert r2["hits"]["total"]["value"] == n_all
+    # match_all: every live doc, constant score 1.0
+    r3 = eng.query({"query": {"match_all": {}}, "size": 4})
+    assert r3["hits"]["total"]["value"] == 300
+    assert all(h["_score"] == 1.0 for h in r3["hits"]["hits"])
+    # bool composition with terms + exists leaves
+    from job_searchengine_project_spark.corpus import HEAD_TERMS
+
+    body = {"query": {"bool": {
+        "must": [{"match": {"b": HEAD_TERMS[1]}}],
+        "filter": [{"terms": {"site": vals}}, {"exists": {"field": "n_chars"}}],
+    }}, "size": 10**6}
+    rb = eng.query(body)
+    base = {h.doc_id for h in eng.search_bool(must=[HEAD_TERMS[1]], k=10**6,
+                                              with_urls=False)}
+    assert rb["hits"]["total"]["value"] == len(base & want)
+    # distributed endpoint parity (shards exist from earlier tests or build now)
+    from job_searchengine_project_spark.index.sharded import (
+        SHARD_DV_DIR,
+        build_sharded_segments,
+    )
+
+    if not os.path.isdir(os.path.join(out, SHARD_DV_DIR)):
+        build_sharded_segments(spark, out, n_shards=4)
+    gd = query_sharded(spark, out, body)
+    assert gd["hits"]["total"] == rb["hits"]["total"]
+    assert [h["_id"] for h in gd["hits"]["hits"]] == [
+        h["_id"] for h in rb["hits"]["hits"]
+    ]
+    gt = query_sharded(spark, out, {"query": {"terms": {"site": vals}}, "size": 5})
+    assert gt["hits"]["total"] == r["hits"]["total"]
