@@ -317,3 +317,25 @@ def test_multi_match_best_fields(spark, fielded_index):
     assert r["hits"]["total"] == {"value": len(union), "relation": "eq"}
     with pytest.raises(ValueError):
         feng.search_multi(QUERY, type="cross_fields")
+
+
+def test_fielded_prefix_wildcard_per_field(spark, fielded_index):
+    """Each field's sub-index can carry its own sorted term dictionary:
+    prefix/wildcard queries scope to that field's vocabulary."""
+    from job_searchengine_project_spark.index.termdict import (
+        build_term_dictionary,
+        prefix_terms,
+    )
+
+    out, _ = fielded_index
+    feng = FieldedSearchEngine(out)
+    for field in ("title", "body"):
+        sub = os.path.join(out, "fields", field)
+        build_term_dictionary(spark, sub)
+    t_terms = prefix_terms(os.path.join(out, "fields", "title"), "sp")
+    b_terms = prefix_terms(os.path.join(out, "fields", "body"), "sp")
+    assert set(t_terms) <= set(b_terms)  # the 60-char title sees fewer terms
+    eng_t = feng.engine("title")
+    hits = eng_t.search_prefix("sp", k=10**6, with_urls=False)
+    assert {h.doc_id for h in hits} == eng_t._match_docs(t_terms)
+    assert all(h.score == 1.0 for h in hits)
