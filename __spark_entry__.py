@@ -90,6 +90,8 @@ _CHECK_FIRST = [
     "bool_sharded_filter_top10",
     "terms_agg_sharded",
     "metric_aggs",
+    "highlight_top10",
+    "get_doc",
     "metric_aggs_sharded",
     "histogram_agg_sharded",
     "fuzzy_sharded_top10",

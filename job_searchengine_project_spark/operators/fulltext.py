@@ -621,6 +621,88 @@ SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT {{limit}}
 """.format(grams_sql=grams_sql, phrase=phrase.lower(), k1=BM25_K1, b=BM25_B, limit=limit)
 
 
+# ---- ES highlight + GET _doc -------------------------------------------------
+
+HL_QUERY = "spark data"
+
+
+def highlight_top10(spark, sf_dir: str) -> DataFrame:
+    """ES highlight (number_of_fragments=0 whole-field contract):
+    every analyzer token equal to a query term wraps in <em> tags,
+    token-boundary exact — the DuckDB twin is one \\b-bounded
+    regexp_replace over the same top-k join."""
+    eng = _engine_for(spark, sf_dir)
+    resp = eng.query(
+        {
+            "query": {"match": {"body": HL_QUERY}},
+            "highlight": {"fields": {"body": {}}},
+            "size": 20 * K,
+        }
+    )
+    rows = sorted(
+        (
+            (
+                int(h["_id"].split("doc://")[1]),
+                round(h["_score"], 4),
+                h["highlight"]["body"][0],
+            )
+            for h in resp["hits"]["hits"]
+        ),
+        key=lambda r: (-r[1], r[0]),
+    )[:K]
+    return spark.createDataFrame(rows, "doc_id bigint, score double, hl string")
+
+
+def _highlight_sql(limit: int) -> str:
+    terms = sorted(set(HL_QUERY.split()))
+    alt = "|".join(terms)
+    return (
+        f"""
+WITH toks AS (
+  SELECT doc_id, t.tok AS term
+  FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+  WHERE length(t.tok) > 1
+),
+dl AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(doclen) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ({", ".join(f"'{t}'" for t in terms)})
+       GROUP BY doc_id, term),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         round(sum(ln(1 + (s.n - dft.df + 0.5) / (dft.df + 0.5))
+             * (tf.tf / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.doclen / s.avgdl)))), 4) AS score
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT s.doc_id, s.score,
+       regexp_replace(d.text, '"""
+        + r"\b(" + alt + r")\b"
+        + f"""', '<em>\\0</em>', 'g') AS hl
+FROM scored s JOIN documents d USING (doc_id)
+ORDER BY s.score DESC, s.doc_id LIMIT {limit}
+"""
+    )
+
+
+GET_DOC_ID = 7
+
+
+def get_doc(spark, sf_dir: str) -> DataFrame:
+    """ES GET /_doc/<id> parity: one url-bucket point read of the
+    docstore returns the stored _source; oracle is the raw table row."""
+    eng = _engine_for(spark, sf_dir)
+    r = eng.get(f"doc://{GET_DOC_ID:08d}")
+    assert r["found"]
+    return spark.createDataFrame(
+        [(GET_DOC_ID, r["_source"]["body"])], "doc_id bigint, text string"
+    )
+
+
+GET_DOC_SQL = f"SELECT doc_id, text FROM documents WHERE doc_id = {GET_DOC_ID}"
+
+
 # ---- ES prefix / wildcard (constant-score multi-term queries) ----------------
 
 PREFIX_QUERY = "spa"
@@ -1496,5 +1578,7 @@ QUERIES = {
     "sort_by_field_top10": (sort_by_field_top10, SORT_BY_FIELD_SQL),
     "match_count": (match_count, MATCH_COUNT_SQL),
     "prefix_top10": (prefix_top10, PREFIX_SQL),
+    "highlight_top10": (highlight_top10, _highlight_sql(K)),
+    "get_doc": (get_doc, GET_DOC_SQL),
     "wildcard_match_count": (wildcard_match_count, WILDCARD_COUNT_SQL),
 }

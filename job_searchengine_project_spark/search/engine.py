@@ -289,6 +289,42 @@ class SearchEngine:
         row.pop("_gen", None)
         return row
 
+    def get(self, url: str) -> dict:
+        """ES ``GET /<index>/_doc/<id>`` parity (_id = url): one
+        url-hash-bucket point read of the docstore (partition pruning +
+        url row-group pruning — the bucket is url-sorted), newest
+        generation wins, tombstoned docs report found=false. The
+        liveness probe reads the forward (doc_id, url) columns filtered
+        by url; at 10^12-doc scale the doc_id belongs IN the url-sorted
+        docstore row so the probe is the same single bucket read —
+        noted, not yet needed at this index's scale."""
+        if not self.stats.get("store_fields"):
+            raise ValueError("get() requires an index built with store_fields")
+        b = _term_bucket_py(url, int(self.stats.get("stored_buckets", 64)))
+        bucket_dir = os.path.join(self.index_dir, "stored", f"sbucket={b}")
+        out = {"_id": url, "found": False}
+        if not os.path.isdir(bucket_dir):
+            return out
+        tbl = pads.dataset(bucket_dir).to_table(filter=pads.field("url") == url)
+        if tbl.num_rows == 0:
+            return out
+        dele = self.tombstones
+        if dele.size:
+            t = self._forward_ds().to_table(
+                columns=["doc_id"], filter=pads.field("url") == url
+            )
+            ids = t.column("doc_id").to_numpy()
+            live = ids[~np.isin(ids, dele)] if ids.size else ids
+            if live.size == 0:
+                return out  # every version tombstoned: deleted doc
+        rows = tbl.to_pylist()
+        row = max(rows, key=lambda r: r.get("_gen") or 0)
+        row.pop("_gen", None)
+        row.pop("sbucket", None)
+        out["found"] = True
+        out["_source"] = row
+        return out
+
     def _fetch_urls(self, doc_ids: list[int]) -> None:
         """Memoized batch point-lookup — NEVER loads the whole url
         column. Doc ids are assigned densely per hash bucket and the
@@ -762,6 +798,61 @@ class SearchEngine:
         uniq, cnt = np.unique(keys, return_counts=True)
         return [(float(u), int(c)) for u, c in zip(uniq, cnt)]
 
+    # --- highlighting -------------------------------------------------------
+
+    @staticmethod
+    def highlight_text(
+        text: str,
+        terms: list[str],
+        pre_tag: str = "<em>",
+        post_tag: str = "</em>",
+    ) -> str:
+        """ES highlight with number_of_fragments=0 (whole-field
+        highlighting): every analyzer TOKEN equal to a query term
+        wraps in the tags — token-boundary exact (no substring hits:
+        'sparkly' never highlights for 'spark'), case-insensitive on
+        the token text, original casing preserved in the output. The
+        DuckDB twin is one regexp_replace with \\b-bounded
+        alternation."""
+        import re
+
+        tset = {t.lower() for t in terms}
+        if not tset or not text:
+            return text
+        out = []
+        last = 0
+        for m in re.finditer(r"[가-힣a-zA-Z0-9/]+", text):
+            if m.group().lower() in tset:
+                out.append(text[last : m.start()])
+                out.append(pre_tag + m.group() + post_tag)
+                last = m.end()
+        out.append(text[last:])
+        return "".join(out)
+
+    def _query_match_terms(self, q: dict) -> list[str]:
+        """Every scoring match term of a request body (what ES
+        highlights): match leaves, fuzzy expansions, bool
+        must/should/filter match clauses."""
+        if not q:
+            return []
+        ((kind, spec),) = q.items()
+        if kind in ("match", "match_phrase"):
+            return self._analyze(self._leaf_field_text(spec)[1])
+        if kind == "fuzzy":
+            ((_, val),) = spec.items()
+            term = val.get("value") if isinstance(val, dict) else val
+            fuzz = val.get("fuzziness", 1) if isinstance(val, dict) else 1
+            return self.fuzzy_expand(term, max_edits=int(fuzz))
+        if kind == "bool":
+            terms: list[str] = []
+            for key in ("must", "should", "filter"):
+                for c in spec.get(key, []):
+                    ((ck, cs),) = c.items()
+                    if ck == "match":
+                        terms.extend(self._analyze(self._leaf_field_text(cs)[1]))
+            return sorted(set(terms))
+        return []
+
     METRIC_AGGS = ("avg", "sum", "min", "max", "value_count")
 
     def aggregate_metric(
@@ -948,7 +1039,28 @@ class SearchEngine:
                         {"key": k, "doc_count": n} for k, n in buckets
                     ]
                 }
-        return self._query_response(hits, total, aggregations)
+        resp = self._query_response(hits, total, aggregations)
+        hl = body.get("highlight")
+        if hl:
+            # ES highlight over the page's stored fields (requires
+            # store_fields; number_of_fragments=0 whole-field contract)
+            terms = self._query_match_terms(q)
+            for h in resp["hits"]["hits"]:
+                src = h.get("_source") or {}
+                h["highlight"] = {}
+                for fname, fspec in (hl.get("fields") or {}).items():
+                    text = src.get(fname, src.get("body"))
+                    if text is None:
+                        continue
+                    fspec = fspec or {}
+                    pre = (fspec.get("pre_tags") or hl.get("pre_tags") or ["<em>"])[0]
+                    post = (
+                        fspec.get("post_tags") or hl.get("post_tags") or ["</em>"]
+                    )[0]
+                    h["highlight"][fname] = [
+                        self.highlight_text(text, terms, pre, post)
+                    ]
+        return resp
 
     def count(self, body: dict) -> dict:
         """ES `_count` endpoint parity: the exact number of live docs

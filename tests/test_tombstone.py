@@ -401,3 +401,48 @@ def test_lifecycle_matrix_sidecars_consistent(spark, tmp_path, crash):
     build_fuzzy_variants(spark, out, max_edits=1)
     assert variants_fresh(out, 1)
     _matrix_sweep(spark, out, live)
+
+
+def test_get_doc_lifecycle(spark, upserted_index):
+    """ES GET _doc parity across the upsert lifecycle: replaced urls
+    serve the NEWEST _source, deleted urls report found=false,
+    unknown urls report found=false."""
+    out, replaced_urls, deleted_urls = upserted_index
+    eng = SearchEngine(out)
+    r = eng.get(replaced_urls[0])
+    assert r["found"] and r["_source"]["body"].endswith(" spark spark spark")
+    assert "_gen" not in r["_source"] and "sbucket" not in r["_source"]
+    assert eng.get(deleted_urls[0]) == {"_id": deleted_urls[0], "found": False}
+    assert not eng.get("https://nowhere.test/x")["found"]
+
+
+def test_highlight_tokens_exact(spark, tmp_path):
+    """Highlight wraps whole analyzer tokens only: no substring hits,
+    casing preserved, custom tags honored, bool queries highlight
+    every scoring clause's terms."""
+    from job_searchengine_project_spark.search.engine import SearchEngine as SE
+
+    out = str(tmp_path / "idx_hl")
+    pages = spark.createDataFrame(
+        [("h0", "Spark sparkly data DATABASE spark/sql data")],
+        "url string, text string",
+    )
+    build_index(spark, pages, out, target_postings_per_salt=50, term_buckets=8)
+    eng = SE(out)
+    hl = eng.highlight_text("Spark sparkly data DATABASE spark/sql data",
+                            ["spark", "data"])
+    assert hl == (
+        "<em>Spark</em> sparkly <em>data</em> DATABASE spark/sql <em>data</em>"
+    )
+    # ('spark/sql' is ONE token under the analyzer's run rule — not a
+    # 'spark' token — and 'sparkly'/'DATABASE' are different tokens)
+    resp = eng.query({
+        "query": {"bool": {"must": [{"match": {"body": "spark"}}],
+                           "should": [{"match": {"body": "data"}}]}},
+        "highlight": {"fields": {"body": {"pre_tags": ["["], "post_tags": ["]"]}}},
+        "size": 5,
+    })
+    h = resp["hits"]["hits"][0]
+    assert h["highlight"]["body"][0] == (
+        "[Spark] sparkly [data] DATABASE spark/sql [data]"
+    )
