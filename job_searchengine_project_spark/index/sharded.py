@@ -942,6 +942,7 @@ def aggregate_metric_sharded(
         "min": F.min,
         "max": F.max,
         "value_count": F.count,
+        "cardinality": F.countDistinct,  # exact-distinct contract
     }
     if kind not in fns:
         raise ValueError(f"unsupported metric agg: {kind!r}")

@@ -1070,7 +1070,7 @@ _METRIC_BODY = {
     "size": 0,
     "aggs": {
         k: {k: {"field": "n_chars"}}
-        for k in ("value_count", "min", "max", "sum", "avg")
+        for k in ("value_count", "min", "max", "sum", "avg", "cardinality")
     },
 }
 
@@ -1083,9 +1083,10 @@ def _metric_rows(spark, resp) -> DataFrame:
         int(a["max"]["value"]),
         int(a["sum"]["value"]),
         round(float(a["avg"]["value"]), 4),
+        int(a["cardinality"]["value"]),
     )
     return spark.createDataFrame(
-        [row], "cnt bigint, mn bigint, mx bigint, sm bigint, av double"
+        [row], "cnt bigint, mn bigint, mx bigint, sm bigint, av double, cd bigint"
     )
 
 
@@ -1119,7 +1120,8 @@ SELECT count(*)::BIGINT AS cnt,
        min(d.n_chars)::BIGINT AS mn,
        max(d.n_chars)::BIGINT AS mx,
        sum(d.n_chars)::BIGINT AS sm,
-       round(avg(d.n_chars), 4)::DOUBLE AS av
+       round(avg(d.n_chars), 4)::DOUBLE AS av,
+       count(DISTINCT d.n_chars)::BIGINT AS cd
 FROM documents d JOIN hit USING (doc_id)
 """
 

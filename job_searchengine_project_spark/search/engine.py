@@ -853,13 +853,13 @@ class SearchEngine:
             return sorted(set(terms))
         return []
 
-    METRIC_AGGS = ("avg", "sum", "min", "max", "value_count")
+    METRIC_AGGS = ("avg", "sum", "min", "max", "value_count", "cardinality")
 
     def aggregate_metric(
         self, col: str, kind: str, doc_filter: set[int] | None = None
     ):
         """ES metric aggregations over a doc-values column: avg / sum /
-        min / max / value_count of live values, optionally scoped to a
+        min / max / value_count / cardinality of live values, optionally scoped to a
         query hit set. Integer columns sum exactly; avg is sum/count in
         float64 (the same arithmetic the SQL oracle and the Spark
         distributed twin produce)."""
@@ -869,6 +869,11 @@ class SearchEngine:
         pylist = [v for v in vals.to_pylist() if v is not None]
         if kind == "value_count":
             return len(pylist)
+        if kind == "cardinality":
+            # documented contract: EXACT distinct count (ES's HLL is an
+            # approximation of this value; the Spark twin is one
+            # countDistinct, the oracle COUNT(DISTINCT ...))
+            return len(set(pylist))
         if not pylist:
             return None  # ES null value on an empty scope
         if kind == "min":
