@@ -153,8 +153,11 @@ def test_aggregations(spark, dv_index):
     r_avg = eng.query({"aggs": {"x": {"avg": {"field": "n_chars"}}}})
     vals = [r["n_chars"] for r in pages.select("n_chars").collect()]
     assert r_avg["aggregations"]["x"]["value"] == sum(vals) / len(vals)
+    # cardinality is supported too (exact-distinct contract)
+    r_cd = eng.query({"aggs": {"x": {"cardinality": {"field": "n_chars"}}}})
+    assert r_cd["aggregations"]["x"]["value"] == len(set(vals))
     with pytest.raises(ValueError):
-        eng.query({"aggs": {"x": {"cardinality": {"field": "n_chars"}}}})
+        eng.query({"aggs": {"x": {"percentiles": {"field": "n_chars"}}}})
 
 
 def test_fielded_doc_values(spark, webpages_small, tmp_path):
