@@ -163,3 +163,38 @@ def test_shard_dv_slice_read_is_value_pruned(spark, tmp_path):
         1 for _ in frag.split_by_row_group(pads.field("n_chars") <= lo)
     )
     assert n_total > 3 and n_pruned < n_total, (n_pruned, n_total)
+
+
+def test_bool_hit_set_algebra_is_join_shaped(spark, tmp_path):
+    """The distributed endpoint's exact-total hit-set plan: semi/anti
+    joins and a countDistinct gate — no cartesian product, and the
+    msm clause-count aggregate is two-phase (partial before merge)."""
+    import json
+    import os
+
+    from job_searchengine_project_spark.corpus import generate_webpages
+    from job_searchengine_project_spark.index.build import build_index
+    from job_searchengine_project_spark.index.sharded import build_sharded_segments
+    from job_searchengine_project_spark.plans.explain import plan_str
+    from job_searchengine_project_spark.search.cluster import (
+        bool_match_docs_sharded,
+    )
+
+    pages = generate_webpages(spark, n_docs=80, vocab_size=150, seed=3).withColumn(
+        "n_chars", F.length("text")
+    )
+    out = str(tmp_path / "idx_boolplan")
+    build_index(spark, pages, out, term_buckets=8, doc_values=["n_chars"])
+    build_sharded_segments(spark, out, n_shards=2)
+    with open(os.path.join(out, "stats.json")) as f:
+        stats = json.load(f)
+    scope = bool_match_docs_sharded(
+        spark, out, stats,
+        {"must": ["spark"], "should": ["데이터엔지니어", "개발자"],
+         "must_not": ["dup"], "filter": []},
+        [{"col": "n_chars", "gte": 100}], [], msm=1,
+    )
+    p = plan_str(scope)
+    assert "CartesianProduct" not in p
+    assert "LeftSemi" in p and "LeftAnti" in p, p
+    assert "partial" in p.lower(), p  # two-phase clause-count aggregate
