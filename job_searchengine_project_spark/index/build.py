@@ -644,6 +644,7 @@ def _write_stats_dict(
     stats_path, *, n_docs, avgdl, total_tokens, analyzer, block_size,
     term_buckets, fingerprint, store_fields=False, stored_buckets=64,
     positions=False, use_extractor=False, n_purged=0, doc_values=None,
+    last_purge_fp=None,
 ):
     stats = {
         "n_docs": int(n_docs),
@@ -664,6 +665,11 @@ def _write_stats_dict(
         # doc-ID SPACE, the base for the next update's dense ids)
         "n_purged": int(n_purged),
         "doc_values": sorted(doc_values) if doc_values else [],
+        # fingerprint of the tombstone set credited by the LAST purge:
+        # a crash between the purge's stats commit and the tombstone
+        # clear replays the purge, and this marker keeps the replay
+        # from crediting the same tombstones to n_purged twice
+        "last_purge_fp": last_purge_fp,
     }
     tmp = stats_path + ".tmp"
     with open(tmp, "w") as f:

@@ -279,12 +279,27 @@ def _purge_dead_docs(spark, out_dir: str, stats: dict, dele: np.ndarray) -> int:
     tombstones still present, and the re-run must still credit them to
     n_purged (idf N) or the count is permanently undercounted — every
     tombstone id was a real doc exactly once (replace/delete append
-    from the forward index; a completed purge clears the files)."""
+    from the forward index; a completed purge clears the files).
+
+    The OTHER crash window — after the stats commit but before
+    ``compact_index`` clears the tombstone dir — must NOT re-credit:
+    the stats carry ``last_purge_fp``, a fingerprint of the exact
+    tombstone set already credited, and a replay that sees its own set
+    there skips the accounting (the physical rewrites before it are
+    idempotent no-ops by then)."""
+    import hashlib
+
     from job_searchengine_project_spark.index.build import _write_stats_dict
 
     forward_dir = os.path.join(out_dir, "forward")
     ids = [int(x) for x in dele.tolist()]
-    n_tomb = int(np.unique(dele).size)
+    uniq = np.unique(dele).astype(np.int64)
+    n_tomb = int(uniq.size)
+    purge_fp = hashlib.sha256(uniq.tobytes()).hexdigest()[:16]
+    if stats.get("last_purge_fp") == purge_fp:
+        # replay of a purge whose stats commit landed but whose
+        # tombstone clear did not: everything below already ran
+        return n_tomb
     fwd = spark.read.parquet(forward_dir)
     dead = fwd.filter(F.col("doc_id").isin(ids)).count()
     if dead:
@@ -345,5 +360,6 @@ def _purge_dead_docs(spark, out_dir: str, stats: dict, dele: np.ndarray) -> int:
         use_extractor=stats.get("use_extractor", False),
         n_purged=n_purged,
         doc_values=stats.get("doc_values"),
+        last_purge_fp=purge_fp,
     )
     return n_tomb

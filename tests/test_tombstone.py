@@ -272,6 +272,51 @@ def test_purge_count_survives_crash_before_stats_commit(
     assert not load_tombstones(out).size
 
 
+def test_purge_count_not_double_credited_after_crash_before_tombstone_clear(
+    spark, webpages_small, tmp_path
+):
+    """ADVICE r5 (the inverted crash window): the stats commit lands
+    INSIDE _purge_dead_docs but the tombstone dir is only cleared
+    afterwards in compact_index — a crash in between replays the purge
+    with the rows already gone AND the credit already committed. The
+    last_purge_fp marker must keep the replay from crediting the same
+    tombstone set to n_purged twice (which would deflate n_eff and
+    every BM25 idf forever)."""
+    import shutil
+
+    from job_searchengine_project_spark.index.tombstone import TOMBSTONE_DIR
+
+    out = str(tmp_path / "idx_purgecrash2")
+    build_index(spark, webpages_small.limit(100), out,
+                target_postings_per_salt=50, term_buckets=16)
+    victims = [
+        r["url"] for r in webpages_small.limit(100).select("url").limit(20).collect()
+    ]
+    assert delete_docs(spark, out, victims)["tombstoned"] == 20
+    tomb = os.path.join(out, TOMBSTONE_DIR)
+    snap = str(tmp_path / "tomb_snapshot")
+    shutil.copytree(tomb, snap)
+    assert compact_index(spark, out)["purged_docs"] == 20
+    assert SearchEngine(out).n_eff == 80
+    # simulate the crash: stats committed, tombstones never cleared
+    shutil.copytree(snap, tomb)
+    res = compact_index(spark, out)  # the replay
+    assert res["purged_docs"] == 20  # reported, but NOT re-credited:
+    eng = SearchEngine(out)
+    assert eng.n_eff == 80  # would be 60 on a double credit
+    assert not load_tombstones(out).size
+    # and a genuinely NEW delete after the replay still credits fully
+    more = [
+        r["url"]
+        for r in webpages_small.limit(100).select("url")
+        .subtract(spark.createDataFrame([(u,) for u in victims], "url string"))
+        .limit(10).collect()
+    ]
+    assert delete_docs(spark, out, more)["tombstoned"] == 10
+    assert compact_index(spark, out)["purged_docs"] == 10
+    assert SearchEngine(out).n_eff == 70
+
+
 # ---- lifecycle matrix: crash x lifecycle op x sidecar ------------------------
 
 _MATRIX_STAGES = ["build", "append", "replace", "delete", "purge"]
