@@ -132,8 +132,79 @@ def build_sharded_segments(
             .parquet(os.path.join(index_dir, SHARD_DV_DIR, col))
         )
     with open(os.path.join(index_dir, SHARDS_META), "w") as f:
-        json.dump({"n_shards": n_shards, "rng": rng, "n_docs": n_docs}, f)
+        # the fingerprint binds the derived layout to the index state
+        # it was built from: after an update or purging compaction the
+        # sharded readers REFUSE stale postings/doc-values slices
+        # (shards_fresh), mirroring termdict_fresh/variants_fresh.
+        # Deletes don't invalidate — tombstones filter at query time.
+        json.dump(
+            {
+                "n_shards": n_shards,
+                "rng": rng,
+                "n_docs": n_docs,
+                "fingerprint": str(stats.get("fingerprint", "")),
+            },
+            f,
+        )
     return out
+
+
+def _strip_delete_marks(fp: str) -> str:
+    """Drop ``+delete<n>`` segments from a stats fingerprint: deletes
+    only append tombstones (queries filter them live), so they do NOT
+    stale a derived sharded layout — updates and purges do."""
+    import re
+
+    return re.sub(r"\+delete\d+", "", fp or "")
+
+
+def shards_fresh(index_dir: str) -> bool:
+    """True when the sharded layout exists and was derived from the
+    CURRENT index state (modulo pure deletes — see _strip_delete_marks).
+    Derived layouts written before fingerprints existed read as stale;
+    gate rebuilds on THIS, never on directory existence."""
+    meta_path = os.path.join(index_dir, SHARDS_META)
+    if not os.path.exists(meta_path):
+        return False
+    with open(meta_path) as f:
+        meta = json.load(f)
+    if "fingerprint" not in meta:
+        return False
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        stats = json.load(f)
+    return _strip_delete_marks(meta["fingerprint"]) == _strip_delete_marks(
+        str(stats.get("fingerprint", ""))
+    )
+
+
+def _load_meta(index_dir: str, stats: dict) -> dict:
+    """Read shards_meta.json, refusing a layout whose fingerprint no
+    longer matches the live stats (stale after update/compaction)."""
+    with open(os.path.join(index_dir, SHARDS_META)) as f:
+        meta = json.load(f)
+    if _strip_delete_marks(meta.get("fingerprint")) != _strip_delete_marks(
+        str(stats.get("fingerprint", ""))
+    ):
+        raise ValueError(
+            "sharded layout is stale (index updated/compacted since "
+            "build_sharded_segments); rebuild it — "
+            f"meta fp {meta.get('fingerprint')!r} vs stats fp "
+            f"{stats.get('fingerprint')!r}"
+        )
+    return meta
+
+
+def _shard_tombstones(index_dir: str, shard: int, rng: int) -> np.ndarray:
+    """Executor-side: THIS shard's tombstone slice (sorted int64),
+    read with the shard's doc range pushed into the parquet scan —
+    the global set is never built on or broadcast from the driver
+    (memoized per process, see tombstone.load_tombstones_range)."""
+    from job_searchengine_project_spark.index.tombstone import (
+        load_tombstones_range,
+    )
+
+    lo = int(shard) * int(rng)
+    return load_tombstones_range(index_dir, lo, lo + int(rng))
 
 
 def _shard_dv_docs(
@@ -273,13 +344,9 @@ def search_sharded_phrase(
     n_eff = n_docs - int(stats.get("n_purged", 0))  # idf N (tombstone.py)
     avgdl = float(stats["avgdl"])
     k1, b = float(stats["k1"]), float(stats["b"])
-    with open(os.path.join(index_dir, SHARDS_META)) as f:
-        meta = json.load(f)
+    meta = _load_meta(index_dir, stats)
     rng = int(meta["rng"])
     norms_root = os.path.join(index_dir, NORMS_DIR)
-    from job_searchengine_project_spark.index.tombstone import load_tombstones
-
-    bc_del = spark.sparkContext.broadcast(load_tombstones(index_dir))
 
     analyzer = stats.get("analyzer", "morph")
     seq = (
@@ -385,7 +452,7 @@ def search_sharded_phrase(
                 if not matched:
                     continue
                 match_docs = np.asarray(matched, dtype=np.int64)
-            dele = bc_del.value
+            dele = _shard_tombstones(index_dir, int(shard_val), rng)
             if dele.size:
                 match_docs = match_docs[~np.isin(match_docs, dele)]
                 if match_docs.size == 0:
@@ -447,13 +514,9 @@ def search_sharded_batch(
     n_eff = n_docs - int(stats.get("n_purged", 0))  # idf N (tombstone.py)
     avgdl = float(stats["avgdl"])
     k1, b = float(stats["k1"]), float(stats["b"])
-    with open(os.path.join(index_dir, SHARDS_META)) as f:
-        meta = json.load(f)
+    meta = _load_meta(index_dir, stats)
     rng = int(meta["rng"])
     norms_root = os.path.join(index_dir, NORMS_DIR)
-    from job_searchengine_project_spark.index.tombstone import load_tombstones
-
-    bc_del = spark.sparkContext.broadcast(load_tombstones(index_dir))
 
     q_terms = {qid: sorted(set(ts)) for qid, ts in queries.items()}
     all_terms = sorted({t for ts in q_terms.values() for t in ts})
@@ -501,6 +564,7 @@ def search_sharded_batch(
         for shard_val, grp in pdf_all.groupby("shard", sort=False):
             by_term = {str(r.term): r for r in grp.itertuples()}
             norms = _load_shard_norms(norms_root, int(shard_val), rng, n_docs)
+            dele = _shard_tombstones(index_dir, int(shard_val), rng)
             # decode-once state shared across the batch: EncodedPostings
             # are immutable; each query gets fresh (cheap) cursors, and
             # the dense path's decoded arrays memoize across queries
@@ -524,7 +588,7 @@ def search_sharded_batch(
                         k=k,
                         k1=k1,
                         b=b,
-                        deleted=bc_del.value,
+                        deleted=dele,
                     )
                 else:
                     cursors = [
@@ -532,7 +596,7 @@ def search_sharded_batch(
                         for t in present
                     ]
                     hits = wand_topk(
-                        cursors, norms, avgdl, k, k1=k1, b=b, deleted=bc_del.value
+                        cursors, norms, avgdl, k, k1=k1, b=b, deleted=dele
                     )
                 for d, s in hits:
                     out_q.append(qid)
@@ -612,13 +676,9 @@ def search_sharded_bool(
     n_eff = n_docs - int(stats.get("n_purged", 0))  # idf N (tombstone.py)
     avgdl = float(stats["avgdl"])
     k1, b = float(stats["k1"]), float(stats["b"])
-    with open(os.path.join(index_dir, SHARDS_META)) as f:
-        meta = json.load(f)
+    meta = _load_meta(index_dir, stats)
     rng = int(meta["rng"])
     norms_root = os.path.join(index_dir, NORMS_DIR)
-    from job_searchengine_project_spark.index.tombstone import load_tombstones
-
-    bc_del = spark.sparkContext.broadcast(load_tombstones(index_dir))
 
     analyzer = stats.get("analyzer", "morph")
 
@@ -737,9 +797,9 @@ def search_sharded_bool(
         if pdf_all.empty:
             return
         dfm = bc_df.value
-        dele = bc_del.value
         for shard_val, grp in pdf_all.groupby("shard", sort=False):
             norms = _load_shard_norms(norms_root, int(shard_val), rng, n_docs)
+            dele = _shard_tombstones(index_dir, int(shard_val), rng)
             decoded = {}
             for r in grp.itertuples():
                 docs, tfs = codec.decode_postings(_enc_from_row(r))
@@ -832,6 +892,8 @@ def match_docs_sharded(
     terms = sorted(set(query_terms))
     if not terms:
         return spark.createDataFrame([], "doc_id long")
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        _load_meta(index_dir, json.load(f))  # refuse stale shards
     seg = (
         spark.read.parquet(os.path.join(index_dir, "shards"))
         .filter(F.col("term").isin(terms))
@@ -1038,13 +1100,9 @@ def search_sharded(
     n_eff = n_docs - int(stats.get("n_purged", 0))  # idf N (tombstone.py)
     avgdl = float(stats["avgdl"])
     k1, b = float(stats["k1"]), float(stats["b"])
-    with open(os.path.join(index_dir, SHARDS_META)) as f:
-        meta = json.load(f)
+    meta = _load_meta(index_dir, stats)
     rng = int(meta["rng"])
     norms_root = os.path.join(index_dir, NORMS_DIR)
-    from job_searchengine_project_spark.index.tombstone import load_tombstones
-
-    bc_del = spark.sparkContext.broadcast(load_tombstones(index_dir))
 
     terms = sorted(set(query_terms))
     seg = (
@@ -1082,6 +1140,7 @@ def search_sharded(
 
         for shard_val, grp in pdf_all.groupby("shard", sort=False):
             norms = _load_shard_norms(norms_root, int(shard_val), rng, n_docs)
+            dele = _shard_tombstones(index_dir, int(shard_val), rng)
             encs = {str(r.term): _enc_from_row(r) for r in grp.itertuples()}
             strat = strategy
             if search_after is not None:
@@ -1101,7 +1160,7 @@ def search_sharded(
                     for t, e in encs.items()
                 ]
                 hits = wand_topk(
-                    cursors, norms, avgdl, k, k1=k1, b=b, deleted=bc_del.value
+                    cursors, norms, avgdl, k, k1=k1, b=b, deleted=dele
                 )
             else:
                 term_arrays = {
@@ -1115,7 +1174,7 @@ def search_sharded(
                     k=k,
                     k1=k1,
                     b=b,
-                    deleted=bc_del.value,
+                    deleted=dele,
                     after=search_after,
                 )
             if hits:

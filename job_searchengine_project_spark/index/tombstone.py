@@ -71,6 +71,41 @@ def load_tombstones(index_dir: str) -> np.ndarray:
     return arr
 
 
+# per-process cache: (index_dir, lo, hi) -> (file-listing key, slice)
+_RANGE_CACHE: dict[tuple[str, int, int], tuple[tuple[str, ...], np.ndarray]] = {}
+
+
+def load_tombstones_range(index_dir: str, lo: int, hi: int) -> np.ndarray:
+    """Sorted tombstoned doc_ids within [lo, hi) — ONE doc-range
+    shard's slice of the tombstone set, read with the range pushed
+    into the parquet scan. This is what the sharded query kernels call
+    EXECUTOR-side: each shard pays only for its own doc range and no
+    global tombstone set is ever built on or broadcast from the
+    driver (the per-shard analog of Lucene's per-segment deleted-docs
+    bitset). Memoized per (process, shard range), keyed by the
+    tombstone-file listing so new deletes invalidate and a purge
+    clears."""
+    root = os.path.join(index_dir, TOMBSTONE_DIR)
+    if not os.path.isdir(root):
+        return _EMPTY
+    files = tuple(sorted(f for f in os.listdir(root) if f.endswith(".parquet")))
+    if not files:
+        return _EMPTY
+    key = (index_dir, int(lo), int(hi))
+    hit = _RANGE_CACHE.get(key)
+    if hit is not None and hit[0] == files:
+        return hit[1]
+    import pyarrow.dataset as pads
+
+    flt = (pads.field("doc_id") >= int(lo)) & (pads.field("doc_id") < int(hi))
+    tbl = pads.dataset([os.path.join(root, f) for f in files]).to_table(
+        columns=["doc_id"], filter=flt
+    )
+    arr = np.unique(tbl.column("doc_id").to_numpy().astype(np.int64))
+    _RANGE_CACHE[key] = (files, arr)
+    return arr
+
+
 def is_deleted(deleted: np.ndarray, doc_id: int) -> bool:
     j = int(np.searchsorted(deleted, doc_id))
     return j < deleted.size and int(deleted[j]) == doc_id

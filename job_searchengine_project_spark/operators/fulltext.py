@@ -1176,7 +1176,9 @@ def dsl_sharded_top10(spark, sf_dir: str) -> DataFrame:
         },
         "size": 10**7,
     }
-    resp = query_sharded(spark, idx, body)
+    # the oracle needs ALL matches to re-rank on rounded score: raise
+    # the window explicitly, the ES index.max_result_window analog
+    resp = query_sharded(spark, idx, body, max_result_window=10**7)
     rows = sorted(
         (
             (int(h["_id"].split("doc://")[1]), round(h["_score"], 4))
@@ -1184,6 +1186,42 @@ def dsl_sharded_top10(spark, sf_dir: str) -> DataFrame:
         ),
         key=lambda r: (-r[1], r[0]),
     )[:K]
+    return spark.createDataFrame(rows, "doc_id bigint, score double")
+
+
+CURSOR_SORT = [{"_score": "desc"}, {"_doc": "asc"}]
+
+
+def dsl_sharded_search_after(spark, sf_dir: str) -> DataFrame:
+    """ES search_after through the DISTRIBUTED endpoint: page 1 under
+    the canonical cursor sort [{"_score": "desc"}, {"_doc": "asc"}]
+    (every hit carries a resumable sort key; the cursor path runs the
+    exhaustive kernel in every shard so cursor scores compare exactly
+    across pages), page 2 reachable ONLY through page 1's last sort
+    key. Pages concatenated so the oracle is the plain top-2K — page 2
+    rows prove the cursor tiles exactly. Depth-paging past
+    max_result_window on this endpoint raises instead (tested)."""
+    from job_searchengine_project_spark.search.cluster import query_sharded
+
+    idx = _sharded_index_for(spark, sf_dir)
+    q = {"match": {"body": " ".join(QUERY_TERMS)}}
+    p1 = query_sharded(
+        spark, idx, {"query": q, "size": K, "sort": CURSOR_SORT}
+    )["hits"]["hits"]
+    cursor = p1[-1]["sort"]
+    p2 = query_sharded(
+        spark, idx,
+        {"query": q, "size": K, "sort": CURSOR_SORT, "search_after": cursor},
+    )["hits"]["hits"]
+    hits = p1 + p2
+    assert len({h["_id"] for h in hits}) == len(hits), "cursor pages overlap"
+    rows = sorted(
+        (
+            (int(h["_id"].split("doc://")[1]), round(h["_score"], 4))
+            for h in hits
+        ),
+        key=lambda r: (-r[1], r[0]),
+    )
     return spark.createDataFrame(rows, "doc_id bigint, score double")
 
 
@@ -1235,15 +1273,16 @@ SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT {limit}
 
 
 def _sharded_index_for(spark: SparkSession, sf_dir: str) -> str:
-    """Doc-range-sharded layout over the cached morph index (built
-    once per sf_dir; shards_meta.json is the done marker)."""
+    """Doc-range-sharded layout over the cached morph index (rebuilt
+    whenever the layout's recorded fingerprint no longer matches the
+    index — shards_fresh, NOT directory existence)."""
     from job_searchengine_project_spark.index.sharded import (
-        SHARDS_META,
         build_sharded_segments,
+        shards_fresh,
     )
 
     eng = _engine_for(spark, sf_dir)
-    if not os.path.exists(os.path.join(eng.index_dir, SHARDS_META)):
+    if not shards_fresh(eng.index_dir):
         build_sharded_segments(spark, eng.index_dir, n_shards=8)
     return eng.index_dir
 
@@ -1272,16 +1311,13 @@ def _sharded_dv_index_for(spark: SparkSession, sf_dir: str) -> str:
     both when the index has doc_values)."""
     from job_searchengine_project_spark.index.sharded import (
         SHARD_DV_DIR,
-        SHARDS_META,
         build_sharded_segments,
+        shards_fresh,
     )
 
     eng = _dv_engine_for(spark, sf_dir)
     idx = eng.index_dir
-    if not (
-        os.path.exists(os.path.join(idx, SHARDS_META))
-        and os.path.isdir(os.path.join(idx, SHARD_DV_DIR))
-    ):
+    if not (shards_fresh(idx) and os.path.isdir(os.path.join(idx, SHARD_DV_DIR))):
         build_sharded_segments(spark, idx, n_shards=8)
     return idx
 
@@ -1568,6 +1604,7 @@ QUERIES = {
     "fuzzy_top10": (fuzzy_top10, _fuzzy_sql(K)),
     "dsl_bool_top10": (dsl_bool_top10, _bool_sql(K)),
     "dsl_sharded_top10": (dsl_sharded_top10, _bool_sql(K)),
+    "dsl_sharded_search_after": (dsl_sharded_search_after, _bm25_sql(QUERY_TERMS, 2 * K)),
     "range_filter_top10": (range_filter_top10, _range_filter_sql(K)),
     "bool_sharded_filter_top10": (bool_sharded_filter_top10, _broad_filter_sql(K)),
     "fuzzy_sharded_top10": (fuzzy_sharded_top10, _fuzzy_sql(K)),

@@ -242,23 +242,115 @@ def count_sharded(spark: SparkSession, index_dir: str, body: dict) -> dict:
     return {"count": scope.count()}
 
 
-def query_sharded(spark: SparkSession, index_dir: str, body: dict) -> dict:
+_SUPPORTED_BODY_KEYS = frozenset(
+    {"query", "size", "from", "sort", "aggs", "aggregations",
+     "search_after", "track_total_hits"}
+)
+
+DEFAULT_MAX_RESULT_WINDOW = 10_000  # the ES index.max_result_window default
+
+
+def _is_cursor_sort(sort_spec) -> bool:
+    """True for the canonical cursor-able relevance sort
+    ``[{"_score": "desc"}, {"_doc": "asc"}]`` (dict or plain forms) —
+    the ES idiom that makes every hit carry a resumable sort key."""
+    if not isinstance(sort_spec, list) or len(sort_spec) != 2:
+        return False
+
+    def norm(s):
+        if isinstance(s, str):
+            return (s, "asc")
+        ((col, sp),) = s.items()
+        return (col, sp.get("order", "asc") if isinstance(sp, dict) else sp)
+
+    return [norm(s) for s in sort_spec] == [("_score", "desc"), ("_doc", "asc")]
+
+
+def query_sharded(
+    spark: SparkSession,
+    index_dir: str,
+    body: dict,
+    max_result_window: int = DEFAULT_MAX_RESULT_WINDOW,
+) -> dict:
     """The distributed twin of SearchEngine.query() (see module
-    docstring). Supported: match, match_phrase (slop=0), fuzzy,
+    docstring). Supported: match, match_phrase (incl. slop), fuzzy,
     prefix, wildcard, bool (match leaves + range/term filter specs +
     minimum_should_match), from/size, sort on doc-values columns /
-    "_doc" (a distributed TakeOrdered over the sidecar join), and
-    terms/histogram aggs (one groupBy each, scoped by the query's
-    exact hit set)."""
+    "_doc" (a distributed TakeOrdered over the sidecar join),
+    terms/histogram/metric aggs (one groupBy each, scoped by the
+    query's exact hit set), highlight over the stored fields, and
+    ``search_after`` deep pagination under the canonical cursor sort
+    ``[{"_score": "desc"}, {"_doc": "asc"}]`` (hits then carry a
+    resumable ``sort`` key; the cursor path runs the exhaustive
+    kernel in every shard, like the driver engine, so cursor scores
+    compare exactly across pages).
+
+    Unsupported top-level body keys raise (a paginating client must
+    never silently receive page 1 again). ``from + size`` beyond
+    ``max_result_window`` (the ES index.max_result_window analog,
+    default 10k) raises and points at search_after — depth-paging
+    costs every shard O(from + size) while a cursor costs O(size)."""
+    unknown = set(body) - _SUPPORTED_BODY_KEYS
+    if unknown:
+        raise ValueError(f"unsupported request-body keys: {sorted(unknown)}")
     stats = _stats(index_dir)
     size = int(body.get("size", 10))
     frm = int(body.get("from", 0))
     q = body.get("query") or {}
     sort_spec = body.get("sort")
+    cursor = body.get("search_after")
+    cursor_sort = _is_cursor_sort(sort_spec)
+    if cursor_sort:
+        sort_spec = None  # relevance order: the ranked path IS the sort
+    if cursor is not None:
+        if not cursor_sort:
+            raise ValueError(
+                'search_after requires the cursor sort '
+                '[{"_score": "desc"}, {"_doc": "asc"}]'
+            )
+        if frm:
+            raise ValueError("search_after and from are exclusive")
+        if len(cursor) != 2:
+            raise ValueError("search_after cursor is [last_score, last_doc_id]")
+    elif frm + size > max_result_window:
+        raise ValueError(
+            f"from + size = {frm + size} exceeds max_result_window "
+            f"({max_result_window}); use search_after with the cursor sort "
+            "for deep pagination"
+        )
     hits_rows: list = []
     scope: DataFrame | None = None
     sort_vals: dict | None = None
-    if q:
+    if q and cursor_sort:
+        from job_searchengine_project_spark.index.sharded import (
+            match_docs_sharded,
+            search_sharded,
+        )
+
+        ((kind, spec),) = q.items()
+        if kind != "match":
+            raise ValueError(
+                "the cursor sort / search_after path supports match "
+                f"queries, got {kind!r}"
+            )
+        terms = _analyze(stats, _leaf_field_text(spec)[1])
+        after = (
+            (float(cursor[0]), int(cursor[1])) if cursor is not None else None
+        )
+        ranked = search_sharded(
+            spark, index_dir, terms,
+            k=size if after is not None else frm + size,
+            strategy="exhaustive", search_after=after,
+        )
+        scope = match_docs_sharded(spark, index_dir, terms)
+        page = ranked.collect()
+        if after is None:
+            page = page[frm : frm + size]
+        hits_rows = [
+            (int(r["doc_id"]), float(r["score"]), r["url"]) for r in page
+        ]
+        sort_vals = {d: [s, d] for d, s, _ in hits_rows}
+    elif q:
         ranked, scope = _hits_and_scope(
             spark, index_dir, stats, q, depth=frm + size
         )

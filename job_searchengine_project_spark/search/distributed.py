@@ -101,7 +101,11 @@ def search_distributed(
     with open(os.path.join(index_dir, "stats.json")) as f:
         stats = json.load(f)
     n_docs = int(stats["n_docs"])
-    if auto_route and os.path.exists(os.path.join(index_dir, "shards_meta.json")):
+    from job_searchengine_project_spark.index.sharded import shards_fresh
+
+    # route only to a layout derived from the CURRENT index state —
+    # stale shards (post-update/compaction) fall back to this path
+    if auto_route and shards_fresh(index_dir):
         from job_searchengine_project_spark.index.sharded import search_sharded
 
         return search_sharded(

@@ -299,3 +299,147 @@ def test_sharded_batch_matches_per_query(spark, morph_index):
                 ).collect()
             ]
             assert got.get(qid, []) == single, (cutoff, qid)
+
+
+def test_shards_freshness_gate(spark, webpages_small, tmp_path):
+    """ADVICE r5: the sharded layout records the index fingerprint it
+    was derived from. After an update the sharded readers must REFUSE
+    stale postings (they would silently miss the new docs); after a
+    pure delete the layout stays fresh (tombstones filter live)."""
+    import pytest as _pytest
+
+    from job_searchengine_project_spark.index.sharded import (
+        build_sharded_segments,
+        match_docs_sharded,
+        search_sharded,
+        shards_fresh,
+    )
+    from job_searchengine_project_spark.index.tombstone import delete_docs
+    from job_searchengine_project_spark.index.update import update_index
+
+    idx = str(tmp_path / "idx_fresh")
+    base = webpages_small.limit(200)
+    build_index(spark, base, idx, target_postings_per_salt=50, term_buckets=16)
+    build_sharded_segments(spark, idx, n_shards=4)
+    assert shards_fresh(idx)
+    assert search_sharded(spark, idx, ["spark"], k=5).count() >= 0
+
+    # pure delete: still fresh, results drop the tombstoned docs
+    victims = [r["url"] for r in base.select("url").limit(3).collect()]
+    delete_docs(spark, idx, victims)
+    assert shards_fresh(idx)
+    hits = search_sharded(spark, idx, ["spark"], k=10**6).collect()
+    assert {h["url"] for h in hits}.isdisjoint(set(victims))
+
+    # update: stale — every sharded reader refuses
+    extra = webpages_small.limit(220).subtract(base)
+    update_index(spark, extra, idx)
+    assert not shards_fresh(idx)
+    with _pytest.raises(ValueError, match="stale"):
+        search_sharded(spark, idx, ["spark"], k=5).count()
+    with _pytest.raises(ValueError, match="stale"):
+        match_docs_sharded(spark, idx, ["spark"]).count()
+    # rebuild restores freshness and serves the new docs
+    build_sharded_segments(spark, idx, n_shards=4)
+    assert shards_fresh(idx)
+
+
+def test_sharded_paths_never_build_global_tombstone_set(
+    spark, webpages_small, tmp_path, monkeypatch
+):
+    """VERDICT r4 #4: sharded kernels read each shard's OWN tombstone
+    slice (range-pushed parquet scan, executor-side) — the driver never
+    materializes or broadcasts the global set. load_tombstones is
+    poisoned DRIVER-side (executor processes are unaffected), so any
+    driver-side global-set build would raise; exclusions must still
+    hold, proving the kernels got their slices shard-locally."""
+    import job_searchengine_project_spark.index.tombstone as tomb_mod
+    from job_searchengine_project_spark.index.sharded import (
+        build_sharded_segments,
+        search_sharded,
+        search_sharded_bool,
+    )
+    from job_searchengine_project_spark.index.tombstone import delete_docs
+    from job_searchengine_project_spark.search.engine import SearchEngine
+
+    idx = str(tmp_path / "idx_shtomb")
+    base = webpages_small.limit(150)
+    build_index(spark, base, idx, target_postings_per_salt=50, term_buckets=16)
+    build_sharded_segments(spark, idx, n_shards=4)
+    eng = SearchEngine(idx)
+    pre = eng.search(["데이터엔지니어"], k=5, with_urls=True)
+    assert pre, "fixture must match something"
+    victims = [h.url for h in pre[:2]]
+    delete_docs(spark, idx, victims)
+
+    real = tomb_mod.load_tombstones
+
+    def boom(*a, **k):
+        raise AssertionError("driver built the global tombstone set")
+
+    monkeypatch.setattr(tomb_mod, "load_tombstones", boom)
+    hits = search_sharded(spark, idx, ["데이터엔지니어"], k=10**6).collect()
+    assert hits and {h["url"] for h in hits}.isdisjoint(set(victims))
+    bhits = search_sharded_bool(
+        spark, idx, must=["데이터엔지니어"], k=10**6
+    ).collect()
+    assert bhits and {h["url"] for h in bhits}.isdisjoint(set(victims))
+    monkeypatch.setattr(tomb_mod, "load_tombstones", real)
+    # parity with the driver engine under the same deletes
+    want = [
+        (h.doc_id, round(h.score, 9))
+        for h in SearchEngine(idx).search(["데이터엔지니어"], k=10**6)
+    ]
+    got = sorted(
+        ((r["doc_id"], round(r["score"], 9)) for r in hits),
+        key=lambda t: (-t[1], t[0]),
+    )
+    assert got == want
+
+
+def test_query_sharded_cursor_pagination_and_window(spark, morph_index):
+    """VERDICT r4 #2: search_after on the distributed endpoint under
+    the canonical cursor sort tiles pages exactly; over-window from+size
+    raises toward search_after; unknown body keys are refused (a
+    paginating client must never silently get page 1 again)."""
+    from job_searchengine_project_spark.index.sharded import (
+        build_sharded_segments,
+        shards_fresh,
+    )
+    from job_searchengine_project_spark.search.cluster import query_sharded
+
+    if not shards_fresh(morph_index):
+        build_sharded_segments(spark, morph_index, n_shards=4)
+    cursor_sort = [{"_score": "desc"}, {"_doc": "asc"}]
+    body = {
+        "query": {"match": {"b": "데이터엔지니어 개발자"}},
+        "size": 5,
+        "sort": cursor_sort,
+    }
+    p1 = query_sharded(spark, morph_index, body)
+    assert len(p1["hits"]["hits"]) == 5
+    assert all(h["sort"] == [h["_score"], h["sort"][1]] for h in p1["hits"]["hits"])
+    full = query_sharded(spark, morph_index, {**body, "size": 10})
+    cursor = p1["hits"]["hits"][-1]["sort"]
+    p2 = query_sharded(spark, morph_index, {**body, "search_after": cursor})
+    ids = [h["_id"] for h in p1["hits"]["hits"]] + [
+        h["_id"] for h in p2["hits"]["hits"]
+    ]
+    assert ids == [h["_id"] for h in full["hits"]["hits"]]
+    assert p1["hits"]["total"] == full["hits"]["total"]
+
+    with pytest.raises(ValueError, match="search_after"):
+        query_sharded(
+            spark, morph_index,
+            {"query": {"match": {"b": "spark"}}, "from": 9990, "size": 20},
+        )
+    with pytest.raises(ValueError, match="unsupported request-body keys"):
+        query_sharded(
+            spark, morph_index,
+            {"query": {"match": {"b": "spark"}}, "collapse": {}},
+        )
+    with pytest.raises(ValueError, match="cursor sort"):
+        query_sharded(
+            spark, morph_index,
+            {"query": {"match": {"b": "spark"}}, "search_after": [1.0, 3]},
+        )
