@@ -194,6 +194,16 @@ def _load_meta(index_dir: str, stats: dict) -> dict:
     return meta
 
 
+def _clamp_k(k: int, n_docs: int) -> int:
+    """Top-k can never exceed the corpus. Callers pass huge k to mean
+    "all matches", but Spark's TakeOrdered allocates O(k) buffers PER
+    TASK — an uncapped k=10^9 over 8 shuffle tasks is an instant heap
+    OOM. Clamping to n_docs is semantically identical and keeps the
+    per-task buffer bounded by the corpus, not the caller's
+    sentinel."""
+    return max(1, min(int(k), int(n_docs)))
+
+
 def _shard_tombstones(index_dir: str, shard: int, rng: int) -> np.ndarray:
     """Executor-side: THIS shard's tombstone slice (sorted int64),
     read with the shard's doc range pushed into the parquet scan —
@@ -342,6 +352,7 @@ def search_sharded_phrase(
         stats = json.load(f)
     n_docs = int(stats["n_docs"])
     n_eff = n_docs - int(stats.get("n_purged", 0))  # idf N (tombstone.py)
+    k = _clamp_k(k, n_docs)
     avgdl = float(stats["avgdl"])
     k1, b = float(stats["k1"]), float(stats["b"])
     meta = _load_meta(index_dir, stats)
@@ -512,6 +523,7 @@ def search_sharded_batch(
         stats = json.load(f)
     n_docs = int(stats["n_docs"])
     n_eff = n_docs - int(stats.get("n_purged", 0))  # idf N (tombstone.py)
+    k = _clamp_k(k, n_docs)
     avgdl = float(stats["avgdl"])
     k1, b = float(stats["k1"]), float(stats["b"])
     meta = _load_meta(index_dir, stats)
@@ -674,6 +686,7 @@ def search_sharded_bool(
         stats = json.load(f)
     n_docs = int(stats["n_docs"])
     n_eff = n_docs - int(stats.get("n_purged", 0))  # idf N (tombstone.py)
+    k = _clamp_k(k, n_docs)
     avgdl = float(stats["avgdl"])
     k1, b = float(stats["k1"]), float(stats["b"])
     meta = _load_meta(index_dir, stats)
@@ -1098,6 +1111,7 @@ def search_sharded(
         stats = json.load(f)
     n_docs = int(stats["n_docs"])
     n_eff = n_docs - int(stats.get("n_purged", 0))  # idf N (tombstone.py)
+    k = _clamp_k(k, n_docs)
     avgdl = float(stats["avgdl"])
     k1, b = float(stats["k1"]), float(stats["b"])
     meta = _load_meta(index_dir, stats)

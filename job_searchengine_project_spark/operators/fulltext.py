@@ -434,6 +434,108 @@ ORDER BY score DESC, doc_id LIMIT {limit}
 """
 
 
+# ---- distributed fielded search (sharded per-field sub-indexes) --------------
+
+
+def _sharded_fielded_for(spark: SparkSession, sf_dir: str) -> str:
+    """Doc-range-sharded layout over EVERY field sub-index of the
+    cached fielded index (shared doc ids -> shared shard ranges);
+    rebuilt when any sub-layout's fingerprint is stale."""
+    from job_searchengine_project_spark.index.sharded_fielded import (
+        build_sharded_fielded,
+        fielded_shards_fresh,
+    )
+
+    feng = _fielded_engine_for(spark, sf_dir)
+    if not fielded_shards_fresh(feng.index_dir):
+        build_sharded_fielded(spark, feng.index_dir, n_shards=8)
+    return feng.index_dir
+
+
+def _rows_from_sharded(spark, df) -> DataFrame:
+    rows = sorted(
+        (
+            (int(r["url"].split("doc://")[1]), round(float(r["score"]), 4))
+            for r in df.collect()
+        ),
+        key=lambda r: (-r[1], r[0]),
+    )[:K]
+    return spark.createDataFrame(rows, "doc_id bigint, score double")
+
+
+def multi_field_sharded_top10(spark, sf_dir: str) -> DataFrame:
+    """VERDICT r4 #1: ES multi_match most_fields DISTRIBUTED — per
+    field sub-index sharded by the SHARED doc ranges, per-field BM25
+    accumulated and summed per doc INSIDE each shard (the ES
+    per-shard multi_match shape), associative global top-k. Same
+    DuckDB two-field full-outer-join oracle as multi_field_top10."""
+    from job_searchengine_project_spark.index.sharded_fielded import (
+        search_sharded_multi,
+    )
+
+    idx = _sharded_fielded_for(spark, sf_dir)
+    return _rows_from_sharded(
+        spark, search_sharded_multi(spark, idx, FIELD_QUERY, k=20 * K)
+    )
+
+
+def best_fields_sharded_top10(spark, sf_dir: str) -> DataFrame:
+    """Distributed ES multi_match best_fields (dis_max + tie_breaker,
+    the ES default combiner): first-max field counts once, other
+    matching fields x tie_breaker in sorted-field order — identical
+    combiner to the driver engine, shard-local. Same oracle as
+    multi_field_best_top10 — requested through the distributed DSL
+    endpoint (query_sharded), so the fielded multi_match wiring sits
+    under the hash gate too."""
+    from job_searchengine_project_spark.search.cluster import query_sharded
+
+    idx = _sharded_fielded_for(spark, sf_dir)
+    resp = query_sharded(
+        spark, idx,
+        {
+            "query": {
+                "multi_match": {
+                    "query": FIELD_QUERY,
+                    "type": "best_fields",
+                    "tie_breaker": MULTI_TIE_BREAKER,
+                }
+            },
+            "size": 20 * K,
+        },
+        max_result_window=20 * K,
+    )
+    rows = sorted(
+        (
+            (int(h["_id"].split("doc://")[1]), round(h["_score"], 4))
+            for h in resp["hits"]["hits"]
+        ),
+        key=lambda r: (-r[1], r[0]),
+    )[:K]
+    return spark.createDataFrame(rows, "doc_id bigint, score double")
+
+
+def bool_fielded_sharded_top10(spark, sf_dir: str) -> DataFrame:
+    """Distributed ES bool with per-clause FIELD targeting: clauses
+    analyze/score against their field's sharded sub-index inside each
+    shard, the shared clause algebra combines shard-locally. Same
+    oracle as the driver bool_fielded_top10."""
+    from job_searchengine_project_spark.index.sharded_fielded import (
+        search_sharded_bool_fielded,
+    )
+
+    idx = _sharded_fielded_for(spark, sf_dir)
+    return _rows_from_sharded(
+        spark,
+        search_sharded_bool_fielded(
+            spark, idx,
+            must=[("title", "spark"), ("body", "data")],
+            should=[("body", "table")],
+            must_not=[("body", "dup")],
+            k=10**9,
+        ),
+    )
+
+
 # ---- upsert/delete lifecycle (ES `_id` overwrite parity) ---------------------
 
 REPLACE_MOD = 10   # doc_id % 10 == 0 -> re-crawled with boosted text
@@ -1595,6 +1697,9 @@ QUERIES = {
     "fielded_search_top10": (fielded_search_top10, _fielded_sql(QUERY_TERMS, K)),
     "multi_field_top10": (multi_field_top10, _multi_field_sql(QUERY_TERMS, K)),
     "multi_field_best_top10": (multi_field_best_top10, _multi_field_best_sql(QUERY_TERMS, K)),
+    "multi_field_sharded_top10": (multi_field_sharded_top10, _multi_field_sql(QUERY_TERMS, K)),
+    "best_fields_sharded_top10": (best_fields_sharded_top10, _multi_field_best_sql(QUERY_TERMS, K)),
+    "bool_fielded_sharded_top10": (bool_fielded_sharded_top10, _bool_fielded_sql(K)),
     "phrase_slop_top10": (phrase_slop_top10, _phrase_slop_sql(K)),
     "search_after_top10": (search_after_top10, _bm25_sql(QUERY_TERMS, 2 * K)),
     "bool_query_top10": (bool_query_top10, _bool_sql(K)),

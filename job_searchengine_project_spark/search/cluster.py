@@ -31,8 +31,36 @@ from pyspark.sql import functions as F
 
 
 def _stats(index_dir: str) -> dict:
-    with open(os.path.join(index_dir, "stats.json")) as f:
+    """Top-level stats.json, or {} for a FIELDED index dir (stats live
+    per sub-index there; field-routed paths read their own)."""
+    p = os.path.join(index_dir, "stats.json")
+    if not os.path.exists(p):
+        return {}
+    with open(p) as f:
         return json.load(f)
+
+
+def _fielded_manifest(index_dir: str) -> dict | None:
+    from job_searchengine_project_spark.index.fielded import FIELDS_MANIFEST
+
+    p = os.path.join(index_dir, FIELDS_MANIFEST)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _field_sub(index_dir: str, manifest: dict, field: str) -> tuple[str, dict]:
+    """Resolve a match leaf's field to its sub-index dir + stats.
+    Unknown fields raise (the fielded engine's KeyError analog)."""
+    if field not in manifest["fields"]:
+        raise ValueError(
+            f"unknown field {field!r}; indexed fields: "
+            f"{sorted(manifest['fields'])}"
+        )
+    sub = os.path.join(index_dir, "fields", field)
+    with open(os.path.join(sub, "stats.json")) as f:
+        return sub, json.load(f)
 
 
 def _analyze(stats: dict, text: str) -> list[str]:
@@ -165,6 +193,36 @@ def _hits_and_scope(
     )
 
     ((kind, spec),) = q.items()
+    manifest = _fielded_manifest(index_dir)
+    if kind == "multi_match":
+        if manifest is None:
+            raise ValueError("multi_match requires a fielded index")
+        from job_searchengine_project_spark.index.sharded_fielded import (
+            match_docs_sharded_multi,
+            search_sharded_multi,
+        )
+
+        return (
+            search_sharded_multi(
+                spark, index_dir, spec["query"],
+                fields=spec.get("fields"), k=depth,
+                type=spec.get("type", "most_fields"),
+                tie_breaker=spec.get("tie_breaker"),
+            ),
+            match_docs_sharded_multi(
+                spark, index_dir, spec["query"], fields=spec.get("fields")
+            ),
+        )
+    if kind == "match" and manifest is not None:
+        # field-routed match: the leaf names a real field; analyze with
+        # THAT field's analyzer, search its sharded sub-index
+        field, text = _leaf_field_text(spec)
+        sub, sub_stats = _field_sub(index_dir, manifest, field)
+        terms = _analyze(sub_stats, text)
+        return (
+            search_sharded(spark, sub, terms, k=depth),
+            match_docs_sharded(spark, sub, terms),
+        )
     if kind == "match":
         terms = _analyze(stats, _leaf_field_text(spec)[1])
         return (
@@ -333,16 +391,22 @@ def query_sharded(
                 "the cursor sort / search_after path supports match "
                 f"queries, got {kind!r}"
             )
-        terms = _analyze(stats, _leaf_field_text(spec)[1])
+        field, text = _leaf_field_text(spec)
+        manifest = _fielded_manifest(index_dir)
+        if manifest is not None:  # field-routed cursor paging
+            target, t_stats = _field_sub(index_dir, manifest, field)
+        else:
+            target, t_stats = index_dir, stats
+        terms = _analyze(t_stats, text)
         after = (
             (float(cursor[0]), int(cursor[1])) if cursor is not None else None
         )
         ranked = search_sharded(
-            spark, index_dir, terms,
+            spark, target, terms,
             k=size if after is not None else frm + size,
             strategy="exhaustive", search_after=after,
         )
-        scope = match_docs_sharded(spark, index_dir, terms)
+        scope = match_docs_sharded(spark, target, terms)
         page = ranked.collect()
         if after is None:
             page = page[frm : frm + size]

@@ -339,3 +339,144 @@ def test_fielded_prefix_wildcard_per_field(spark, fielded_index):
     hits = eng_t.search_prefix("sp", k=10**6, with_urls=False)
     assert {h.doc_id for h in hits} == eng_t._match_docs(t_terms)
     assert all(h.score == 1.0 for h in hits)
+
+
+# ---- distributed fielded search (index/sharded_fielded.py) -------------------
+
+
+@pytest.fixture(scope="module")
+def sharded_fielded(spark, fielded_index):
+    out, pages = fielded_index
+    from job_searchengine_project_spark.index.sharded_fielded import (
+        build_sharded_fielded,
+        fielded_shards_fresh,
+    )
+
+    if not fielded_shards_fresh(out):
+        build_sharded_fielded(spark, out, n_shards=4)
+    return out
+
+
+def test_sharded_multi_match_parity(spark, sharded_fielded):
+    """VERDICT r4 #1: distributed multi_match == FieldedSearchEngine,
+    both combiners. Per-doc float order is identical (sorted-term
+    within field, sorted-field across — same accumulate_arrays
+    kernel), so scores match exactly, not just ranks."""
+    from job_searchengine_project_spark.index.sharded_fielded import (
+        search_sharded_multi,
+    )
+
+    feng = FieldedSearchEngine(sharded_fielded)
+    for typ, tb in (("most_fields", None), ("best_fields", 0.3),
+                    ("best_fields", 0.0)):
+        want = feng.search_multi(QUERY, k=25, type=typ, tie_breaker=tb)
+        got = [
+            (r["doc_id"], r["score"])
+            for r in search_sharded_multi(
+                spark, sharded_fielded, QUERY, k=25, type=typ, tie_breaker=tb
+            ).collect()
+        ]
+        assert got == [(d, s) for d, s in want], (typ, tb)
+
+
+def test_sharded_multi_match_field_subset_and_absent(spark, sharded_fielded):
+    from job_searchengine_project_spark.index.sharded_fielded import (
+        search_sharded_multi,
+    )
+
+    feng = FieldedSearchEngine(sharded_fielded)
+    want = feng.search_multi(QUERY, fields=["title"], k=10)
+    got = [
+        (r["doc_id"], r["score"])
+        for r in search_sharded_multi(
+            spark, sharded_fielded, QUERY, fields=["title"], k=10
+        ).collect()
+    ]
+    assert got == [(d, s) for d, s in want]
+    assert (
+        search_sharded_multi(spark, sharded_fielded, "zzznope", k=5).count() == 0
+    )
+
+
+def test_sharded_bool_fielded_parity(spark, sharded_fielded):
+    """Distributed cross-field bool == FieldedSearchEngine.search_bool:
+    same clause algebra over shard-local per-field accumulators."""
+    from job_searchengine_project_spark.index.sharded_fielded import (
+        search_sharded_bool_fielded,
+    )
+
+    feng = FieldedSearchEngine(sharded_fielded)
+    cases = [
+        dict(must=[("title", "spark"), ("body", "데이터엔지니어")]),
+        dict(must=[("body", "spark")], should=[("title", "데이터엔지니어")],
+             minimum_should_match=0),
+        dict(must=[("body", "spark")], must_not=[("title", "데이터엔지니어")]),
+        dict(should=[("title", "spark"), ("body", "데이터엔지니어")],
+             minimum_should_match=1),
+        dict(must=[("body", "spark")], filter=[("title", "spark")]),
+    ]
+    for kw in cases:
+        want = feng.search_bool(k=50, **kw)
+        got = [
+            (r["doc_id"], r["score"])
+            for r in search_sharded_bool_fielded(
+                spark, sharded_fielded, k=50, **kw
+            ).collect()
+        ]
+        assert got == [(d, s) for d, s in want], kw
+
+
+def test_query_sharded_fielded_routing(spark, sharded_fielded):
+    """The distributed DSL endpoint on a FIELDED dir: multi_match
+    bodies answer through the sharded fielded kernels, match leaves
+    route to the named field's sub-index with its analyzer, totals
+    exact — parity with FieldedSearchEngine.query()."""
+    from job_searchengine_project_spark.search.cluster import query_sharded
+
+    feng = FieldedSearchEngine(sharded_fielded)
+    bodies = [
+        {"query": {"multi_match": {"query": QUERY, "type": "most_fields"}},
+         "size": 8},
+        {"query": {"multi_match": {"query": QUERY, "type": "best_fields",
+                                   "tie_breaker": 0.3}}, "size": 8},
+        {"query": {"match": {"title": QUERY}}, "size": 6},
+    ]
+    for body in bodies:
+        want = feng.query(body)
+        got = query_sharded(spark, sharded_fielded, body)
+        assert got["hits"]["total"] == want["hits"]["total"], body
+        assert [
+            (h["_id"], round(h["_score"], 9)) for h in got["hits"]["hits"]
+        ] == [
+            (h["_id"], round(h["_score"], 9)) for h in want["hits"]["hits"]
+        ], body
+
+
+def test_sharded_fielded_freshness(spark, webpages_small, tmp_path):
+    """A fielded update stales every sub-layout; the distributed
+    fielded paths refuse until build_sharded_fielded reruns."""
+    from job_searchengine_project_spark.index.sharded_fielded import (
+        build_sharded_fielded,
+        fielded_shards_fresh,
+        search_sharded_multi,
+    )
+
+    out = str(tmp_path / "fielded_fresh")
+    base = webpages_small.limit(200)
+    build_fielded_index(
+        spark, _fielded_pages(base), out,
+        fields={"title": "morph", "body": "morph"},
+        target_postings_per_salt=50, term_buckets=16,
+    )
+    build_sharded_fielded(spark, out, n_shards=3)
+    assert fielded_shards_fresh(out)
+    assert search_sharded_multi(spark, out, QUERY, k=5).count() > 0
+    extra = webpages_small.limit(220).subtract(base)
+    update_fielded_index(spark, _fielded_pages(extra), out)
+    assert not fielded_shards_fresh(out)
+    with pytest.raises(ValueError, match="stale"):
+        search_sharded_multi(spark, out, QUERY, k=5).count()
+    build_sharded_fielded(spark, out, n_shards=3)
+    assert fielded_shards_fresh(out)
+    n = FieldedSearchEngine(out).engine("body").n_eff
+    assert n == 220
