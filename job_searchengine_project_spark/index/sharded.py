@@ -1027,6 +1027,98 @@ def aggregate_metric_sharded(
     return dv.agg(fns[kind](col).alias("value"))
 
 
+def aggregate_terms_subagg_sharded(
+    spark: SparkSession,
+    index_dir: str,
+    col: str,
+    subs: dict[str, dict],
+    size: int = 10,
+    doc_filter: DataFrame | None = None,
+) -> DataFrame:
+    """Distributed ES `terms` aggregation WITH nested metric sub-aggs:
+    still ONE Spark groupBy — the sub-agg fields' sidecars join on
+    doc_id first (each sidecar is (doc_id, value); distinct metric
+    fields join once), then every sub becomes one more agg expression
+    beside the bucket count. Catalyst's partial aggregate computes all
+    of them map-side in the same pass, so nesting costs joins, never a
+    second shuffle over the buckets. Column per sub, named by the sub.
+    Driver oracle: SearchEngine.aggregate_terms_sub (tested equal).
+
+    ``subs``: ES shape — {name: {kind: {"field": f}}} with kind in
+    METRIC_AGGS."""
+    fns = {
+        "avg": F.avg,
+        "sum": F.sum,
+        "min": F.min,
+        "max": F.max,
+        "value_count": F.count,
+        "cardinality": F.countDistinct,  # exact-distinct contract
+    }
+    dv = _live_dv_table(spark, index_dir, col)
+    if doc_filter is not None:
+        dv = dv.join(doc_filter, "doc_id", "left_semi")
+    joined_fields: set[str] = {col}
+    exprs = [F.count("*").alias("doc_count")]
+    for name, spec in subs.items():
+        ((kind, sargs),) = spec.items()
+        if kind not in fns:
+            raise ValueError(f"unsupported sub-agg kind: {kind!r}")
+        field = sargs["field"]
+        if field not in joined_fields:
+            side = _live_dv_table(spark, index_dir, field)
+            dv = dv.join(side, "doc_id", "left")
+            joined_fields.add(field)
+        exprs.append(fns[kind](field).alias(name))
+    return (
+        dv.groupBy(F.col(col).alias("key"))
+        .agg(*exprs)
+        .orderBy(F.desc("doc_count"), F.asc("key"))
+        .limit(size)
+    )
+
+
+def aggregate_percentiles_sharded(
+    spark: SparkSession,
+    index_dir: str,
+    col: str,
+    percents: list[float],
+    doc_filter: DataFrame | None = None,
+    exact: bool = True,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Distributed ES `percentiles` aggregation: one Spark agg over
+    the sidecar table. ``exact=True`` (the contract — see
+    SearchEngine.aggregate_percentiles) uses Spark's ``percentile``
+    (linear interpolation, == DuckDB quantile_cont == numpy linear);
+    ``exact=False`` is the documented at-scale variant via
+    ``percentile_approx`` (t-digest-style bounded memory, like ES
+    itself) with a tested tolerance against the exact form. Returns
+    (percent double, value double) rows ascending."""
+    ps = [float(p) for p in percents]
+    fracs = ", ".join(repr(p / 100.0) for p in ps)
+    fn = "percentile" if exact else "percentile_approx"
+    acc = "" if exact else f", {int(accuracy)}"
+    dv = _live_dv_table(spark, index_dir, col).filter(F.col(col).isNotNull())
+    if doc_filter is not None:
+        dv = dv.join(doc_filter, "doc_id", "left_semi")
+    vals = dv.agg(
+        F.expr(f"{fn}({col}, array({fracs}){acc})").alias("v")
+    )
+    pct = F.array(*[F.lit(p) for p in ps])
+    return (
+        vals.select(
+            F.explode(
+                F.arrays_zip(
+                    pct.alias("percent"),
+                    F.col("v").cast("array<double>").alias("value"),
+                )
+            ).alias("e")
+        )
+        .select(F.col("e.percent").alias("percent"), F.col("e.value").alias("value"))
+        .orderBy("percent")
+    )
+
+
 def dv_filter_docs_sharded(
     spark: SparkSession, index_dir: str, spec: dict
 ) -> DataFrame:

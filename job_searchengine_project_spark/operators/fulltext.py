@@ -1228,6 +1228,127 @@ FROM documents d JOIN hit USING (doc_id)
 """
 
 
+# ---- terms sub-aggregations + percentiles ------------------------------------
+
+_SUBAGG_BODY = {
+    "query": {"match": {"b": "spark"}},
+    "size": 0,
+    "aggs": {
+        "langs": {
+            "terms": {"field": "lang", "size": 10},
+            "aggs": {
+                "avg_chars": {"avg": {"field": "n_chars"}},
+                "max_chars": {"max": {"field": "n_chars"}},
+                "distinct_chars": {"cardinality": {"field": "n_chars"}},
+            },
+        }
+    },
+}
+
+
+def _subagg_rows(spark, resp) -> DataFrame:
+    rows = [
+        (
+            b["key"],
+            int(b["doc_count"]),
+            round(float(b["avg_chars"]["value"]), 4),
+            int(b["max_chars"]["value"]),
+            int(b["distinct_chars"]["value"]),
+        )
+        for b in resp["aggregations"]["langs"]["buckets"]
+    ]
+    return spark.createDataFrame(
+        rows,
+        "key string, doc_count bigint, avg_chars double, "
+        "max_chars bigint, distinct_chars bigint",
+    )
+
+
+def terms_subagg(spark, sf_dir: str) -> DataFrame:
+    """VERDICT r4 #3: ES `terms` buckets with nested metric sub-aggs
+    (the Kibana per-bucket-stats shape): per-lang doc counts PLUS
+    avg/max/exact-distinct of n_chars inside each bucket, scoped to
+    the docs matching 'spark'. Driver engine path; oracle one GROUP
+    BY with the same agg list."""
+    eng = _dv_engine_for(spark, sf_dir)
+    return _subagg_rows(spark, eng.query(_SUBAGG_BODY))
+
+
+def terms_subagg_sharded(spark, sf_dir: str) -> DataFrame:
+    """The same nested aggregation DISTRIBUTED: sub-agg sidecars join
+    on doc_id, then ONE Spark groupBy computes bucket count + every
+    sub metric in the same partial-aggregate pass — nesting never adds
+    a second shuffle. Same oracle as terms_subagg."""
+    from job_searchengine_project_spark.search.cluster import query_sharded
+
+    idx = _sharded_dv_index_for(spark, sf_dir)
+    return _subagg_rows(spark, query_sharded(spark, idx, _SUBAGG_BODY))
+
+
+TERMS_SUBAGG_SQL = """
+WITH toks AS (
+  SELECT doc_id, t.tok AS term
+  FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+  WHERE length(t.tok) > 1
+),
+hit AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark')
+SELECT d.lang AS key, count(*)::BIGINT AS doc_count,
+       round(avg(d.n_chars), 4)::DOUBLE AS avg_chars,
+       max(d.n_chars)::BIGINT AS max_chars,
+       count(DISTINCT d.n_chars)::BIGINT AS distinct_chars
+FROM documents d JOIN hit USING (doc_id)
+GROUP BY d.lang ORDER BY doc_count DESC, key LIMIT 10
+"""
+
+
+PCTS = [25.0, 50.0, 75.0]
+
+_PCT_BODY = {
+    "query": {"match": {"b": "spark"}},
+    "size": 0,
+    "aggs": {"p": {"percentiles": {"field": "n_chars", "percents": PCTS}}},
+}
+
+
+def _pct_rows(spark, resp) -> DataFrame:
+    vals = resp["aggregations"]["p"]["values"]
+    rows = [(float(p), round(float(vals[str(p)]), 4)) for p in PCTS]
+    return spark.createDataFrame(rows, "percent double, value double")
+
+
+def percentiles_agg(spark, sf_dir: str) -> DataFrame:
+    """VERDICT r4 #5: ES `percentiles` agg — EXACT linear-interpolation
+    contract (ES's t-digest approximates this value; numpy, Spark
+    `percentile` and DuckDB `quantile_cont` share the definition) over
+    the n_chars of docs matching 'spark'."""
+    eng = _dv_engine_for(spark, sf_dir)
+    return _pct_rows(spark, eng.query(_PCT_BODY))
+
+
+def percentiles_agg_sharded(spark, sf_dir: str) -> DataFrame:
+    """The same percentiles DISTRIBUTED: one Spark `percentile` agg
+    over the sidecar table scoped by the hit set (the at-scale
+    `percentile_approx` variant is exposed and tolerance-tested, not
+    hash-gated). Same oracle as percentiles_agg."""
+    from job_searchengine_project_spark.search.cluster import query_sharded
+
+    idx = _sharded_dv_index_for(spark, sf_dir)
+    return _pct_rows(spark, query_sharded(spark, idx, _PCT_BODY))
+
+
+PERCENTILES_AGG_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, t.tok AS term
+  FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+  WHERE length(t.tok) > 1
+),
+hit AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark')
+SELECT unnest([{", ".join(str(p) for p in PCTS)}])::DOUBLE AS percent,
+       round(unnest(quantile_cont(d.n_chars, [{", ".join(str(p / 100.0) for p in PCTS)}])), 4)::DOUBLE AS value
+FROM documents d JOIN hit USING (doc_id)
+"""
+
+
 def dsl_bool_top10(spark, sf_dir: str) -> DataFrame:
     """The same bool query expressed as the raw ES request-body JSON a
     reference user writes today, run through engine.query() — same
@@ -1717,6 +1838,10 @@ QUERIES = {
     "histogram_agg": (histogram_agg, HISTOGRAM_AGG_SQL),
     "terms_agg_sharded": (terms_agg_sharded, TERMS_AGG_SQL),
     "metric_aggs": (metric_aggs, METRIC_AGGS_SQL),
+    "terms_subagg": (terms_subagg, TERMS_SUBAGG_SQL),
+    "terms_subagg_sharded": (terms_subagg_sharded, TERMS_SUBAGG_SQL),
+    "percentiles_agg": (percentiles_agg, PERCENTILES_AGG_SQL),
+    "percentiles_agg_sharded": (percentiles_agg_sharded, PERCENTILES_AGG_SQL),
     "metric_aggs_sharded": (metric_aggs_sharded, METRIC_AGGS_SQL),
     "histogram_agg_sharded": (histogram_agg_sharded, HISTOGRAM_AGG_SQL),
     "sort_by_field_top10": (sort_by_field_top10, SORT_BY_FIELD_SQL),

@@ -499,7 +499,60 @@ def query_sharded(
 
         resp["aggregations"] = {}
         for name, aspec in aggs_spec.items():
+            aspec = dict(aspec)
+            sub_spec = aspec.pop("aggs", None) or aspec.pop(
+                "aggregations", None
+            )
             ((akind, aargs),) = aspec.items()
+            if sub_spec and akind != "terms":
+                raise ValueError(
+                    "sub-aggregations are supported under terms buckets"
+                )
+            if akind == "terms" and sub_spec:
+                from job_searchengine_project_spark.index.sharded import (
+                    aggregate_terms_subagg_sharded,
+                )
+
+                sub_names = list(sub_spec)
+                rows = aggregate_terms_subagg_sharded(
+                    spark, index_dir, aargs["field"], sub_spec,
+                    size=int(aargs.get("size", 10)), doc_filter=scope,
+                ).collect()
+                resp["aggregations"][name] = {
+                    "buckets": [
+                        {
+                            "key": r["key"],
+                            "doc_count": int(r["doc_count"]),
+                            **{sn: {"value": r[sn]} for sn in sub_names},
+                        }
+                        for r in rows
+                    ]
+                }
+                continue
+            if akind == "percentiles":
+                from job_searchengine_project_spark.index.sharded import (
+                    aggregate_percentiles_sharded,
+                )
+
+                from job_searchengine_project_spark.search.engine import (
+                    SearchEngine,
+                )
+
+                ps = [
+                    float(p)
+                    for p in aargs.get(
+                        "percents", SearchEngine.DEFAULT_PERCENTS
+                    )
+                ]
+                rows = aggregate_percentiles_sharded(
+                    spark, index_dir, aargs["field"], ps, doc_filter=scope
+                ).collect()
+                resp["aggregations"][name] = {
+                    "values": {
+                        str(float(r["percent"])): r["value"] for r in rows
+                    }
+                }
+                continue
             if akind == "terms":
                 rows = aggregate_terms_sharded(
                     spark, index_dir, aargs["field"],

@@ -855,6 +855,82 @@ class SearchEngine:
 
     METRIC_AGGS = ("avg", "sum", "min", "max", "value_count", "cardinality")
 
+    DEFAULT_PERCENTS = (1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0)  # ES default
+
+    def aggregate_percentiles(
+        self,
+        col: str,
+        percents: list[float] | None = None,
+        doc_filter: set[int] | None = None,
+    ) -> dict[str, float | None]:
+        """ES `percentiles` aggregation over a doc-values column.
+
+        Contract (documented, like cardinality's exact-distinct): the
+        EXACT linearly-interpolated percentile — the value ES's
+        t-digest approximates. Spark's ``percentile`` and DuckDB's
+        ``quantile_cont`` share the definition; the three
+        implementations group the interpolation arithmetic
+        differently, so cross-engine values agree to ~1 ulp (like
+        WAND vs exhaustive), exactly after the 4-dp oracle round.
+        ``percentile_approx`` is the documented at-scale variant with
+        a tested tolerance.
+        Returns the ES response shape {"25.0": value, ...}."""
+        ps = [float(p) for p in (percents or self.DEFAULT_PERCENTS)]
+        _, vals = self._doc_values_table(col, doc_filter)
+        arr = np.asarray(
+            [v for v in vals.to_pylist() if v is not None], dtype=np.float64
+        )
+        if arr.size == 0:
+            return {str(p): None for p in ps}
+        got = np.percentile(arr, ps, method="linear")
+        return {str(p): float(v) for p, v in zip(ps, got)}
+
+    def aggregate_terms_sub(
+        self,
+        col: str,
+        subs: dict[str, dict],
+        size: int = 10,
+        doc_filter: set[int] | None = None,
+    ) -> list[tuple[object, int, dict]]:
+        """ES `terms` aggregation with nested metric sub-aggregations:
+        per bucket, each sub spec ({"avg": {"field": ...}} etc, any
+        METRIC_AGGS kind or percentiles) evaluates over that bucket's
+        doc set (already scoped by the query context). Returns
+        [(key, doc_count, {sub_name: value})] in ES tie order. The
+        distributed twin is ONE groupBy with extra agg expressions
+        (index/sharded.py aggregate_terms_subagg_sharded) — this
+        driver form is its oracle."""
+        import collections
+
+        ids, vals = self._doc_values_table(col, doc_filter)
+        groups: dict[object, list[int]] = collections.defaultdict(list)
+        for d, v in zip(ids.tolist(), vals.to_pylist()):
+            groups[v].append(d)
+        buckets = sorted(
+            groups.items(), key=lambda kv: (-len(kv[1]), kv[0])
+        )[:size]
+        out = []
+        for key, bucket_ids in buckets:
+            bset = set(bucket_ids)
+            subvals: dict[str, object] = {}
+            for name, spec in subs.items():
+                ((skind, sargs),) = spec.items()
+                if skind == "percentiles":
+                    subvals[name] = {
+                        "values": self.aggregate_percentiles(
+                            sargs["field"], sargs.get("percents"),
+                            doc_filter=bset,
+                        )
+                    }
+                else:
+                    subvals[name] = {
+                        "value": self.aggregate_metric(
+                            sargs["field"], skind, doc_filter=bset
+                        )
+                    }
+            out.append((key, len(bucket_ids), subvals))
+        return out
+
     def aggregate_metric(
         self, col: str, kind: str, doc_filter: set[int] | None = None
     ):
@@ -1019,7 +1095,36 @@ class SearchEngine:
             )
             aggregations = {}
             for name, aspec in aggs_spec.items():
+                aspec = dict(aspec)
+                sub_spec = aspec.pop("aggs", None) or aspec.pop(
+                    "aggregations", None
+                )
                 ((akind, aargs),) = aspec.items()
+                if sub_spec and akind != "terms":
+                    raise ValueError(
+                        "sub-aggregations are supported under terms buckets"
+                    )
+                if akind == "terms" and sub_spec:
+                    rows3 = self.aggregate_terms_sub(
+                        aargs["field"], sub_spec,
+                        size=int(aargs.get("size", 10)),
+                        doc_filter=doc_filter,
+                    )
+                    aggregations[name] = {
+                        "buckets": [
+                            {"key": key, "doc_count": n, **subvals}
+                            for key, n, subvals in rows3
+                        ]
+                    }
+                    continue
+                if akind == "percentiles":
+                    aggregations[name] = {
+                        "values": self.aggregate_percentiles(
+                            aargs["field"], aargs.get("percents"),
+                            doc_filter=doc_filter,
+                        )
+                    }
+                    continue
                 if akind == "terms":
                     buckets = self.aggregate_terms(
                         aargs["field"], size=int(aargs.get("size", 10)),
