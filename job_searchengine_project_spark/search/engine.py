@@ -829,6 +829,35 @@ class SearchEngine:
         out.append(text[last:])
         return "".join(out)
 
+    @staticmethod
+    def highlight_fragments(
+        text: str,
+        terms: list[str],
+        fragment_size: int = 20,
+        number_of_fragments: int = 3,
+        pre_tag: str = "<em>",
+        post_tag: str = "</em>",
+    ) -> list[str]:
+        """ES highlight with number_of_fragments > 0: token-window
+        fragmenter. The field splits on single spaces into
+        non-overlapping windows of ``fragment_size`` tokens (ES's
+        SimpleFragmenter counts chars — ours counts whitespace tokens;
+        documented divergence, chosen because it is exactly
+        SQL-oracle-expressible); windows whose highlighted form
+        differs from the raw window (>= 1 analyzer-token match, same
+        matcher as highlight_text) are kept in document order, up to
+        ``number_of_fragments``."""
+        toks = text.split(" ")
+        out: list[str] = []
+        for i in range(0, len(toks), max(1, int(fragment_size))):
+            if len(out) >= number_of_fragments:
+                break
+            frag = " ".join(toks[i : i + max(1, int(fragment_size))])
+            hl = SearchEngine.highlight_text(frag, terms, pre_tag, post_tag)
+            if hl != frag:
+                out.append(hl)
+        return out
+
     def _query_match_terms(self, q: dict) -> list[str]:
         """Every scoring match term of a request body (what ES
         highlights): match leaves, fuzzy expansions, bool
@@ -1167,9 +1196,28 @@ class SearchEngine:
                     post = (
                         fspec.get("post_tags") or hl.get("post_tags") or ["</em>"]
                     )[0]
-                    h["highlight"][fname] = [
-                        self.highlight_text(text, terms, pre, post)
-                    ]
+                    nof = int(
+                        fspec.get(
+                            "number_of_fragments",
+                            hl.get("number_of_fragments", 0),
+                        )
+                    )
+                    if nof > 0:
+                        h["highlight"][fname] = self.highlight_fragments(
+                            text, terms,
+                            fragment_size=int(
+                                fspec.get(
+                                    "fragment_size",
+                                    hl.get("fragment_size", 20),
+                                )
+                            ),
+                            number_of_fragments=nof,
+                            pre_tag=pre, post_tag=post,
+                        )
+                    else:  # number_of_fragments=0: whole-field form
+                        h["highlight"][fname] = [
+                            self.highlight_text(text, terms, pre, post)
+                        ]
         return resp
 
     def count(self, body: dict) -> dict:

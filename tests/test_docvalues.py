@@ -750,7 +750,10 @@ def test_terms_exists_match_all_queries(spark, dv_index):
 
     if not os.path.isdir(os.path.join(out, SHARD_DV_DIR)):
         build_sharded_segments(spark, out, n_shards=4)
-    gd = query_sharded(spark, out, body)
+    # size=10**6 means "everything" here: raise the window like the ES
+    # index.max_result_window setting (the default cap is tested in
+    # test_query_paths.py::test_query_sharded_cursor_pagination_and_window)
+    gd = query_sharded(spark, out, body, max_result_window=10**6)
     assert gd["hits"]["total"] == rb["hits"]["total"]
     assert [h["_id"] for h in gd["hits"]["hits"]] == [
         h["_id"] for h in rb["hits"]["hits"]

@@ -491,3 +491,57 @@ def test_highlight_tokens_exact(spark, tmp_path):
     assert h["highlight"]["body"][0] == (
         "[Spark] sparkly [data] DATABASE spark/sql [data]"
     )
+
+
+def test_highlight_fragments_contract(spark, tmp_path):
+    """Token-window fragmenter (number_of_fragments > 0): windows of
+    fragment_size space tokens, matched windows kept in document
+    order up to the cap; punctuation-attached tokens still highlight
+    (analyzer boundary), slash-joined words never partially highlight;
+    driver engine and distributed endpoint agree per hit."""
+    from job_searchengine_project_spark.index.sharded import (
+        build_sharded_segments,
+    )
+    from job_searchengine_project_spark.search.cluster import query_sharded
+    from job_searchengine_project_spark.search.engine import SearchEngine as SE
+
+    text = (
+        "spark one two three four five six seven eight nine "  # win 1: hit
+        "ten eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen "  # win 2: no
+        "data twenty one two2 three3 four4 five5 six6 seven7 eight8 "  # win 3: hit
+        "spark again"  # win 4: hit (but capped at 2)
+    ).strip()
+    frags = SE.highlight_fragments(text, ["spark", "data"],
+                                   fragment_size=10, number_of_fragments=2)
+    assert len(frags) == 2
+    assert frags[0].startswith("<em>spark</em> one")
+    assert frags[1].startswith("<em>data</em> twenty")
+    # punctuation-attached: the analyzer splits 'spark,' -> 'spark'
+    assert SE.highlight_text("say spark, loudly", ["spark"]) == (
+        "say <em>spark</em>, loudly"
+    )
+    # slash-joined stays one token: no partial wrap
+    assert SE.highlight_text("use spark/sql here", ["spark"]) == (
+        "use spark/sql here"
+    )
+    # driver DSL vs distributed endpoint parity, fragments included
+    out = str(tmp_path / "idx_hlfrag")
+    pages = spark.createDataFrame(
+        [("h0", text), ("h1", "nothing to see here at all")],
+        "url string, text string",
+    )
+    build_index(spark, pages, out, target_postings_per_salt=50, term_buckets=8)
+    build_sharded_segments(spark, out, n_shards=2)
+    body = {
+        "query": {"match": {"body": "spark data"}},
+        "highlight": {"fields": {"body": {"number_of_fragments": 2,
+                                          "fragment_size": 10}}},
+        "size": 5,
+    }
+    eng = SearchEngine(out)
+    want = eng.query(body)
+    got = query_sharded(spark, out, body)
+    assert [h["highlight"] for h in got["hits"]["hits"]] == [
+        h["highlight"] for h in want["hits"]["hits"]
+    ]
+    assert got["hits"]["hits"][0]["highlight"]["body"] == frags
