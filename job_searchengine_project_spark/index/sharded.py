@@ -119,18 +119,9 @@ def build_sharded_segments(
     # the driver, so a filter matching half the corpus costs each shard
     # only its own doc range (the ES per-shard filter-context shape,
     # schema/es/es.sh:13-14).
-    for col in stats.get("doc_values") or []:
-        dv = spark.read.parquet(os.path.join(index_dir, "docvalues", col))
-        (
-            dv.withColumn(
-                "shard", (F.col("doc_id") / F.lit(rng)).cast("int")
-            )
-            .repartition("shard")
-            .sortWithinPartitions(col)
-            .write.mode("overwrite")
-            .partitionBy("shard")
-            .parquet(os.path.join(index_dir, SHARD_DV_DIR, col))
-        )
+    write_shard_doc_values(
+        spark, index_dir, stats.get("doc_values") or [], rng
+    )
     with open(os.path.join(index_dir, SHARDS_META), "w") as f:
         # the fingerprint binds the derived layout to the index state
         # it was built from: after an update or purging compaction the
@@ -147,6 +138,26 @@ def build_sharded_segments(
             f,
         )
     return out
+
+
+def write_shard_doc_values(
+    spark: SparkSession, root_dir: str, cols: list[str], rng: int
+) -> None:
+    """Shard-partition each doc-values sidecar of ``root_dir`` (a
+    single index OR a fielded top level — doc ids are shared) into
+    ``shard_docvalues/<col>/shard=K/``, value-sorted per shard."""
+    for col in cols:
+        dv = spark.read.parquet(os.path.join(root_dir, "docvalues", col))
+        (
+            dv.withColumn(
+                "shard", (F.col("doc_id") / F.lit(rng)).cast("int")
+            )
+            .repartition("shard")
+            .sortWithinPartitions(col)
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(os.path.join(root_dir, SHARD_DV_DIR, col))
+        )
 
 
 def _strip_delete_marks(fp: str) -> str:

@@ -51,6 +51,7 @@ from job_searchengine_project_spark.index.sharded import (
     _enc_from_row,
     _load_meta,
     _load_shard_norms,
+    _shard_dv_docs,
     _shard_tombstones,
     build_sharded_segments,
     shards_fresh,
@@ -73,6 +74,10 @@ def build_sharded_fielded(
     sub-index (index/sharded.py build_sharded_segments, unchanged —
     the doc-range salting is identical because every sub-index shares
     n_docs and doc ids). Returns {field: shards_path}."""
+    from job_searchengine_project_spark.index.sharded import (
+        write_shard_doc_values,
+    )
+
     with open(os.path.join(fielded_dir, FIELDS_MANIFEST)) as f:
         manifest = json.load(f)
     fields = sorted(manifest["fields"])
@@ -81,10 +86,19 @@ def build_sharded_fielded(
         raise RuntimeError(
             f"fielded sub-indexes disagree on n_docs: {n_by_field}"
         )
-    return {
+    out = {
         f: build_sharded_segments(spark, _sub_dir(fielded_dir, f), n_shards)
         for f in fields
     }
+    # the SHARED top-level doc-values sidecars (one per column for all
+    # fields) get the same shard partitioning, so fielded bool filter
+    # specs evaluate shard-locally exactly like the single-index path
+    n_docs = n_by_field[fields[0]]
+    rng = max(1, -(-n_docs // n_shards))
+    write_shard_doc_values(
+        spark, fielded_dir, manifest.get("doc_values") or [], rng
+    )
+    return out
 
 
 def fielded_shards_fresh(fielded_dir: str) -> bool:
@@ -293,6 +307,8 @@ def search_sharded_bool_fielded(
     filter: list[tuple[str, str]] = (),
     k: int = 10,
     minimum_should_match: int | None = None,
+    filter_specs: list[dict] = (),
+    must_not_specs: list[dict] = (),
 ) -> DataFrame:
     """Distributed ES ``bool`` with per-clause FIELD targeting: each
     clause is a (field, query) pair analyzed with that field's
@@ -301,15 +317,25 @@ def search_sharded_bool_fielded(
     shard-locally (cross-field set ops are exact — doc ids are shared
     across sub-indexes) and the global top-k merge is associative.
     Parity with the driver FieldedSearchEngine.search_bool is
-    tested."""
+    tested.
+
+    ``filter_specs``/``must_not_specs``: declarative doc-values
+    range/term filters over the SHARED top-level sidecars (one per
+    column for every field — build_sharded_fielded shard-partitions
+    them), evaluated by each kernel against its own slice exactly
+    like the single-index path (index/sharded.py _shard_dv_docs) —
+    the reference's natural 'title match + salary range' query shape
+    with no driver-side doc sets."""
     from job_searchengine_project_spark.search.engine import SearchEngine
 
     must, should = list(must), list(should)
     must_not, filter = list(must_not), list(filter)
+    filter_specs = [dict(s) for s in filter_specs]
+    must_not_specs = [dict(s) for s in must_not_specs]
     if minimum_should_match is None:
-        minimum_should_match = 0 if (must or filter) else 1
+        minimum_should_match = 0 if (must or filter or filter_specs) else 1
     empty = spark.createDataFrame([], "doc_id long, score double, url string")
-    if not (must or filter or should):
+    if not (must or filter or should or filter_specs):
         return empty
     with open(os.path.join(fielded_dir, FIELDS_MANIFEST)) as f:
         manifest = json.load(f)
@@ -333,6 +359,35 @@ def search_sharded_bool_fielded(
         terms_by_field.setdefault(f, []).extend(ts)
     segs, df_map, rng = _field_scan(spark, fielded_dir, terms_by_field)
     if segs is None or not df_map:
+        if filter_specs and not (must or should or filter):
+            # termless pure-spec query: DataFrame set algebra over the
+            # shared top-level sidecars, like the single-index path
+            from job_searchengine_project_spark.index.sharded import (
+                dv_filter_docs_sharded,
+            )
+
+            cand = dv_filter_docs_sharded(spark, fielded_dir, filter_specs[0])
+            for sp in filter_specs[1:]:
+                cand = cand.join(
+                    dv_filter_docs_sharded(spark, fielded_dir, sp),
+                    "doc_id", "left_semi",
+                )
+            for sp in must_not_specs:
+                cand = cand.join(
+                    dv_filter_docs_sharded(spark, fielded_dir, sp),
+                    "doc_id", "left_anti",
+                )
+            top0 = (
+                cand.withColumn("score", F.lit(0.0))
+                .orderBy(F.asc("doc_id"))
+                .limit(k)
+            )
+            first_sub0 = _sub_dir(fielded_dir, sorted(stats_by_field)[0])
+            return (
+                _attach_urls_pruned(spark, first_sub0, top0)
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .select("doc_id", "score", "url")
+            )
         return empty
     bc_df = spark.sparkContext.broadcast(df_map)
     bc_clauses = spark.sparkContext.broadcast(clauses)
@@ -347,6 +402,9 @@ def search_sharded_bool_fielded(
         for f, s in stats_by_field.items()
     }
     sub_dirs = {f: _sub_dir(fielded_dir, f) for f in stats_by_field}
+    # tombstones for spec evaluation: every sub-index carries the same
+    # delete batch (shared doc ids); read the first's slice
+    first_tomb_sub = _sub_dir(fielded_dir, sorted(stats_by_field)[0])
     n_must, n_should, n_not = len(must), len(should), len(must_not)
     msm = minimum_should_match
 
@@ -429,8 +487,20 @@ def search_sharded_bool_fielded(
                     not_sets[i] = clause_hits(field, ts)
                 else:
                     filter_sets[i] = clause_hits(field, ts)
+            # declarative doc-values specs against this shard's slice
+            # of the SHARED top-level sidecars (no driver doc sets)
+            spec_dele = _shard_tombstones(first_tomb_sub, shard, rng)
+            spec_fsets = [
+                _shard_dv_docs(fielded_dir, shard, sp, spec_dele)
+                for sp in filter_specs
+            ]
+            spec_nsets = [
+                _shard_dv_docs(fielded_dir, shard, sp, spec_dele)
+                for sp in must_not_specs
+            ]
             scored = SearchEngine.bool_algebra(
-                must_accs, should_accs, not_sets, filter_sets, msm
+                must_accs, should_accs, not_sets + spec_nsets,
+                filter_sets + spec_fsets, msm,
             )[:k]
             if scored:
                 docs_out, scores_out = zip(*scored)

@@ -809,6 +809,10 @@ def highlight_fragments(spark, sf_dir: str) -> DataFrame:
     from job_searchengine_project_spark.search.cluster import query_sharded
 
     idx = _sharded_index_for(spark, sf_dir)
+    # over-fetch 20*K (like highlight_top10) — enough to absorb
+    # rounded-score boundary ties; highlighting is per-page work, so
+    # requesting the full match set would pay stored reads for every
+    # hit (ES highlights the PAGE, never the whole hit set)
     resp = query_sharded(
         spark, idx,
         {
@@ -821,9 +825,8 @@ def highlight_fragments(spark, sf_dir: str) -> DataFrame:
                     }
                 }
             },
-            "size": 10**7,
+            "size": 20 * K,
         },
-        max_result_window=10**7,
     )
     docs = sorted(
         (

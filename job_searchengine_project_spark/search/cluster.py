@@ -173,6 +173,61 @@ def bool_match_docs_sharded(
     return cand
 
 
+def bool_match_docs_fielded(
+    spark: SparkSession,
+    fielded_dir: str,
+    manifest: dict,
+    pairs: dict[str, list],
+    filter_specs: list[dict],
+    must_not_specs: list[dict],
+    msm: int,
+) -> DataFrame:
+    """Field-targeted bool hit set as DataFrame algebra: per-clause
+    match docs resolve against the clause's field sub-index (that
+    field's analyzer), specs against the shared top-level sidecars —
+    the fielded twin of bool_match_docs_sharded, feeding exact totals
+    and agg scopes."""
+    from job_searchengine_project_spark.index.sharded import (
+        dv_filter_docs_sharded,
+        match_docs_sharded,
+    )
+
+    def clause_docs(field: str, text: str) -> DataFrame:
+        sub, sub_stats = _field_sub(fielded_dir, manifest, field)
+        return match_docs_sharded(spark, sub, _analyze(sub_stats, text))
+
+    cand: DataFrame | None = None
+    for fld, qtext in pairs["must"] + pairs["filter"]:
+        df = clause_docs(fld, qtext)
+        cand = df if cand is None else cand.join(df, "doc_id", "left_semi")
+    for sp in filter_specs:
+        df = dv_filter_docs_sharded(spark, fielded_dir, sp)
+        cand = df if cand is None else cand.join(df, "doc_id", "left_semi")
+    should = pairs["should"]
+    if should and (msm > 0 or cand is None):
+        n_needed = max(msm, 1) if cand is None else msm
+        tagged: DataFrame | None = None
+        for i, (fld, qtext) in enumerate(should):
+            df = clause_docs(fld, qtext).withColumn("clause", F.lit(i))
+            tagged = df if tagged is None else tagged.unionByName(df)
+        ok = (
+            tagged.groupBy("doc_id")
+            .agg(F.countDistinct("clause").alias("n"))
+            .filter(F.col("n") >= n_needed)
+            .select("doc_id")
+        )
+        cand = ok if cand is None else cand.join(ok, "doc_id", "left_semi")
+    if cand is None:
+        return spark.createDataFrame([], "doc_id long")
+    for fld, qtext in pairs["must_not"]:
+        cand = cand.join(clause_docs(fld, qtext), "doc_id", "left_anti")
+    for sp in must_not_specs:
+        cand = cand.join(
+            dv_filter_docs_sharded(spark, fielded_dir, sp), "doc_id", "left_anti"
+        )
+    return cand
+
+
 def _hits_and_scope(
     spark: SparkSession, index_dir: str, stats: dict, q: dict, depth: int
 ):
@@ -213,16 +268,71 @@ def _hits_and_scope(
                 spark, index_dir, spec["query"], fields=spec.get("fields")
             ),
         )
-    if kind == "match" and manifest is not None:
-        # field-routed match: the leaf names a real field; analyze with
-        # THAT field's analyzer, search its sharded sub-index
-        field, text = _leaf_field_text(spec)
-        sub, sub_stats = _field_sub(index_dir, manifest, field)
-        terms = _analyze(sub_stats, text)
-        return (
-            search_sharded(spark, sub, terms, k=depth),
-            match_docs_sharded(spark, sub, terms),
+    if manifest is not None and kind in (
+        "match", "match_phrase", "fuzzy", "prefix", "wildcard"
+    ):
+        # field-routed single-field kinds: the leaf names a real
+        # field, and each field's sub-index is a COMPLETE index (own
+        # shards, positions, fuzzy variants, term dictionary), so the
+        # generic single-index branches below run against it with
+        # that field's analyzer/stats
+        field, _text = _leaf_field_text(spec)
+        index_dir, stats = _field_sub(index_dir, manifest, field)
+    elif manifest is not None and kind in (
+        "bool", "range", "term", "terms", "exists"
+    ):
+        # field-targeted bool (the full ES request shape): match
+        # leaves carry their field, range/term/terms/exists specs hit
+        # the SHARED top-level doc-values
+        from job_searchengine_project_spark.index.sharded_fielded import (
+            search_sharded_bool_fielded,
         )
+
+        if kind != "bool":  # standalone filter sugar
+            spec = {"filter": [{kind: spec}]}
+        pairs: dict[str, list] = {
+            "must": [], "should": [], "must_not": [], "filter": []
+        }
+        fspecs: list[dict] = []
+        nspecs: list[dict] = []
+        for key in pairs:
+            for c in spec.get(key, []):
+                ((ck, cs),) = c.items()
+                if ck == "match":
+                    pairs[key].append(_leaf_field_text(cs))
+                elif ck in ("range", "term", "terms", "exists"):
+                    if key not in ("filter", "must_not"):
+                        raise ValueError(
+                            f"{ck} clauses are filter-context only"
+                        )
+                    if ck == "exists":
+                        sp = {"col": cs["field"], "exists": True}
+                    else:
+                        ((col, bounds),) = cs.items()
+                        sp = (
+                            {"col": col, "eq": bounds}
+                            if ck == "term"
+                            else {"col": col, "isin": list(bounds)}
+                            if ck == "terms"
+                            else {"col": col, **bounds}
+                        )
+                    (fspecs if key == "filter" else nspecs).append(sp)
+                else:
+                    raise ValueError(f"unsupported bool leaf: {ck!r}")
+        msm = spec.get("minimum_should_match")
+        if msm is None:
+            msm = 0 if (pairs["must"] or pairs["filter"] or fspecs) else 1
+        ranked = search_sharded_bool_fielded(
+            spark, index_dir,
+            must=pairs["must"], should=pairs["should"],
+            must_not=pairs["must_not"], filter=pairs["filter"],
+            filter_specs=fspecs, must_not_specs=nspecs,
+            minimum_should_match=msm, k=depth,
+        )
+        scope = bool_match_docs_fielded(
+            spark, index_dir, manifest, pairs, fspecs, nspecs, msm
+        )
+        return ranked, scope
     if kind == "match":
         terms = _analyze(stats, _leaf_field_text(spec)[1])
         return (

@@ -480,3 +480,130 @@ def test_sharded_fielded_freshness(spark, webpages_small, tmp_path):
     assert fielded_shards_fresh(out)
     n = FieldedSearchEngine(out).engine("body").n_eff
     assert n == 220
+
+
+@pytest.fixture(scope="module")
+def fielded_full(spark, webpages_small, tmp_path_factory):
+    """Fielded index with the FULL sidecar surface: shared doc-values,
+    positions, per-field fuzzy variants + term dictionary, sharded."""
+    from job_searchengine_project_spark.index.fuzzy import build_fuzzy_variants
+    from job_searchengine_project_spark.index.sharded_fielded import (
+        build_sharded_fielded,
+    )
+    from job_searchengine_project_spark.index.termdict import (
+        build_term_dictionary,
+    )
+
+    out = str(tmp_path_factory.mktemp("idx_fielded_full"))
+    pages = _fielded_pages(webpages_small).withColumn(
+        "n_chars", F.length("body")
+    )
+    build_fielded_index(
+        spark, pages, out, fields={"title": "morph", "body": "morph"},
+        doc_values=["n_chars"], with_positions=True,
+        target_postings_per_salt=50, term_buckets=16,
+    )
+    build_sharded_fielded(spark, out, n_shards=3)
+    body_sub = os.path.join(out, "fields", "body")
+    build_fuzzy_variants(spark, body_sub, max_edits=1)
+    build_term_dictionary(spark, body_sub)
+    return out
+
+
+def test_query_sharded_fielded_bool_with_specs(spark, fielded_full):
+    """Field-targeted bool through the distributed endpoint: match
+    leaves carry fields, range specs hit the SHARED top-level
+    doc-values (shard-partitioned by build_sharded_fielded) — parity
+    with FieldedSearchEngine.query, exact totals included."""
+    from job_searchengine_project_spark.search.cluster import query_sharded
+
+    feng = FieldedSearchEngine(fielded_full)
+    body = {
+        "query": {"bool": {
+            "must": [{"match": {"body": "spark"}}],
+            "should": [{"match": {"title": "데이터엔지니어"}}],
+            "filter": [{"range": {"n_chars": {"gte": 300}}}],
+        }},
+        "size": 12,
+    }
+    want = feng.query(body)
+    got = query_sharded(spark, fielded_full, body)
+    assert got["hits"]["total"] == want["hits"]["total"]
+    assert [
+        (h["_id"], round(h["_score"], 9)) for h in got["hits"]["hits"]
+    ] == [(h["_id"], round(h["_score"], 9)) for h in want["hits"]["hits"]]
+    assert want["hits"]["total"]["value"] > 0
+
+
+def test_query_sharded_fielded_phrase_fuzzy_prefix(spark, fielded_full):
+    """Single-field kinds route to the named field's COMPLETE
+    sub-index: match_phrase (positions), fuzzy (persisted variants),
+    prefix/wildcard (term dictionary) — each against the driver
+    fielded engine or the field engine directly."""
+    from job_searchengine_project_spark.search.cluster import query_sharded
+
+    feng = FieldedSearchEngine(fielded_full)
+    # phrase on title (driver fielded DSL supports match_phrase)
+    pb = {"query": {"match_phrase": {"title": "spark 데이터엔지니어"}}, "size": 5}
+    want = feng.query(pb)
+    got = query_sharded(spark, fielded_full, pb)
+    assert got["hits"]["total"] == want["hits"]["total"]
+    assert [h["_id"] for h in got["hits"]["hits"]] == [
+        h["_id"] for h in want["hits"]["hits"]
+    ]
+    # fuzzy on body
+    fb = {"query": {"fuzzy": {"body": {"value": "sparq", "fuzziness": 1}}},
+          "size": 5}
+    wantf = feng.query(fb)
+    gotf = query_sharded(spark, fielded_full, fb)
+    assert gotf["hits"]["total"] == wantf["hits"]["total"]
+    assert [h["_id"] for h in gotf["hits"]["hits"]] == [
+        h["_id"] for h in wantf["hits"]["hits"]
+    ]
+    # prefix on body (constant_score): compare against the field
+    # engine's expansion directly — the fielded DSL has no prefix kind
+    eng_b = feng.engine("body")
+    want_ids = sorted(h.doc_id for h in eng_b.search_prefix("spar", k=10**6))
+    gotp = query_sharded(
+        spark, fielded_full,
+        {"query": {"prefix": {"body": {"value": "spar"}}}, "size": 10_000},
+    )
+    assert gotp["hits"]["total"]["value"] == len(want_ids)
+    # unknown field still raises
+    with pytest.raises(ValueError, match="unknown field"):
+        query_sharded(
+            spark, fielded_full,
+            {"query": {"match": {"nope": "spark"}}, "size": 3},
+        )
+
+
+def test_sharded_bool_fielded_filter_specs(spark, fielded_full):
+    """filter_specs on the fielded distributed bool evaluate against
+    each shard's slice of the SHARED sidecars — equal to the driver
+    fielded bool gated by the equivalent precomputed doc set."""
+    from job_searchengine_project_spark.index.sharded_fielded import (
+        search_sharded_bool_fielded,
+    )
+
+    feng = FieldedSearchEngine(fielded_full)
+    gate = feng.doc_values_docs("n_chars", gte=500)
+    want = feng.search_bool(
+        must=[("body", "spark")], filter_docs=[gate], k=40
+    )
+    got = [
+        (r["doc_id"], r["score"])
+        for r in search_sharded_bool_fielded(
+            spark, fielded_full, must=[("body", "spark")],
+            filter_specs=[{"col": "n_chars", "gte": 500}], k=40,
+        ).collect()
+    ]
+    assert got == [(d, s) for d, s in want] and got
+    # termless pure-spec form returns the gated set, doc_id order
+    got0 = [
+        r["doc_id"]
+        for r in search_sharded_bool_fielded(
+            spark, fielded_full,
+            filter_specs=[{"col": "n_chars", "gte": 500}], k=10**6,
+        ).collect()
+    ]
+    assert got0 == sorted(gate)
