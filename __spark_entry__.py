@@ -85,6 +85,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # every run regardless of this ordering.
 _CHECK_FIRST = [
     # new in round 5
+    "date_histogram_agg",
+    "date_histogram_agg_sharded",
+    "phrase_prefix_top10",
+    "analyze_tokens",
     "multi_field_sharded_top10",
     "best_fields_sharded_top10",
     "bool_fielded_sharded_top10",

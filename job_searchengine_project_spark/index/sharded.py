@@ -510,6 +510,126 @@ def search_sharded_phrase(
     )
 
 
+def phrase_prefix_docs_sharded(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    max_expansions: int = 50,
+) -> DataFrame:
+    """Distributed ES ``match_phrase_prefix`` hit set: the prefix
+    expands through the PERSISTED sorted term dictionary on the
+    driver (O(query), never vocabulary-sized), and each shard kernel
+    position-verifies "fixed terms in sequence, any expansion at the
+    last position" over its own positional slices — the same
+    (doc, start) composite-key intersection as the phrase kernel,
+    with the last step an any-of union. Returns a doc_id DataFrame
+    (constant_score family — same contract as the driver engine's
+    search_phrase_prefix)."""
+    from job_searchengine_project_spark.functions.tokenize import (
+        tokenize_2gram_py,
+        tokenize_morph_py,
+    )
+    from job_searchengine_project_spark.index.termdict import prefix_terms
+
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        stats = json.load(f)
+    n_docs = int(stats["n_docs"])
+    meta = _load_meta(index_dir, stats)
+    rng = int(meta["rng"])
+    analyzer = stats.get("analyzer", "morph")
+    seq = (
+        tokenize_2gram_py(query)
+        if analyzer == "2gram"
+        else tokenize_morph_py(query, dedup=False)
+    )
+    empty = spark.createDataFrame([], "doc_id long")
+    if not seq:
+        return empty
+    expansions = prefix_terms(index_dir, seq[-1])[:max_expansions]
+    if not expansions:
+        return empty
+    if len(seq) == 1:
+        return match_docs_sharded(spark, index_dir, expansions)
+    fixed = seq[:-1]
+    uniq_fixed = sorted(set(fixed))
+    all_terms = sorted(set(uniq_fixed) | set(expansions))
+    seg = (
+        spark.read.parquet(os.path.join(index_dir, "shards"))
+        .filter(F.col("term").isin(all_terms))
+    )
+    i_last = len(seq) - 1
+
+    def shard_pp(batches):
+        from job_searchengine_project_spark.index import codec
+
+        parts = list(batches)
+        if not parts:
+            return
+        pdf_all = pd.concat(parts, ignore_index=True)
+        if pdf_all.empty:
+            return
+        for shard_val, grp in pdf_all.groupby("shard", sort=False):
+            by_term = {str(r.term): r for r in grp.itertuples()}
+            if any(t not in by_term for t in uniq_fixed):
+                continue
+            if not any(t in by_term for t in expansions):
+                continue
+            decoded = {}
+            max_pos = 0
+            max_doc = 0
+            for t, r in by_term.items():
+                enc = _enc_from_row(r)
+                if not enc.has_positions:
+                    raise ValueError(
+                        "sharded phrase_prefix requires a positional index"
+                    )
+                docs, tfs = codec.decode_postings(enc)
+                pos = codec.decode_positions(enc, tfs)
+                if pos.size:
+                    max_pos = max(max_pos, int(pos.max()))
+                if docs.size:
+                    max_doc = max(max_doc, int(docs.max()))
+                decoded[t] = (docs, tfs, pos)
+            M = max_pos + len(seq) + 2
+            if M * (max_doc + 1) >= (1 << 62):
+                raise OverflowError("phrase key space exceeds int64")
+            survivors = None
+            for i, t in enumerate(fixed):
+                docs, tfs, pos = decoded[t]
+                keys = np.repeat(docs, tfs) * M + (pos - i)
+                survivors = (
+                    keys
+                    if survivors is None
+                    else np.intersect1d(survivors, keys)
+                )
+                if survivors.size == 0:
+                    break
+            if survivors is None or survivors.size == 0:
+                continue
+            exp_keys = np.concatenate(
+                [
+                    np.repeat(decoded[t][0], decoded[t][1]) * M
+                    + (decoded[t][2] - i_last)
+                    for t in expansions
+                    if t in decoded
+                ]
+            )
+            matched = np.intersect1d(survivors, np.unique(exp_keys))
+            if matched.size == 0:
+                continue
+            match_docs = np.unique(matched // M)
+            dele = _shard_tombstones(index_dir, int(shard_val), rng)
+            if dele.size:
+                match_docs = match_docs[~np.isin(match_docs, dele)]
+            if match_docs.size:
+                yield pd.DataFrame({"doc_id": match_docs})
+
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return seg.repartition(shuffle_n, "shard").mapInPandas(
+        shard_pp, schema="doc_id long"
+    )
+
+
 def search_sharded_batch(
     spark: SparkSession,
     index_dir: str,
@@ -1003,6 +1123,35 @@ def aggregate_histogram_sharded(
         F.floor(F.col(col).cast("double") / F.lit(float(interval)))
         * F.lit(float(interval))
     ).cast("double")
+    return (
+        dv.select(key.alias("key"))
+        .groupBy("key")
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy(F.asc("key"))
+    )
+
+
+def aggregate_date_histogram_sharded(
+    spark: SparkSession,
+    index_dir: str,
+    col: str,
+    fixed_interval,
+    doc_filter: DataFrame | None = None,
+) -> DataFrame:
+    """Distributed ES `date_histogram` (fixed_interval): one groupBy
+    over unix_millis of the timestamp sidecar — partial aggregate +
+    associative merge like every other distributed agg. Bucket key =
+    epoch millis floored to the interval (ES's numeric key),
+    ascending, empty buckets omitted."""
+    from job_searchengine_project_spark.search.engine import SearchEngine
+
+    iv = SearchEngine.parse_fixed_interval(fixed_interval)
+    dv = _live_dv_table(spark, index_dir, col).filter(F.col(col).isNotNull())
+    if doc_filter is not None:
+        dv = dv.join(doc_filter, "doc_id", "left_semi")
+    key = (
+        F.floor(F.unix_millis(F.col(col)) / F.lit(iv)) * F.lit(iv)
+    ).cast("long")
     return (
         dv.select(key.alias("key"))
         .groupBy("key")

@@ -981,6 +981,92 @@ WHERE term LIKE 'd%ta'
 """
 
 
+# ---- ES match_phrase_prefix + _analyze ---------------------------------------
+
+PP_QUERY = "spark da"  # 'spark' then any token starting 'da', adjacent
+
+
+def phrase_prefix_top10(spark, sf_dir: str) -> DataFrame:
+    """ES match_phrase_prefix (search-as-you-type): the last token is
+    a prefix expanded through the persisted sorted dictionary, the
+    fixed terms position-verify in sequence with any expansion at the
+    final slot. Constant_score family contract (1.0, asc doc_id) —
+    same as prefix/wildcard. The DuckDB twin joins analyzed token
+    positions with a LIKE on the successor token."""
+    from job_searchengine_project_spark.index.termdict import (
+        build_term_dictionary,
+        prefix_terms,
+        termdict_fresh,
+    )
+
+    eng = _engine_for(spark, sf_dir, analyzer="morph", positions=True)
+    if not termdict_fresh(eng.index_dir):
+        build_term_dictionary(spark, eng.index_dir)
+    # the ES max_expansions=50 cap must be inert for the oracle to
+    # skip cap arithmetic — this corpus keeps 'da*' well under it
+    assert len(prefix_terms(eng.index_dir, PP_QUERY.split()[-1])) < 50
+    hits = eng.search_phrase_prefix(PP_QUERY, k=10**7)
+    eng._fetch_urls([h.doc_id for h in hits])
+    ids = sorted(int(eng.url_of(h.doc_id).split("doc://")[1]) for h in hits)[:K]
+    return spark.createDataFrame(
+        [(i, 1.0) for i in ids], "doc_id bigint, score double"
+    )
+
+
+def _phrase_prefix_sql(limit: int) -> str:
+    t0, pre = PP_QUERY.split()
+    return f"""
+WITH base AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 1) AS lst
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(lst) AS tok, generate_subscripts(lst, 1) AS p
+  FROM base
+),
+m AS (
+  SELECT DISTINCT a.doc_id
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+  WHERE a.tok = '{t0}' AND b.tok LIKE '{pre}%'
+)
+SELECT doc_id, 1.0::DOUBLE AS score FROM m ORDER BY doc_id LIMIT {limit}
+"""
+
+
+def analyze_tokens(spark, sf_dir: str) -> DataFrame:
+    """ES _analyze endpoint parity, distributed: the analyzer's exact
+    (token, position) emission per doc — positions index the FILTERED
+    token sequence, i.e. what the positional index stores (the engine
+    API twin is SearchEngine.analyze, pinned in tests)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 20
+    )
+    arr = F.filter(F.split(F.col("text"), " "), lambda x: F.length(x) > 1)
+    return (
+        docs.select("doc_id", F.posexplode(arr).alias("position", "token"))
+        .withColumn("position", F.col("position").cast("long"))
+        .orderBy("doc_id", "position")
+    )
+
+
+ANALYZE_TOKENS_SQL = """
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS lst FROM documents WHERE doc_id < 20
+),
+raw AS (
+  SELECT doc_id, unnest(lst) AS token, generate_subscripts(lst, 1) AS p
+  FROM base
+),
+toks AS (
+  SELECT doc_id, token,
+         row_number() OVER (PARTITION BY doc_id ORDER BY p) - 1 AS position
+  FROM raw WHERE length(token) > 1
+)
+SELECT doc_id, position::BIGINT AS position, token
+FROM toks ORDER BY doc_id, position
+"""
+
+
 # ---- ES match_phrase slop + search_after cursor pagination -------------------
 
 PHRASE_SLOP_QUERY = "spark data"
@@ -1066,24 +1152,43 @@ DV_RANGE = (150, 450)  # n_chars in [gte, lt)
 DV_LANG = "en"
 
 
+DH_EPOCH_MS = 1735689600000  # 2025-01-01T00:00:00Z
+DH_DAY_MS = 86400000
+DH_HOUR_MS = 3600000
+
+
+def _dv_ts_col():
+    """Deterministic synthetic crawl timestamp per doc (the documents
+    table carries none): 2025-01-01 + (doc_id % 90) days +
+    (doc_id % 7) hours — identical arithmetic in the DuckDB oracle."""
+    ms = (
+        F.lit(DH_EPOCH_MS)
+        + (F.col("doc_id") % 90) * F.lit(DH_DAY_MS)
+        + (F.col("doc_id") % 7) * F.lit(DH_HOUR_MS)
+    )
+    return F.timestamp_millis(ms.cast("long")).alias("ts")
+
+
 def _dv_engine_for(spark: SparkSession, sf_dir: str):
     """Morph index over documents WITH doc-values sidecars for
-    n_chars (numeric range filters) and lang (term filters)."""
+    n_chars (numeric range filters), lang (term filters) and a
+    derived crawl timestamp ts (date_histogram)."""
     from job_searchengine_project_spark.index.build import build_index
     from job_searchengine_project_spark.search.engine import SearchEngine
 
-    key = f"dv:{os.path.abspath(sf_dir)}"
+    key = f"dv2:{os.path.abspath(sf_dir)}"
     if key not in _ENGINE_CACHE:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         pages = docs.select(
             F.format_string("doc://%08d", F.col("doc_id")).alias("url"),
-            F.col("text"), F.col("n_chars"), F.col("lang"),
+            F.col("text"), F.col("n_chars"), F.col("lang"), _dv_ts_col(),
         )
         out = os.path.join(
             tempfile.gettempdir(), "jse_idx_" + key.replace(os.sep, "_").replace(":", "_")
         )
         build_index(
-            spark, pages, out, resume=True, doc_values=["n_chars", "lang"]
+            spark, pages, out, resume=True,
+            doc_values=["n_chars", "lang", "ts"],
         )
         _ENGINE_CACHE[key] = SearchEngine(out)
     return _ENGINE_CACHE[key]
@@ -1405,6 +1510,58 @@ SELECT d.lang AS key, count(*)::BIGINT AS doc_count,
        count(DISTINCT d.n_chars)::BIGINT AS distinct_chars
 FROM documents d JOIN hit USING (doc_id)
 GROUP BY d.lang ORDER BY doc_count DESC, key LIMIT 10
+"""
+
+
+_DH_BODY = {
+    "query": {"match": {"b": "spark"}},
+    "size": 0,
+    "aggs": {"per_day": {"date_histogram": {"field": "ts",
+                                            "fixed_interval": "1d"}}},
+}
+
+
+def _dh_rows(spark, resp) -> DataFrame:
+    rows = [
+        (int(b["key"]), int(b["doc_count"]))
+        for b in resp["aggregations"]["per_day"]["buckets"]
+    ]
+    return spark.createDataFrame(rows, "key bigint, doc_count bigint")
+
+
+def date_histogram_agg(spark, sf_dir: str) -> DataFrame:
+    """ES `date_histogram` (fixed_interval=1d) over a timestamp
+    doc-values column inside a query context — the Kibana
+    docs-over-time panel. Bucket key = epoch millis floored to the
+    day (ES's numeric key); the crawl timestamp derives
+    deterministically from doc_id (the table carries none), with the
+    same arithmetic in the oracle."""
+    eng = _dv_engine_for(spark, sf_dir)
+    return _dh_rows(spark, eng.query(_DH_BODY))
+
+
+def date_histogram_agg_sharded(spark, sf_dir: str) -> DataFrame:
+    """The same date_histogram DISTRIBUTED: one Spark groupBy over
+    unix_millis of the timestamp sidecar, scoped by the distributed
+    hit set. Same oracle as date_histogram_agg."""
+    from job_searchengine_project_spark.search.cluster import query_sharded
+
+    idx = _sharded_dv_index_for(spark, sf_dir)
+    return _dh_rows(spark, query_sharded(spark, idx, _DH_BODY))
+
+
+DATE_HISTOGRAM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, t.tok AS term
+  FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+  WHERE length(t.tok) > 1
+),
+hit AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark')
+SELECT (((CAST({DH_EPOCH_MS} AS BIGINT) + (d.doc_id % 90) * {DH_DAY_MS}
+          + (d.doc_id % 7) * {DH_HOUR_MS}) // {DH_DAY_MS}) * {DH_DAY_MS})::BIGINT AS key,
+       count(*)::BIGINT AS doc_count
+FROM documents d JOIN hit USING (doc_id)
+GROUP BY key ORDER BY key
 """
 
 
@@ -1949,11 +2106,15 @@ QUERIES = {
     "terms_subagg_sharded": (terms_subagg_sharded, TERMS_SUBAGG_SQL),
     "percentiles_agg": (percentiles_agg, PERCENTILES_AGG_SQL),
     "percentiles_agg_sharded": (percentiles_agg_sharded, PERCENTILES_AGG_SQL),
+    "date_histogram_agg": (date_histogram_agg, DATE_HISTOGRAM_SQL),
+    "date_histogram_agg_sharded": (date_histogram_agg_sharded, DATE_HISTOGRAM_SQL),
     "metric_aggs_sharded": (metric_aggs_sharded, METRIC_AGGS_SQL),
     "histogram_agg_sharded": (histogram_agg_sharded, HISTOGRAM_AGG_SQL),
     "sort_by_field_top10": (sort_by_field_top10, SORT_BY_FIELD_SQL),
     "match_count": (match_count, MATCH_COUNT_SQL),
     "prefix_top10": (prefix_top10, PREFIX_SQL),
+    "phrase_prefix_top10": (phrase_prefix_top10, _phrase_prefix_sql(K)),
+    "analyze_tokens": (analyze_tokens, ANALYZE_TOKENS_SQL),
     "highlight_top10": (highlight_top10, _highlight_sql(K)),
     "highlight_fragments": (highlight_fragments, _highlight_fragments_sql(K)),
     "get_doc": (get_doc, GET_DOC_SQL),

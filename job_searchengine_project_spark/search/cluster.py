@@ -269,7 +269,8 @@ def _hits_and_scope(
             ),
         )
     if manifest is not None and kind in (
-        "match", "match_phrase", "fuzzy", "prefix", "wildcard"
+        "match", "match_phrase", "match_phrase_prefix",
+        "fuzzy", "prefix", "wildcard",
     ):
         # field-routed single-field kinds: the leaf names a real
         # field, and each field's sub-index is a COMPLETE index (own
@@ -355,6 +356,35 @@ def _hits_and_scope(
         return (
             search_sharded_fuzzy(spark, index_dir, [term], k=depth, max_edits=fuzz),
             match_docs_sharded(spark, index_dir, expanded),
+        )
+    if kind == "match_phrase_prefix":
+        from job_searchengine_project_spark.index.sharded import (
+            _attach_urls_pruned,
+            phrase_prefix_docs_sharded,
+        )
+
+        text = _leaf_field_text(spec)[1]
+        ((_, mpp_val),) = spec.items()
+        mx = (
+            int(mpp_val.get("max_expansions", 50))
+            if isinstance(mpp_val, dict)
+            else 50
+        )
+        scope = phrase_prefix_docs_sharded(
+            spark, index_dir, text, max_expansions=mx
+        )
+        # constant_score family (same contract as the driver engine's
+        # search_phrase_prefix): 1.0 per match, doc_id order
+        hits = (
+            scope.withColumn("score", F.lit(1.0))
+            .orderBy(F.asc("doc_id"))
+            .limit(depth)
+        )
+        return (
+            _attach_urls_pruned(spark, index_dir, hits)
+            .orderBy(F.asc("doc_id"))
+            .select("doc_id", "score", "url"),
+            scope,
         )
     if kind in ("prefix", "wildcard"):
         ((_, val),) = spec.items()
@@ -770,7 +800,17 @@ def query_sharded(
                     }
                 }
                 continue
-            if akind == "terms":
+            if akind == "date_histogram":
+                from job_searchengine_project_spark.index.sharded import (
+                    aggregate_date_histogram_sharded,
+                )
+
+                rows = aggregate_date_histogram_sharded(
+                    spark, index_dir, aargs["field"],
+                    aargs.get("fixed_interval", aargs.get("interval")),
+                    doc_filter=scope,
+                ).collect()
+            elif akind == "terms":
                 rows = aggregate_terms_sharded(
                     spark, index_dir, aargs["field"],
                     size=int(aargs.get("size", 10)), doc_filter=scope,

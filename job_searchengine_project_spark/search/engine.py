@@ -798,6 +798,49 @@ class SearchEngine:
         uniq, cnt = np.unique(keys, return_counts=True)
         return [(float(u), int(c)) for u, c in zip(uniq, cnt)]
 
+    @staticmethod
+    def parse_fixed_interval(s) -> int:
+        """ES ``fixed_interval`` string -> milliseconds. Supported
+        units: ms/s/m/h/d (the ES fixed units); calendar intervals
+        (month/quarter/year — variable length) are NOT implemented
+        (documented; ES separates them into calendar_interval for the
+        same reason)."""
+        if isinstance(s, (int, float)):
+            return int(s)
+        units = {"ms": 1, "s": 1000, "m": 60_000, "h": 3_600_000,
+                 "d": 86_400_000}
+        for u in ("ms", "s", "m", "h", "d"):
+            if s.endswith(u) and s[: -len(u)].isdigit():
+                return int(s[: -len(u)]) * units[u]
+        raise ValueError(f"unsupported fixed_interval: {s!r}")
+
+    def aggregate_date_histogram(
+        self,
+        col: str,
+        fixed_interval,
+        doc_filter: set[int] | None = None,
+    ) -> list[tuple[int, int]]:
+        """ES `date_histogram` (fixed_interval form) over a timestamp
+        doc-values column: bucket key = epoch millis floored to the
+        interval — exactly ES's numeric bucket key — ascending, empty
+        buckets omitted (min_doc_count=1 shape). The distributed twin
+        is one groupBy over unix_millis (index/sharded.py); this
+        driver form is its oracle."""
+        import pyarrow as pa
+
+        iv = self.parse_fixed_interval(fixed_interval)
+        _, vals = self._doc_values_table(col, doc_filter)
+        vals = vals.drop_null()
+        if len(vals) == 0:
+            return []
+        ms = (
+            vals.cast(pa.timestamp("ms")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        keys = (ms // iv) * iv
+        uniq, cnt = np.unique(keys, return_counts=True)
+        return [(int(u), int(c)) for u, c in zip(uniq, cnt)]
+
     # --- highlighting -------------------------------------------------------
 
     @staticmethod
@@ -867,6 +910,19 @@ class SearchEngine:
         ((kind, spec),) = q.items()
         if kind in ("match", "match_phrase"):
             return self._analyze(self._leaf_field_text(spec)[1])
+        if kind == "match_phrase_prefix":
+            from job_searchengine_project_spark.index.termdict import (
+                prefix_terms,
+            )
+
+            seq = [
+                d["token"] for d in self.analyze(self._leaf_field_text(spec)[1])
+            ]
+            if not seq:
+                return []
+            return sorted(
+                set(seq[:-1]) | set(prefix_terms(self.index_dir, seq[-1])[:50])
+            )
         if kind == "fuzzy":
             ((_, val),) = spec.items()
             term = val.get("value") if isinstance(val, dict) else val
@@ -1154,7 +1210,13 @@ class SearchEngine:
                         )
                     }
                     continue
-                if akind == "terms":
+                if akind == "date_histogram":
+                    buckets = self.aggregate_date_histogram(
+                        aargs["field"],
+                        aargs.get("fixed_interval", aargs.get("interval")),
+                        doc_filter=doc_filter,
+                    )
+                elif akind == "terms":
                     buckets = self.aggregate_terms(
                         aargs["field"], size=int(aargs.get("size", 10)),
                         doc_filter=doc_filter,
@@ -1275,6 +1337,19 @@ class SearchEngine:
                 fn = self.search_prefix if kind == "prefix" else self.search_wildcard
                 hits = fn(pat, k=size, offset=frm, with_urls=False)
                 total = self._bool_total  # set by _constant_score_hits
+            elif kind == "match_phrase_prefix":
+                _, text = self._leaf_field_text(spec)
+                ((_, mpp_val),) = spec.items()
+                mx = (
+                    int(mpp_val.get("max_expansions", 50))
+                    if isinstance(mpp_val, dict)
+                    else 50
+                )
+                full = self.search_phrase_prefix(
+                    text, k=10**9, max_expansions=mx
+                )
+                total = len(full)
+                hits = full[frm : frm + size]
             elif kind == "match_all":
                 # every live doc, constant score 1.0 (ES match_all),
                 # asc doc_id — one single-column forward read
@@ -1416,6 +1491,115 @@ class SearchEngine:
         if not terms:
             return []
         return self.search(terms, k=k, **kw)
+
+    def analyze(self, text: str) -> list[dict]:
+        """ES ``_analyze`` endpoint parity: the index's analyzer
+        applied to ``text`` — ``[{"token", "position"}]`` in emission
+        order (dedup=False: the exact sequence the indexer writes, the
+        same positions the positional index stores)."""
+        from job_searchengine_project_spark.functions.tokenize import (
+            tokenize_2gram_py,
+            tokenize_morph_py,
+        )
+
+        analyzer = self.stats.get("analyzer", "morph")
+        seq = (
+            tokenize_2gram_py(text)
+            if analyzer == "2gram"
+            else tokenize_morph_py(text, dedup=False)
+        )
+        return [{"token": t, "position": i} for i, t in enumerate(seq)]
+
+    def search_phrase_prefix(
+        self, query: str, k: int = 10, max_expansions: int = 50
+    ) -> list["SearchHit"]:
+        """ES ``match_phrase_prefix`` (search-as-you-type): the query
+        analyzes into an ordered sequence whose LAST token is a
+        prefix — a doc matches iff some start p has term_i at p+i for
+        every fixed term and ANY dictionary term with the prefix at
+        the final position. The prefix expands through the persisted
+        sorted term dictionary (index/termdict.py — range-pruned
+        read), capped at ``max_expansions`` in term order (the ES
+        default 50).
+
+        Scoring contract (documented): constant_score 1.0 per
+        matching doc, asc doc_id — the same multi-term-rewrite family
+        contract as prefix/wildcard (ES scores its own rewrite; the
+        constant form keeps the DuckDB oracle exact). A single-token
+        query degenerates to the prefix query."""
+        from job_searchengine_project_spark.functions.tokenize import (
+            tokenize_2gram_py,
+            tokenize_morph_py,
+        )
+        from job_searchengine_project_spark.index.termdict import prefix_terms
+
+        analyzer = self.stats.get("analyzer", "morph")
+        seq = (
+            tokenize_2gram_py(query)
+            if analyzer == "2gram"
+            else tokenize_morph_py(query, dedup=False)
+        )
+        if not seq:
+            return []
+        expansions = prefix_terms(self.index_dir, seq[-1])[:max_expansions]
+        if not expansions:
+            return []
+        if len(seq) == 1:
+            return self._constant_score_hits(expansions, k)
+        fixed = seq[:-1]
+        uniq = sorted(set(fixed))
+        segs = self.load_segments(uniq + sorted(expansions))
+        if any(t not in segs for t in uniq):
+            return []  # a missing fixed term can never form the phrase
+        exp_present = [t for t in expansions if t in segs]
+        if not exp_present:
+            return []
+        if not all(segs[t].has_positions for t in segs):
+            raise ValueError(
+                "search_phrase_prefix requires build_index(with_positions=True)"
+            )
+        decoded: dict[str, tuple] = {}
+        max_pos = 0
+        max_doc = 0
+        for t, enc in segs.items():
+            docs, tfs = codec.decode_postings(enc)
+            pos = codec.decode_positions(enc, tfs)
+            if pos.size:
+                max_pos = max(max_pos, int(pos.max()))
+            if docs.size:
+                max_doc = max(max_doc, int(docs.max()))
+            decoded[t] = (docs, tfs, pos)
+        M = max_pos + len(seq) + 2
+        if M * (max_doc + 1) >= (1 << 62):
+            raise OverflowError("phrase key space exceeds int64")
+        survivors: np.ndarray | None = None
+        for i, t in enumerate(fixed):
+            docs, tfs, pos = decoded[t]
+            keys = np.repeat(docs, tfs) * M + (pos - i)
+            survivors = (
+                keys if survivors is None else np.intersect1d(survivors, keys)
+            )
+            if survivors.size == 0:
+                return []
+        i_last = len(seq) - 1
+        exp_keys = np.concatenate(
+            [
+                np.repeat(decoded[t][0], decoded[t][1]) * M
+                + (decoded[t][2] - i_last)
+                for t in exp_present
+            ]
+        )
+        matched = np.intersect1d(survivors, np.unique(exp_keys))
+        if matched.size == 0:
+            return []
+        match_docs = np.unique(matched // M)
+        dele = self.tombstones
+        if dele.size:
+            match_docs = match_docs[~np.isin(match_docs, dele)]
+        return [
+            SearchHit(doc_id=int(d), score=1.0)
+            for d in match_docs.tolist()[:k]
+        ]
 
     @staticmethod
     def _slop_chain(pos_lists: list[np.ndarray], slop: int) -> bool:

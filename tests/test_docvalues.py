@@ -850,3 +850,52 @@ def test_terms_subagg_and_percentiles_driver_vs_distributed(spark, dv_index):
         .agg(F.approx_count_distinct("n_chars", 0.02)).collect()[0][0]
     )
     assert abs(approx_cd - exact_cd) <= max(2, 0.05 * exact_cd)
+
+
+def test_fixed_interval_parse_and_date_histogram(spark, dv_index):
+    """ES fixed_interval parsing (ms/s/m/h/d; calendar units refused)
+    and date_histogram over a timestamp sidecar: driver numpy form ==
+    distributed unix_millis groupBy."""
+    import datetime as dt
+
+    from job_searchengine_project_spark.index.build import build_index as _bi
+    from job_searchengine_project_spark.index.sharded import (
+        aggregate_date_histogram_sharded,
+        build_sharded_segments,
+    )
+
+    SE = SearchEngine
+    assert SE.parse_fixed_interval("1d") == 86_400_000
+    assert SE.parse_fixed_interval("12h") == 43_200_000
+    assert SE.parse_fixed_interval("30m") == 1_800_000
+    assert SE.parse_fixed_interval("10s") == 10_000
+    assert SE.parse_fixed_interval("500ms") == 500
+    assert SE.parse_fixed_interval(3600000) == 3_600_000
+    with pytest.raises(ValueError):
+        SE.parse_fixed_interval("1month")  # calendar intervals refused
+
+    out, pages = dv_index
+    root = str(os.path.dirname(out))
+    tsd = os.path.join(root, "idx_ts")
+    if not os.path.exists(os.path.join(tsd, "stats.json")):
+        pages_ts = pages.withColumn(
+            "ts",
+            F.timestamp_millis(
+                (F.lit(1735689600000) + F.col("n_chars").cast("long") * F.lit(3600000))
+            ),
+        )
+        _bi(spark, pages_ts, tsd, target_postings_per_salt=50,
+            term_buckets=8, doc_values=["ts"])
+        build_sharded_segments(spark, tsd, n_shards=3)
+    eng = SearchEngine(tsd)
+    want = eng.aggregate_date_histogram("ts", "1d")
+    got = [
+        (int(r["key"]), int(r["doc_count"]))
+        for r in aggregate_date_histogram_sharded(
+            spark, tsd, "ts", "1d"
+        ).collect()
+    ]
+    assert got == want and sum(c for _, c in want) == 300
+    # keys are day-floored epoch millis
+    assert all(k % 86_400_000 == 0 for k, _ in want)
+    assert dt.datetime.utcfromtimestamp(want[0][0] / 1000).year == 2025

@@ -289,3 +289,69 @@ def test_sharded_phrase_slop_matches_driver(spark, slop_index):
     assert {h["_id"] for h in resp["hits"]["hits"]} == {
         h["_id"] for h in want_dsl["hits"]["hits"]
     }
+
+
+def test_match_phrase_prefix_and_analyze(spark, slop_index):
+    """ES match_phrase_prefix (search-as-you-type): fixed terms in
+    sequence + ANY dictionary term with the prefix at the last
+    position; constant_score family contract (1.0, asc doc_id).
+    Driver engine == hand truth == sharded kernel == both DSL
+    endpoints; the _analyze endpoint emits the indexer's exact
+    token/position sequence."""
+    from job_searchengine_project_spark.index.sharded import (
+        build_sharded_segments,
+        phrase_prefix_docs_sharded,
+        shards_fresh,
+    )
+    from job_searchengine_project_spark.index.termdict import (
+        build_term_dictionary,
+        termdict_fresh,
+    )
+    from job_searchengine_project_spark.search.cluster import query_sharded
+
+    if not termdict_fresh(slop_index):
+        build_term_dictionary(spark, slop_index)
+    if not shards_fresh(slop_index):
+        build_sharded_segments(spark, slop_index, n_shards=3)
+    eng = SearchEngine(slop_index)
+    url_of = {}
+    for h in eng.search_prefix("a", k=100):
+        url_of[h.doc_id] = h.url
+
+    def urls(hits):
+        eng._fetch_urls([h.doc_id for h in hits])
+        return sorted(eng.url_of(h.doc_id) for h in hits)
+
+    cases = {
+        "alpha be": {"s0", "s5"},
+        "alpha ga": {"s1", "s2", "s3"},
+        "ga": {"s0", "s1", "s2", "s3", "s5"},  # degenerate: prefix query
+        "alpha beta ga": {"s0", "s5"},  # s5: alpha@1 beta@2 gamma@3
+        "zz": set(),
+    }
+    for q, want in cases.items():
+        hits = eng.search_phrase_prefix(q, k=100)
+        assert set(urls(hits)) == want, q
+        assert all(h.score == 1.0 for h in hits)
+        got_sh = {
+            r["doc_id"]
+            for r in phrase_prefix_docs_sharded(spark, slop_index, q).collect()
+        }
+        assert got_sh == {h.doc_id for h in hits}, q
+    # DSL parity, driver vs distributed (totals + page)
+    body = {"query": {"match_phrase_prefix": {"b": "alpha be"}}, "size": 5}
+    want_r = eng.query(body)
+    got_r = query_sharded(spark, slop_index, body)
+    assert got_r["hits"]["total"] == want_r["hits"]["total"]
+    assert [h["_id"] for h in got_r["hits"]["hits"]] == [
+        h["_id"] for h in want_r["hits"]["hits"]
+    ]
+    assert want_r["hits"]["total"]["value"] == 2
+    # max_expansions cap is honored (cap 0 -> no expansions -> no hits)
+    assert eng.search_phrase_prefix("alpha be", k=10, max_expansions=0) == []
+    # _analyze endpoint: exact indexer token/position sequence
+    assert eng.analyze("alpha gap1 x beta") == [
+        {"token": "alpha", "position": 0},
+        {"token": "gap1", "position": 1},
+        {"token": "beta", "position": 2},  # 'x' too short: dropped
+    ]
