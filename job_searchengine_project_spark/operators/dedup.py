@@ -505,3 +505,110 @@ ORDER BY doc_a, doc_b
 """
 
 QUERIES["simhash_hamming_pairs"] = (simhash_hamming_pairs, DEDUP_SIMHASH_HAMMING_SQL)
+
+
+# ---- embedding near-dup clustering (connected components) --------------------
+
+
+def embedding_dup_clusters(spark, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup CLUSTERING: the ≥-threshold pair
+    graph (operators/similarity.py ann_threshold_pairs' exact cosine
+    edges) resolved into connected components — the step a
+    training-data pipeline runs after near-dup pair mining, so "keep
+    one doc per duplicate cluster" is one filter
+    (vec_id == component) away. Returns every vector with its
+    component id = the MINIMUM vec_id reachable through the near-dup
+    graph (singletons map to themselves).
+
+    Distributed shape: hash-min label propagation — each round every
+    vertex takes min(own label, neighbors' labels) via one join +
+    groupBy, and the loop stops when a round changes nothing. Rounds
+    are bounded by the component diameter (near-dup clusters are
+    shallow — duplicates of a page link to each other); each round is
+    ONE shuffle join over the edge list, the Pegasus/GraphFrames CC
+    recipe, with localCheckpoint per round so the plan's lineage
+    stays O(1) instead of O(rounds). At 10^12 docs the same loop runs
+    unchanged — the edge list is the LSH/ANN candidate output, never
+    the cross join (the exact pair join here is the oracle-scale
+    form; ann_lsh_bucketed is the scale path for mining the edges).
+
+    Oracle: DuckDB recursive CTE computing min reachable id over the
+    same edges — iterative Spark algebra checked against a
+    declarative transitive closure."""
+    from job_searchengine_project_spark.operators.similarity import (
+        COS_THRESHOLD,
+        _pair_cos,
+        _sides,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    ea, eb = _sides(emb)
+    pairs = (
+        ea.join(eb, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", _pair_cos())
+        .filter(F.col("cos") >= COS_THRESHOLD)
+        .select("id_a", "id_b")
+    )
+    edges = pairs.union(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).localCheckpoint()  # the edge list is reused every round: cut lineage
+    labels = emb.select(
+        F.col("vec_id"), F.col("vec_id").alias("component")
+    ).localCheckpoint()
+    while True:
+        nb_min = (
+            edges.join(
+                labels.select(
+                    F.col("vec_id").alias("id_b"),
+                    F.col("component").alias("nb_comp"),
+                ),
+                "id_b",
+            )
+            .groupBy(F.col("id_a").alias("vec_id"))
+            .agg(F.min("nb_comp").alias("nb_min"))
+        )
+        new_labels = (
+            labels.join(nb_min, "vec_id", "left")
+            .select(
+                "vec_id",
+                F.least(
+                    F.col("component"), F.coalesce("nb_min", F.col("component"))
+                ).alias("component"),
+                (
+                    F.coalesce("nb_min", F.col("component"))
+                    < F.col("component")
+                ).alias("_changed"),
+            )
+        ).localCheckpoint()
+        changed = new_labels.filter(F.col("_changed")).count()
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            break
+    return labels.orderBy("vec_id")
+
+
+EMBEDDING_CLUSTERS_SQL = """
+WITH RECURSIVE
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(list_transform(a.embedding, x -> x::DOUBLE),
+                                     list_transform(b.embedding, x -> x::DOUBLE)), 4) >= 0.4
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS vec_id, min(dst)::BIGINT AS component
+FROM reach GROUP BY src ORDER BY vec_id
+"""
+
+QUERIES["embedding_dup_clusters"] = (embedding_dup_clusters, EMBEDDING_CLUSTERS_SQL)

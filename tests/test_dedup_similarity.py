@@ -124,3 +124,36 @@ def test_ivf_codebook_persists_and_loads(spark, tmp_path, monkeypatch):
     _os.makedirs(_os.path.join(cdir, "centroids"), exist_ok=True)
     assert sim.load_codebook(cdir) is None
     shutil.rmtree(cdir, ignore_errors=True)
+
+
+def test_embedding_cc_chain_propagation(spark, tmp_path):
+    """Hash-min label propagation must traverse MULTI-HOP chains: a
+    4-vector chain (adjacent cosine 0.5, skip cosine -0.5) collapses
+    to one component only after >= 3 rounds; an isolated vector stays
+    its own singleton component."""
+    import math
+
+    from job_searchengine_project_spark.operators.dedup import (
+        embedding_dup_clusters,
+    )
+
+    def unit(deg):
+        r = math.radians(deg)
+        return [float(math.cos(r)), float(math.sin(r))]
+
+    rows = [
+        (0, unit(0)), (1, unit(60)), (2, unit(120)), (3, unit(180)),
+        (4, unit(270)),  # cos vs every chain member <= 0 -> singleton
+    ]
+    sf = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(sf)
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).write.parquet(f"{sf}/embeddings.parquet")
+    got = [
+        (r["vec_id"], r["component"])
+        for r in embedding_dup_clusters(spark, sf).collect()
+    ]
+    assert got == [(0, 0), (1, 0), (2, 0), (3, 0), (4, 4)]
