@@ -85,6 +85,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # every run regardless of this ordering.
 _CHECK_FIRST = [
     # new in round 5
+    "msearch_top5",
     "embedding_dup_clusters",
     "date_histogram_agg",
     "date_histogram_agg_sharded",

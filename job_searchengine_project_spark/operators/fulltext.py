@@ -1712,6 +1712,80 @@ def dsl_sharded_search_after(spark, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "doc_id bigint, score double")
 
 
+MS_Q1 = QUERY_TERMS
+MS_Q2 = ["join", "table"]
+MS_K = 5
+
+
+def msearch_top5(spark, sf_dir: str) -> DataFrame:
+    """ES _msearch over the sharded layout: two match bodies answered
+    in TWO distributed passes total (shared-scan batch scoring kernel
+    + one-pass tagged exact totals) instead of two full per-query
+    round trips. Oracle: per-query BM25 CTEs over shared token stats,
+    union + window top-5."""
+    from job_searchengine_project_spark.search.cluster import msearch_sharded
+
+    idx = _sharded_index_for(spark, sf_dir)
+    bodies = [
+        {"query": {"match": {"body": " ".join(MS_Q1)}}, "size": 20 * K},
+        {"query": {"match": {"body": " ".join(MS_Q2)}}, "size": 20 * K},
+    ]
+    resp = msearch_sharded(spark, idx, bodies, max_result_window=20 * K)
+    rows = []
+    for qi, r in enumerate(resp["responses"], start=1):
+        docs = sorted(
+            (
+                (int(h["_id"].split("doc://")[1]), round(h["_score"], 4))
+                for h in r["hits"]["hits"]
+            ),
+            key=lambda t: (-t[1], t[0]),
+        )[:MS_K]
+        rows += [(f"q{qi}", d, s) for d, s in docs]
+    return spark.createDataFrame(
+        rows, "query_id string, doc_id bigint, score double"
+    )
+
+
+def _msearch_sql() -> str:
+    def block(n, terms):
+        ts = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+        return f"""
+tf{n} AS (SELECT doc_id, term, count(*) AS tf FROM toks
+         WHERE term IN ({ts}) GROUP BY doc_id, term),
+dft{n} AS (SELECT term, count(*) AS df FROM tf{n} GROUP BY term),
+s{n} AS (
+  SELECT tf.doc_id,
+         round(sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+             * (tf.tf / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.doclen / s.avgdl)))), 4) AS score
+  FROM tf{n} tf JOIN dft{n} d USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)"""
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.tok AS term
+  FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+  WHERE length(t.tok) > 1
+),
+dl AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(doclen) AS avgdl FROM dl),
+{block(1, MS_Q1).lstrip()},
+{block(2, MS_Q2).lstrip()},
+u AS (
+  SELECT 'q1' AS query_id, doc_id, score FROM s1
+  UNION ALL
+  SELECT 'q2', doc_id, score FROM s2
+),
+rk AS (
+  SELECT u.*, row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, doc_id
+  ) AS rn FROM u
+)
+SELECT query_id, doc_id, score FROM rk WHERE rn <= {MS_K}
+ORDER BY query_id, score DESC, doc_id
+"""
+
+
 # ---- ES fuzzy match ----------------------------------------------------------
 
 FUZZY_PROBES = ["sprk", "datt"]  # misspellings: expand to spark / data
@@ -2095,6 +2169,7 @@ QUERIES = {
     "dsl_bool_top10": (dsl_bool_top10, _bool_sql(K)),
     "dsl_sharded_top10": (dsl_sharded_top10, _bool_sql(K)),
     "dsl_sharded_search_after": (dsl_sharded_search_after, _bm25_sql(QUERY_TERMS, 2 * K)),
+    "msearch_top5": (msearch_top5, _msearch_sql()),
     "range_filter_top10": (range_filter_top10, _range_filter_sql(K)),
     "bool_sharded_filter_top10": (bool_sharded_filter_top10, _broad_filter_sql(K)),
     "fuzzy_sharded_top10": (fuzzy_sharded_top10, _fuzzy_sql(K)),

@@ -30,6 +30,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+DEFAULT_MAX_RESULT_WINDOW = 10_000  # the ES index.max_result_window default
+
+
 def _stats(index_dir: str) -> dict:
     """Top-level stats.json, or {} for a FIELDED index dir (stats live
     per sub-index there; field-routed paths read their own)."""
@@ -429,6 +432,128 @@ def _hits_and_scope(
     raise ValueError(f"unsupported query kind: {kind!r}")
 
 
+def match_counts_sharded_batch(
+    spark: SparkSession, index_dir: str, terms_by_qid: dict[str, list[str]]
+) -> dict[str, int]:
+    """Exact live match totals for B term sets in ONE pass: each
+    pushed-down segment row decodes once and emits its doc ids for
+    every query containing that term (tiny broadcast term->qids map),
+    then one distinct + groupBy — B totals for one scan instead of B
+    scans."""
+    import pandas as pd
+
+    from job_searchengine_project_spark.index.sharded import (
+        _enc_from_row,
+        _load_meta,
+    )
+
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        _load_meta(index_dir, json.load(f))  # refuse stale shards
+    term_qids: dict[str, list[str]] = {}
+    for qid, terms in terms_by_qid.items():
+        for t in set(terms):
+            term_qids.setdefault(t, []).append(qid)
+    if not term_qids:
+        return {qid: 0 for qid in terms_by_qid}
+    seg = (
+        spark.read.parquet(os.path.join(index_dir, "shards"))
+        .filter(F.col("term").isin(sorted(term_qids)))
+    )
+    bc = spark.sparkContext.broadcast(term_qids)
+
+    def decode_tagged(batches):
+        from job_searchengine_project_spark.index import codec
+
+        for pdf in batches:
+            for r in pdf.itertuples():
+                docs, _ = codec.decode_postings(_enc_from_row(r))
+                for qid in bc.value.get(str(r.term), ()):
+                    yield pd.DataFrame({"query_id": qid, "doc_id": docs})
+
+    hits = seg.mapInPandas(
+        decode_tagged, schema="query_id string, doc_id long"
+    ).distinct()
+    tomb_dir = os.path.join(index_dir, "deleted")
+    if os.path.isdir(tomb_dir):
+        hits = hits.join(
+            spark.read.parquet(tomb_dir).select("doc_id").distinct(),
+            "doc_id",
+            "left_anti",
+        )
+    counts = {
+        r["query_id"]: int(r["n"])
+        for r in hits.groupBy("query_id").agg(F.count("*").alias("n")).collect()
+    }
+    return {qid: counts.get(qid, 0) for qid in terms_by_qid}
+
+
+def msearch_sharded(
+    spark: SparkSession,
+    index_dir: str,
+    bodies: list[dict],
+    max_result_window: int = DEFAULT_MAX_RESULT_WINDOW,
+) -> dict:
+    """ES ``_msearch`` over the sharded layout: B request bodies, one
+    response list. Plain relevance-ordered ``match`` bodies (no
+    from/sort/aggs/cursor/highlight) answer in TWO distributed passes
+    total — the batch kernel scores every query over shared decoded
+    state (index/sharded.py search_sharded_batch: per-query marginal
+    cost is the scoring loop, not the scan/shuffle) and the tagged
+    one-pass counter supplies exact totals — instead of 2B separate
+    jobs. Anything fancier falls back to per-body query_sharded
+    (identical responses either way — tested)."""
+    def _simple(b: dict) -> bool:
+        if set(b) - {"query", "size"}:
+            return False
+        q = b.get("query") or {}
+        return len(q) == 1 and next(iter(q)) == "match"
+
+    if not all(_simple(b) for b in bodies):
+        return {
+            "responses": [
+                query_sharded(spark, index_dir, b, max_result_window)
+                for b in bodies
+            ]
+        }
+    from job_searchengine_project_spark.index.sharded import (
+        search_sharded_batch,
+    )
+
+    stats = _stats(index_dir)
+    terms_by_qid = {}
+    sizes = {}
+    for i, b in enumerate(bodies):
+        qid = str(i)
+        terms_by_qid[qid] = _analyze(stats, _leaf_field_text(b["query"]["match"])[1])
+        sizes[qid] = int(b.get("size", 10))
+    k = max(1, max(sizes.values()))
+    if k > max_result_window:
+        raise ValueError(
+            f"size = {k} exceeds max_result_window ({max_result_window})"
+        )
+    rows = search_sharded_batch(spark, index_dir, terms_by_qid, k=k).collect()
+    by_qid: dict[str, list] = {}
+    for r in rows:
+        by_qid.setdefault(r["query_id"], []).append(r)
+    totals = match_counts_sharded_batch(spark, index_dir, terms_by_qid)
+    responses = []
+    for i in range(len(bodies)):
+        qid = str(i)
+        page = by_qid.get(qid, [])[: sizes[qid]]
+        responses.append(
+            {
+                "hits": {
+                    "total": {"value": totals[qid], "relation": "eq"},
+                    "hits": [
+                        {"_id": r["url"], "_score": float(r["score"])}
+                        for r in page
+                    ],
+                }
+            }
+        )
+    return {"responses": responses}
+
+
 def count_sharded(spark: SparkSession, index_dir: str, body: dict) -> dict:
     """ES `_count` distributed: the exact live match count as one
     DataFrame count over the hit-set algebra."""
@@ -551,9 +676,6 @@ def _apply_highlight(
                 h["highlight"][fname] = [
                     SearchEngine.highlight_text(text, terms, pre, post)
                 ]
-
-DEFAULT_MAX_RESULT_WINDOW = 10_000  # the ES index.max_result_window default
-
 
 def _is_cursor_sort(sort_spec) -> bool:
     """True for the canonical cursor-able relevance sort

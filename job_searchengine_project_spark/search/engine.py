@@ -325,6 +325,67 @@ class SearchEngine:
         out["_source"] = row
         return out
 
+    def mget(self, urls: list[str]) -> dict:
+        """ES ``_mget`` parity (_id = url): the requested ids group by
+        docstore bucket so each bucket is read ONCE with an `isin`
+        row-group-pruned filter — N point reads collapse to
+        (distinct buckets) scans, the ES shard-grouped multi-get
+        shape. Response order matches the request; each doc is the
+        same shape ``get()`` returns."""
+        from job_searchengine_project_spark.index.tombstone import is_deleted
+
+        if not self.stats.get("store_fields"):
+            raise ValueError("mget() requires an index built with store_fields")
+        nb = int(self.stats.get("stored_buckets", 64))
+        by_bucket: dict[int, list[str]] = {}
+        for u in urls:
+            by_bucket.setdefault(_term_bucket_py(u, nb), []).append(u)
+        found: dict[str, dict] = {}
+        want = set(urls)
+        for b, us in by_bucket.items():
+            bucket_dir = os.path.join(self.index_dir, "stored", f"sbucket={b}")
+            if not os.path.isdir(bucket_dir):
+                continue
+            tbl = pads.dataset(bucket_dir).to_table(
+                filter=pads.field("url").isin(sorted(set(us)))
+            )
+            for row in tbl.to_pylist():
+                u = row["url"]
+                if u not in want:
+                    continue
+                prev = found.get(u)
+                if prev is None or (row.get("_gen") or 0) >= (
+                    prev.get("_gen") or 0
+                ):
+                    found[u] = row
+        dele = self.tombstones
+        if dele.size and found:
+            t = self._forward_ds().to_table(
+                columns=["doc_id", "url"],
+                filter=pads.field("url").isin(sorted(found)),
+            )
+            live_by_url: dict[str, bool] = {}
+            for d, u in zip(
+                t.column("doc_id").to_numpy(), t.column("url").to_pylist()
+            ):
+                live_by_url[u] = live_by_url.get(u, False) or not is_deleted(
+                    dele, int(d)
+                )
+            for u in list(found):
+                if not live_by_url.get(u, False):
+                    del found[u]  # every version tombstoned
+        docs = []
+        for u in urls:
+            row = found.get(u)
+            if row is None:
+                docs.append({"_id": u, "found": False})
+            else:
+                row = dict(row)
+                row.pop("_gen", None)
+                row.pop("sbucket", None)
+                docs.append({"_id": u, "found": True, "_source": row})
+        return {"docs": docs}
+
     def _fetch_urls(self, doc_ids: list[int]) -> None:
         """Memoized batch point-lookup — NEVER loads the whole url
         column. Doc ids are assigned densely per hash bucket and the

@@ -443,3 +443,54 @@ def test_query_sharded_cursor_pagination_and_window(spark, morph_index):
             spark, morph_index,
             {"query": {"match": {"b": "spark"}}, "search_after": [1.0, 3]},
         )
+
+
+def test_msearch_batch_and_mget(spark, morph_index):
+    """ES _msearch: the all-match batch path (2 distributed passes for
+    B bodies) returns byte-identical responses to per-body
+    query_sharded; mixed batches fall back per body. ES _mget groups
+    ids by docstore bucket (one pruned read per bucket) and matches
+    get() per id, missing ids report found=false in request order."""
+    from job_searchengine_project_spark.index.sharded import (
+        build_sharded_segments,
+        shards_fresh,
+    )
+    from job_searchengine_project_spark.search.cluster import (
+        msearch_sharded,
+        query_sharded,
+    )
+
+    if not shards_fresh(morph_index):
+        build_sharded_segments(spark, morph_index, n_shards=4)
+    simple = [
+        {"query": {"match": {"b": "데이터엔지니어 개발자"}}, "size": 6},
+        {"query": {"match": {"b": "spark"}}, "size": 4},
+        {"query": {"match": {"b": "zzz_nope"}}, "size": 3},
+    ]
+    got = msearch_sharded(spark, morph_index, simple)
+    want = [query_sharded(spark, morph_index, b) for b in simple]
+    for g, w in zip(got["responses"], want):
+        assert g["hits"]["total"] == w["hits"]["total"]
+        assert [(h["_id"], round(h["_score"], 9)) for h in g["hits"]["hits"]] == [
+            (h["_id"], round(h["_score"], 9)) for h in w["hits"]["hits"]
+        ]
+    # a non-simple body in the batch -> per-body fallback, same answers
+    mixed = simple[:1] + [
+        {"query": {"bool": {"must": [{"match": {"b": "spark"}}]}}, "size": 5}
+    ]
+    gm = msearch_sharded(spark, morph_index, mixed)
+    wm = [query_sharded(spark, morph_index, b) for b in mixed]
+    for g, w in zip(gm["responses"], wm):
+        assert g["hits"]["total"] == w["hits"]["total"]
+
+    eng = SearchEngine(morph_index)
+    some = [h.url for h in eng.search(["데이터엔지니어"], k=3, with_urls=True)]
+    urls = [some[1], "doc://nope", some[0], some[2]]
+    resp = eng.mget(urls)
+    assert [d["_id"] for d in resp["docs"]] == urls  # request order kept
+    for d in resp["docs"]:
+        single = eng.get(d["_id"])
+        assert d["found"] == single["found"]
+        if d["found"]:
+            assert d["_source"] == single["_source"]
+    assert not resp["docs"][1]["found"]
