@@ -1302,6 +1302,18 @@ class SearchEngine:
                     ]
                 }
         resp = self._query_response(hits, total, aggregations)
+        if body.get("explain"):
+            # ES explain=true: per-hit score breakdown. The scoring
+            # match terms (match leaves, fuzzy expansions, bool
+            # scoring clauses) drive the per-term BM25 audit; parts
+            # sum in sorted-term order, bit-identical to the ranked
+            # score for single-clause queries (tested).
+            ex_terms = self._query_match_terms(q)
+            by_url = {h.url: h.doc_id for h in hits}
+            for entry in resp["hits"]["hits"]:
+                d = by_url.get(entry["_id"])
+                if d is not None:
+                    entry["_explanation"] = self.explain(d, ex_terms)
         hl = body.get("highlight")
         if hl:
             # ES highlight over the page's stored fields (requires

@@ -522,3 +522,22 @@ def test_term_dictionary_prefix_wildcard(spark, eng):
         prefix_terms(out, "zz")
     build_term_dictionary(spark, out)
     assert "zzqnewterm" in prefix_terms(out, "zzq")
+
+
+def test_dsl_explain_true(eng):
+    """ES explain=true in the request body: every page hit carries an
+    _explanation whose parts sum to the hit's _score exactly (single
+    match clause — the ranked kernel and the explain audit share the
+    sorted-term float order)."""
+    body = {"query": {"match": {"b": f"{T_A} {T_B}"}},
+            "size": 5, "explain": True}
+    resp = eng.query(body)
+    assert resp["hits"]["hits"]
+    for h in resp["hits"]["hits"]:
+        ex = h["_explanation"]
+        assert ex["matched"]
+        assert ex["score"] == h["_score"]
+        assert sum(p["part"] for p in ex["terms"].values()) == h["_score"]
+    # explain off -> no _explanation key
+    plain = eng.query({"query": {"match": {"b": T_A}}, "size": 2})
+    assert all("_explanation" not in h for h in plain["hits"]["hits"])
