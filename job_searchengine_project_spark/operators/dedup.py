@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from job_searchengine_project_spark.iolayout import read_spread
+
 # ---- shared tokenization (must match the SQL fragments verbatim) -----------
 
 def TOKS():
@@ -73,7 +75,7 @@ def dedup_exact(spark, sf_dir: str) -> DataFrame:
     Reference analog: msgid SADD dedup (collector/collector.py:149-187)
     as a hash-shuffle groupBy instead of a Redis set.
     """
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_spread(spark, f"{sf_dir}/documents.parquet")
     dup = docs.filter(F.col("doc_id") < 100).withColumn(
         "doc_id", F.col("doc_id") + F.lit(1_000_000)
     )
@@ -112,77 +114,66 @@ LSH_BANDS = 4  # 3 rows per band
 JACCARD_THRESHOLD = 0.8
 
 
-def _shingle_ids(docs: DataFrame) -> DataFrame:
-    """(doc_id, h): distinct 16-hex-char shingle ids per doc.
-
-    Shingle STRINGS are hashed to fixed 16-byte ids MAP-SIDE, before
-    any exchange — the distinct, the signature join, and the exact-
-    Jaccard set arithmetic all move ids, never raw n-gram text (at web
-    scale the raw shingle column is the widest thing in this plan).
-    The id is md5-derived so DuckDB reproduces it exactly; a 64-bit
-    prefix collision would have to be identical in both engines."""
-    return (
-        docs.withColumn("ss", TOKS())
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    _shingles(F.col("ss")),
-                    lambda sgl: F.substring(F.md5(sgl), 1, 16),
-                )
-            ).alias("h"),
-        )
-        .distinct()
-    )
-
-
-def _minhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, sig array<string>): sig[i] = lexicographic min of
-    substr(md5(i || '#' || h), 1, 16) over the doc's distinct shingle
-    ids h.
-
-    The K hashes are computed once per DISTINCT shingle id (they
-    repeat heavily across near-dup docs), then per-doc signatures are
-    elementwise array minima — no docs x shingles x K row explosion,
-    and every shuffled value is a fixed 16-byte id."""
-    sh = _shingle_ids(docs)
-    ssig = sh.select("h").distinct().withColumn(
-        "mhs",
-        F.transform(
-            F.sequence(F.lit(0), F.lit(MINHASH_K - 1)),
-            lambda i: F.substring(
-                F.md5(F.concat(i.cast("string"), F.lit("#"), F.col("h"))), 1, 16
-            ),
-        ),
-    )
-    top = F.array_repeat(F.lit("g"), MINHASH_K)  # > any md5 hex char
-    return (
-        sh.join(ssig, "h")
-        .groupBy("doc_id")
-        .agg(
-            F.aggregate(
-                F.collect_list("mhs"),
-                top,
-                lambda acc, x: F.zip_with(acc, x, lambda a, b: F.least(a, b)),
-            ).alias("sig")
-        )
-    )
-
-
 def dedup_minhash_lsh(spark, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs, exact-Jaccard verified.
 
     shingle -> K minhashes -> band buckets (md5 of the band's hashes)
     -> bucket self-join for candidates -> exact Jaccard over distinct
     shingle sets -> keep >= 0.8. Output (doc_a, doc_b, jaccard).
+
+    Plan shape: signatures are computed entirely MAP-SIDE as per-doc
+    array expressions — sig[i] = array_min over the doc's shingle ids
+    of md5(i#h), identical values to a min over the corpus-wide
+    distinct-shingle table (min over a multiset == min over its set;
+    likewise array_intersect/array_union dedup their inputs, so the
+    exact-Jaccard step needs no per-doc distinct either) — the old
+    explode->distinct->join->fold pipeline (two full shuffles of the
+    shingle rows plus an interpreted per-doc fold) collapses to zero
+    shuffles before the tiny band self-join. The shingle-less-doc
+    gate is the CHEAP token-count predicate (pushable to the scan
+    without dragging the md5 tree below the exchange — a size(ss)
+    filter was being pushed under the repartition and re-evaluated
+    the whole shingle expression serially). The per-doc shingle-id
+    table and the band table are localCheckpoint'ed once per
+    invocation so the self-join sides and both verify sides reuse
+    them instead of re-deriving the md5 transforms 2-4x. (Trade
+    documented: map-side recomputes duplicate shingles' md5s — K
+    hashes per shingle INSTANCE instead of per distinct shingle — in
+    exchange for removing two corpus-wide shuffles; the md5s are
+    embarrassingly parallel while the shuffles are the bottleneck.)
     """
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    sig = _minhash_signatures(docs)
+    docs = read_spread(spark, f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    # (doc_id, ss): 16-hex shingle ids per doc — the one derived
+    # table every later step (bands, both verify sides) reads.
+    # < 3 tokens -> no shingles -> never banded (same as before).
+    base = (
+        docs.filter(F.size(TOKS()) >= 3)
+        .withColumn("toks", TOKS())
+        .select(
+            "doc_id",
+            F.transform(
+                _shingles(F.col("toks")),
+                lambda sgl: F.substring(F.md5(sgl), 1, 16),
+            ).alias("ss"),
+        )
+        .localCheckpoint()
+    )
+    sig_col = F.transform(
+        F.sequence(F.lit(0), F.lit(MINHASH_K - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                F.col("ss"),
+                lambda h: F.substring(
+                    F.md5(F.concat(i.cast("string"), F.lit("#"), h)), 1, 16
+                ),
+            )
+        ),
+    )
     rows_per_band = MINHASH_K // LSH_BANDS
-    bands = sig.select(
+    bands = base.select("doc_id", sig_col.alias("sig")).select(
         "doc_id",
-        "sig",
         F.explode(F.sequence(F.lit(0), F.lit(LSH_BANDS - 1))).alias("band"),
+        "sig",
     ).select(
         "doc_id",
         "band",
@@ -192,7 +183,7 @@ def dedup_minhash_lsh(spark, sf_dir: str) -> DataFrame:
                 F.slice(F.col("sig"), F.col("band") * rows_per_band + 1, F.lit(rows_per_band)),
             )
         ).alias("bh"),
-    )
+    ).localCheckpoint()  # both self-join sides read it; sig computed once
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), (F.col("x.band") == F.col("y.band")) & (F.col("x.bh") == F.col("y.bh")))
@@ -200,17 +191,9 @@ def dedup_minhash_lsh(spark, sf_dir: str) -> DataFrame:
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    shsets = docs.withColumn("toks", TOKS()).select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(
-                _shingles(F.col("toks")), lambda sgl: F.substring(F.md5(sgl), 1, 16)
-            )
-        ).alias("ss"),
-    )
     return (
-        cand.join(shsets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("ss", "sa"), "doc_a")
-        .join(shsets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("ss", "sb"), "doc_b")
+        cand.join(base.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("sa")), "doc_a")
+        .join(base.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("sb")), "doc_b")
         .withColumn(
             "jaccard",
             F.round(
@@ -269,7 +252,7 @@ def dedup_ngram_jaccard(spark, sf_dir: str) -> DataFrame:
     index style), not a blind cross join, so only docs sharing at
     least one shingle pair up.
     """
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs = read_spread(spark, f"{sf_dir}/documents.parquet").select("doc_id", "text")
     sh = (
         docs.withColumn("ss", TOKS())
         .select("doc_id", F.explode(_shingles(F.col("ss"))).alias("s"))
@@ -323,46 +306,51 @@ def dedup_simhash(spark, sf_dir: str) -> DataFrame:
     bit_j(token) = j-th bit of the token's md5 (4 bits per hex char);
     signature bit j = majority sign of sum over tokens of (2*bit-1).
     Output (doc_id, simhash_hi, simhash_lo): bits 30-59 / 0-29.
+
+    Plan shape: the signature is pure per-doc math (sum of the doc's
+    DISTINCT tokens' md5-derived ±1 bit vectors — integer sums, so
+    order-free and exact), so it runs entirely MAP-SIDE in one
+    vectorized Arrow kernel: tokens dedup per doc in the kernel,
+    digests unpack to bit matrices with numpy, no token explode, no
+    corpus-wide distinct shuffle, no vocabulary join. bit_j(token) is
+    the j-th bit of md5(token) MSB-first — numerically identical to
+    the hex-nibble arithmetic the SQL oracle spells out. (The old
+    explode->distinct->join->sum plan paid two shuffles of the token
+    rows; the md5 recomputation for repeated tokens is embarrassingly
+    parallel and far cheaper than the shuffles at any scale.)
     """
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    tok = docs.select("doc_id", F.explode(TOKS()).alias("tok")).distinct()
-    # ±1 bit vector per DISTINCT token (md5 nibble parity), computed
-    # once — then per-doc elementwise array sums. Avoids exploding
-    # docs x tokens x 60 bits into rows. The vocabulary join is NOT
-    # broadcast-hinted: at web scale the distinct-token table is
-    # billions of rows; a plain shuffle join (AQE may still broadcast
-    # a genuinely small side at runtime) keeps the plan valid at any
-    # vocabulary size.
-    sig = tok.select("tok").distinct().withColumn(
-        "bits",
-        F.expr(
-            f"transform(sequence(0, {SIMHASH_BITS - 1}), j -> "
-            "(shiftright(instr('0123456789abcdef', "
-            "substring(md5(tok), cast(j / 4 as int) + 1, 1)) - 1, "
-            "cast(3 - j % 4 as int)) % 2) * 2 - 1)"
-        ),
-    )
-    summed = (
-        tok.join(sig, "tok")
-        .groupBy("doc_id")
-        .agg(
-            F.aggregate(
-                F.collect_list("bits"),
-                F.expr(f"array_repeat(0, {SIMHASH_BITS})"),
-                lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
-            ).alias("v")
-        )
-    )
-    return summed.select(
-        "doc_id",
-        F.expr(
-            "aggregate(sequence(30, 59), 0L, (a, j) -> "
-            "a + CASE WHEN v[j] > 0 THEN shiftleft(1L, cast(j - 30 as int)) ELSE 0L END)"
-        ).alias("simhash_hi"),
-        F.expr(
-            "aggregate(sequence(0, 29), 0L, (a, j) -> "
-            "a + CASE WHEN v[j] > 0 THEN shiftleft(1L, cast(j as int)) ELSE 0L END)"
-        ).alias("simhash_lo"),
+    import pandas as pd
+
+    docs = read_spread(spark, f"{sf_dir}/documents.parquet").select("doc_id", "text")
+
+    def _simhash_kernel(batches):
+        import hashlib
+
+        import numpy as np
+
+        for pdf in batches:
+            ids, his, los = [], [], []
+            weights = 1 << np.arange(SIMHASH_BITS, dtype=np.int64)
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = set((text or "").split(" "))
+                digest = b"".join(
+                    hashlib.md5(t.encode("utf-8")).digest()[:8] for t in toks
+                )
+                arr = np.frombuffer(digest, dtype=np.uint8).reshape(-1, 8)
+                # md5 hex chars are the digest's nibbles MSB-first, so
+                # bit j == unpacked bit j of the raw digest
+                bits = np.unpackbits(arr, axis=1)[:, :SIMHASH_BITS]
+                sums = (bits.astype(np.int64) * 2 - 1).sum(axis=0)
+                packed = ((sums > 0) * weights)
+                ids.append(doc_id)
+                his.append(int(packed[30:60].sum()) >> 30)
+                los.append(int(packed[:30].sum()))
+            yield pd.DataFrame(
+                {"doc_id": ids, "simhash_hi": his, "simhash_lo": los}
+            )
+
+    return docs.mapInPandas(
+        _simhash_kernel, schema="doc_id long, simhash_hi long, simhash_lo long"
     ).orderBy("doc_id")
 
 
@@ -541,7 +529,7 @@ def embedding_dup_clusters(spark, sf_dir: str) -> DataFrame:
         _sides,
     )
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    emb = read_spread(spark, f"{sf_dir}/embeddings.parquet").select(
         "vec_id", "embedding"
     )
     ea, eb = _sides(emb)

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from job_searchengine_project_spark import BM25_B, BM25_K1
+from job_searchengine_project_spark.iolayout import read_spread
 
 
 def _doc_images(docs: DataFrame) -> DataFrame:
@@ -52,7 +53,7 @@ FROM documents
 
 
 def ocr_enrichment(spark, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs = read_spread(spark, f"{sf_dir}/documents.parquet").select("doc_id", "text")
     imgs = _doc_images(docs)
     # OCR results exist for ~15/16 of images (the gate probe); the
     # predicate is the hash's first nibble — portable to the SQL oracle
@@ -117,7 +118,7 @@ MORPH_QUERY = ["spark", "table", "window", "stream"]
 def bm25_morph_topk(spark, sf_dir: str) -> DataFrame:
     """Multi-term similarity search over the deduplicated morph field
     (keyword postings: tf=1), BM25-scored, top-10."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs = read_spread(spark, f"{sf_dir}/documents.parquet").select("doc_id", "text")
     morph = docs.select(
         "doc_id",
         F.explode(
@@ -167,7 +168,7 @@ SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 10
 
 def scalar_functions(spark, sf_dir: str) -> DataFrame:
     """F7 shard prefix + F8 timestamp naming + F10 template substitution."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = read_spread(spark, f"{sf_dir}/events.parquet")
     h = F.md5(F.col("props"))
     return ev.select(
         "event_id",
@@ -197,7 +198,7 @@ def urljoin_udf(base: pd.Series, href: pd.Series) -> pd.Series:
 
 
 def url_normalize(spark, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_spread(spark, f"{sf_dir}/documents.parquet")
     base = F.concat(F.lit("https://example-"), F.col("source"), F.lit(".test/list/index.html"))
     href = F.when(
         F.col("doc_id") % 3 == 0,
@@ -241,7 +242,7 @@ def xpath_projection(spark, sf_dir: str) -> DataFrame:
     <reward>); docs with doc_id % 7 == 0 omit <title> and are REJECTED
     (the reference raises on missing required fields).
     """
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_spread(spark, f"{sf_dir}/documents.parquet")
     xml = F.concat(
         F.lit("<job><company>co_"), F.col("source"), F.lit("</company>"),
         F.when(F.col("doc_id") % 7 != 0,

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from job_searchengine_project_spark import BM25_B, BM25_K1
+from job_searchengine_project_spark.iolayout import read_spread
 
 QUERY_TERMS = ["spark", "data", "table"]
 K = 10
@@ -34,7 +35,9 @@ def _tokens(docs: DataFrame) -> DataFrame:
 
 
 def _bm25_scored(spark, sf_dir: str, terms: list[str]) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    # spread the (often single-row-group) documents scan before the
+    # token explode so tokenization parallelizes (iolayout.read_spread)
+    docs = read_spread(spark, f"{sf_dir}/documents.parquet").select("doc_id", "text")
     toks = _tokens(docs)
     dl = toks.groupBy("doc_id").agg(F.count("*").alias("doclen"))
     stats = dl.agg(F.count("*").alias("n"), F.avg("doclen").alias("avgdl")).collect()[0]
@@ -111,7 +114,7 @@ def bm25_top10(spark, sf_dir: str) -> DataFrame:
 
 def term_df_top20(spark, sf_dir: str) -> DataFrame:
     """Document frequency per term, top 20 (the build's df aggregation)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs = read_spread(spark, f"{sf_dir}/documents.parquet").select("doc_id", "text")
     return (
         _tokens(docs)
         .distinct()
@@ -1211,6 +1214,9 @@ def range_filter_top10(spark, sf_dir: str) -> DataFrame:
             }
         },
         "size": 10**7,
+        # only ids/scores are consumed: _source off skips the
+        # full-hit-set docstore read (ES request parity)
+        "_source": False,
     }
     resp = eng.query(body)
     rows = sorted(
@@ -1267,6 +1273,7 @@ def sort_by_field_top10(spark, sf_dir: str) -> DataFrame:
             "sort": [{"n_chars": {"order": "desc"}}],
             "size": 10**7,  # all matches: the engine tie-breaks on its
             # INTERNAL doc ids; re-rank on the table ids like the oracle
+            "_source": False,  # only ids + sort values are consumed
         }
     )
     rows = sorted(
@@ -1630,6 +1637,7 @@ def dsl_bool_top10(spark, sf_dir: str) -> DataFrame:
             }
         },
         "size": 10**7,
+        "_source": False,  # only ids/scores are consumed
     }
     resp = eng.query(body)
     rows = sorted(

@@ -13,10 +13,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from job_searchengine_project_spark.iolayout import read_spread
+
 
 # J1 — dedup anti-join (new msgids vs seen set; collector.py:149-187)
 def anti_join_new_docs(spark, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_spread(spark, f"{sf_dir}/documents.parquet")
     seen = docs.filter(F.col("doc_id") % 3 == 0).select(
         F.sha2(F.col("text"), 256).alias("h")
     )

@@ -38,8 +38,13 @@ from __future__ import annotations
 import hashlib
 import os
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from job_searchengine_project_spark.iolayout import read_spread
 
 N_QUERY = 10  # query vectors: vec_id < N_QUERY
 TOP_K = 5
@@ -65,7 +70,55 @@ TWIN_MIX = 0.35  # twin = a + TWIN_MIX * next(a): cos(twin, a) ~ 0.94
 DIM = 64
 
 
+def _np_mat(series) -> "object":
+    """pd.Series of fixed-dim array values -> (n, D) float64 matrix.
+    float32 -> float64 widening is exact, matching Spark's
+    ``x.cast("double")``."""
+    import numpy as np
+
+    return np.array(series.tolist(), dtype=np.float64)
+
+
+def _fold_dot_np(x, y):
+    """Left-fold dot product, one numpy mul+add per dimension IN
+    ORDER: acc = (((x0*y0) + x1*y1) + ...) — the exact IEEE operation
+    sequence of the old interpreted expression
+    ``aggregate(zip_with(a, b, *), 0.0, +)``, so every produced
+    double is BIT-IDENTICAL to the expression form (tested), at
+    vectorized-numpy speed instead of per-element Catalyst
+    interpretation (guide §4.2: hand whole batches to native code)."""
+    import numpy as np
+
+    acc = np.zeros(x.shape[0])
+    for d in range(x.shape[1]):
+        acc += x[:, d] * y[:, d]
+    return acc
+
+
+@F.pandas_udf(T.DoubleType())
+def _dot_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    if len(a) == 0:
+        return pd.Series([], dtype="float64")
+    return pd.Series(_fold_dot_np(_np_mat(a), _np_mat(b)))
+
+
+@F.pandas_udf(T.DoubleType())
+def _norm_udf(a: pd.Series) -> pd.Series:
+    import numpy as np
+
+    if len(a) == 0:
+        return pd.Series([], dtype="float64")
+    x = _np_mat(a)
+    return pd.Series(np.sqrt(_fold_dot_np(x, x)))
+
+
 def _dot(a, b):
+    """Interpreted-expression left-fold dot. Kept for the ALL-PAIRS
+    oracle paths: their non-equi joins execute as cartesian products,
+    where an ArrowEvalPython input is re-evaluated per partition PAIR
+    and every tiny cartesian task pays a Python round-trip — there the
+    per-row JVM expression wins. Equi-join paths with large pair
+    counts use _dot_udf (bit-identical values, see _fold_dot_np)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -83,27 +136,31 @@ def _cosine(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
-def _sides(emb: DataFrame):
+def _sides(emb: DataFrame, fast: bool = False):
     """Pair-scoring sides with the norm precomputed PER VECTOR before
     the join: higher-order aggregates don't codegen, so computing
     norms inside the pair expression costs 3 interpreted folds per
     PAIR; hoisting them makes it 1 fold per pair + 1 per vector.
-    Identical floats — same per-vector fold order, same sqrt."""
+    Identical floats — same per-vector fold order, same sqrt.
+    ``fast=True`` computes the norm in the vectorized Arrow kernel
+    (bit-identical, for the equi-join verify paths)."""
+    norm = _norm_udf if fast else _norm
     ea = emb.select(
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("va"),
-        _norm(F.col("embedding")).alias("na"),
+        norm(F.col("embedding")).alias("na"),
     )
     eb = emb.select(
         F.col("vec_id").alias("id_b"),
         F.col("embedding").alias("vb"),
-        _norm(F.col("embedding")).alias("nb"),
+        norm(F.col("embedding")).alias("nb"),
     )
     return ea, eb
 
 
-def _pair_cos():
-    return F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4)
+def _pair_cos(fast: bool = False):
+    dot = _dot_udf if fast else _dot
+    return F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4)
 
 
 def ann_cosine_topk(spark, sf_dir: str) -> DataFrame:
@@ -112,20 +169,20 @@ def ann_cosine_topk(spark, sf_dir: str) -> DataFrame:
     Rank key is (round(cos,4) DESC, neighbor_id ASC) so float-noise
     at 1e-16 can't flip ranks between engines.
     """
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    emb = read_spread(spark, f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
     q = emb.filter(F.col("vec_id") < N_QUERY).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
         _norm(F.col("embedding")).alias("nq"),
     )
-    e2 = emb.withColumn("ne", _norm(F.col("embedding")))
+    e2 = emb.withColumn("ne", _norm_udf(F.col("embedding")))
     pairs = (
         F.broadcast(q)
         .join(e2, F.col("vec_id") != F.col("query_id"))
         .withColumn(
             "cos",
             F.round(
-                _dot(F.col("qv"), F.col("embedding")) / (F.col("nq") * F.col("ne")), 4
+                _dot_udf(F.col("qv"), F.col("embedding")) / (F.col("nq") * F.col("ne")), 4
             ),
         )
     )
@@ -156,7 +213,7 @@ ORDER BY query_id, rank
 
 def ann_threshold_pairs(spark, sf_dir: str) -> DataFrame:
     """All vector pairs with cosine >= 0.4 (exact, order-free output)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    emb = read_spread(spark, f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
     ea, eb = _sides(emb)
     return (
         ea.join(eb, F.col("id_a") < F.col("id_b"))
@@ -190,35 +247,40 @@ def _plane_signs(table: int, plane: int) -> list[int]:
 
 
 def _bucket_array(vec_col, planes: int, tables: int):
-    """All T bucket strings in ONE nested higher-order expression: the
-    hyperplane matrix is a single array<array<array<double>>> literal
-    (tables × planes × DIM) and the sign-of-dot lambda is SHARED
-    across every (table, plane). The naive form — a separate
-    zip_with+aggregate subtree per plane with its own 64-literal array
-    — made a tables*planes-times-larger Catalyst tree whose analysis/
-    codegen dominated wall-clock at the selective b=8,T=8 profile
-    (~6s compile for ~1s of data work at sf0.1). Same float math in
-    the same order, so both SQL oracles still match bit-for-bit."""
-    mat = F.array(
-        *[
-            F.array(
-                *[
-                    F.array(*[F.lit(float(s)) for s in _plane_signs(t, p)])
-                    for p in range(planes)
-                ]
-            )
-            for t in range(tables)
-        ]
-    )
+    """All T bucket strings from ONE vectorized Arrow kernel: the
+    tables*planes sign-of-dot projections run as numpy left-fold
+    accumulations (one mul+add per dimension in order — the exact
+    IEEE sequence of the old interpreted zip_with+aggregate subtree,
+    so every dot's sign and hence every bucket string is identical;
+    see _fold_dot_np). The expression form cost ~2 interpreted lambda
+    steps per (row x table x plane x dim) — the dominant wall-clock of
+    the selective b=8,T=8 profile at sf1.0 — and carried a
+    64-plane literal tree through analysis/codegen besides."""
+    import numpy as np
 
-    def _bit(plane):
-        terms = F.zip_with(vec_col, plane, lambda x, s: x.cast("double") * s)
-        dot = F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
-        return (dot > 0).cast("int").cast("string")
+    signs = np.array(
+        [[_plane_signs(t, p) for p in range(planes)] for t in range(tables)],
+        dtype=np.float64,
+    ).reshape(tables * planes, DIM)
 
-    return F.transform(
-        mat, lambda planes_arr: F.array_join(F.transform(planes_arr, _bit), "")
-    )
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _buckets(v: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        x = _np_mat(v)
+        acc = np.zeros((x.shape[0], signs.shape[0]))
+        for d in range(x.shape[1]):
+            acc += x[:, d, None] * signs[None, :, d]
+        bits = acc > 0
+        out = []
+        for row in bits:
+            chars = "".join("1" if b else "0" for b in row)
+            out.append([chars[t * planes : (t + 1) * planes] for t in range(tables)])
+        return pd.Series(out)
+
+    return _buckets(vec_col)
 
 
 def _lsh_candidates(
@@ -252,13 +314,13 @@ def ann_lsh_bucketed(spark, sf_dir: str) -> DataFrame:
     of the T tables, then exact cosine >= 0.4 verifies. Candidate
     generation never goes all-pairs; the verify join touches only
     deduped candidates."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    emb = read_spread(spark, f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
     cand = _lsh_candidates(emb)
-    ea, eb = _sides(emb)
+    ea, eb = _sides(emb, fast=True)
     return (
         cand.join(ea, "id_a")
         .join(eb, "id_b")
-        .withColumn("cos", _pair_cos())
+        .withColumn("cos", _pair_cos(fast=True))
         .filter(F.col("cos") >= COS_THRESHOLD)
         .select("id_a", "id_b", "cos")
         .orderBy("id_a", "id_b")
@@ -299,15 +361,80 @@ def lsh_near_dup_pairs(
     p^8 ~ 0.29/table, 1-(1-0.29)^8 ~ 0.94 over 8 tables; measured
     recall on the planted-twin fixture: 1.0). The low-threshold
     (b=2, T=8) setting survives only as the documented fixture profile
-    for cos >= 0.4 truths — pass it explicitly if you need it."""
-    cand = _lsh_candidates(emb, planes=planes, tables=tables)
-    ea, eb = _sides(emb)
+    for cos >= 0.4 truths — pass it explicitly if you need it.
+
+    Plan shape (decide with small rows, move heavy rows once): the
+    candidate pairs are verified BUCKET-LOCALLY — one shuffle of
+    (vec, table, bucket) rows groups each hash bucket on one task,
+    where a vectorized numpy kernel scores every in-bucket pair with
+    the exact left-fold cosine (bit-identical to the expression form,
+    see _fold_dot_np) and emits only the pairs near the threshold.
+    The previous form shuffled the FULL candidate pair list (at the
+    selective profile nearly all candidates are false positives of
+    random 8-bit collisions) through a distinct and then re-joined
+    the embedding table twice to re-attach both vectors — three
+    corpus-scale shuffles carrying 64-dim payloads, for a result of a
+    few dozen rows. Survivor pairs dedup across tables AFTER scoring
+    (cos is deterministic per pair, so distinct on the scored row is
+    the same set). Rounding/threshold semantics stay in Catalyst: the
+    kernel pre-filters with a safe margin on the raw cosine and Spark
+    applies the exact round(.,4) >= threshold gate."""
+    import pandas as pd
+
+    buckets = _bucket_array(F.col("embedding"), planes, tables)
+    keyed = emb.select(
+        "vec_id", "embedding", F.posexplode(buckets).alias("tbl", "bucket")
+    )
+    margin = float(threshold) - 1e-3
+
+    def _bucket_verify(batches):
+        import numpy as np
+
+        parts = list(batches)
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        if pdf.empty:
+            return
+        for _, grp in pdf.groupby(["tbl", "bucket"], sort=False):
+            if len(grp) < 2:
+                continue
+            grp = grp.sort_values("vec_id", kind="stable")
+            ids = grp["vec_id"].to_numpy()
+            x = _np_mat(grp["embedding"])
+            norms = np.sqrt(_fold_dot_np(x, x))
+            n = len(ids)
+            # pairwise left-fold dots, blocked on the row axis to
+            # bound the (block x n) accumulator
+            blk = 2048
+            out_a, out_b, out_c = [], [], []
+            for s in range(0, n, blk):
+                e = min(s + blk, n)
+                acc = np.zeros((e - s, n))
+                for d in range(x.shape[1]):
+                    acc += x[s:e, d, None] * x[None, :, d]
+                cos_raw = acc / (norms[s:e, None] * norms[None, :])
+                ii, jj = np.nonzero(cos_raw >= margin)
+                keep = (ii + s) < jj  # id_a < id_b (rows are id-sorted)
+                ii, jj = ii[keep], jj[keep]
+                out_a.extend(ids[ii + s].tolist())
+                out_b.extend(ids[jj].tolist())
+                out_c.extend(cos_raw[ii, jj].tolist())
+            if out_a:
+                yield pd.DataFrame(
+                    {"id_a": out_a, "id_b": out_b, "cos_raw": out_c}
+                )
+
+    shuffle_n = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    scored = keyed.repartition(shuffle_n, "tbl", "bucket").mapInPandas(
+        _bucket_verify, schema="id_a long, id_b long, cos_raw double"
+    )
     return (
-        cand.join(ea, "id_a")
-        .join(eb, "id_b")
-        .withColumn("cos", _pair_cos())
+        scored.select(
+            "id_a", "id_b", F.round(F.col("cos_raw"), 4).alias("cos")
+        )
         .filter(F.col("cos") >= threshold)
-        .select("id_a", "id_b", "cos")
+        .distinct()
     )
 
 
@@ -344,7 +471,7 @@ def ann_lsh_hi_pairs(spark, sf_dir: str) -> DataFrame:
     """Selective-profile (b=8, T=8) near-dup pairs at cos >= 0.9 over
     the planted-twin fixture. The found set must be (a subset of) the
     60 planted twin pairs."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    emb = read_spread(spark, f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
     return lsh_near_dup_pairs(_augment_twins(emb)).orderBy("id_a", "id_b")
 
 
@@ -352,7 +479,7 @@ def ann_lsh_hi_recall(spark, sf_dir: str) -> DataFrame:
     """Recall gate for the scale-safe LSH profile: found / true at
     cos >= 0.9 on the planted-twin fixture (truth = exact all-pairs
     over the augmented set — oracle-only scale, never the operator)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    emb = read_spread(spark, f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
     aug = _augment_twins(emb)
     ta, tb = _sides(aug)
     truth = (
@@ -496,12 +623,16 @@ def _ivf_assign(emb: DataFrame, centroids: DataFrame, rank_n: int, out: str) -> 
     1..nprobe are a query's probe set. The centroid side is nlist rows,
     broadcast; the codebook comes from _kmeans_codebook (deterministic
     sampled Lloyd training the DuckDB oracle mirrors exactly)."""
+    # vectorized kernels (bit-identical to the expression form): the
+    # vector-side norm evaluates once per streamed partition, the
+    # post-join cos once per (vector, centroid) row — nlist dots per
+    # vector was the interpreted hot spot of every assignment pass
     scored = (
-        emb.withColumn("nv", _norm(F.col("embedding")))
+        emb.withColumn("nv", _norm_udf(F.col("embedding")))
         .join(F.broadcast(centroids.withColumn("nc", _norm(F.col("cv")))), F.lit(True))
         .withColumn(
             "ccos",
-            F.round(_dot(F.col("embedding"), F.col("cv")) / (F.col("nv") * F.col("nc")), 4),
+            F.round(_dot_udf(F.col("embedding"), F.col("cv")) / (F.col("nv") * F.col("nc")), 4),
         )
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("centroid_id"))
@@ -658,7 +789,7 @@ def ivf_topk(
     ev = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("nv"),
-        _norm(F.col("embedding")).alias("nn"),
+        _norm_udf(F.col("embedding")).alias("nn"),
     )
     cand = (
         probes.join(lists.withColumnRenamed("vec_id", "neighbor_id"), "centroid_id")
@@ -671,7 +802,7 @@ def ivf_topk(
         .join(ev, "neighbor_id")
         .withColumn(
             "cos",
-            F.round(_dot(F.col("qv"), F.col("nv")) / (F.col("nq") * F.col("nn")), 4),
+            F.round(_dot_udf(F.col("qv"), F.col("nv")) / (F.col("nq") * F.col("nn")), 4),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
@@ -693,7 +824,7 @@ def ann_ivf_topk(spark, sf_dir: str) -> DataFrame:
     shuffles on centroid_id (list-local scoring) instead of going
     all-pairs, and nlist grows ~sqrt(n) so the probe fraction
     shrinks — see ivf_topk for the parameterized form."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    emb = read_spread(spark, f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
     return ivf_topk(spark, emb, cache_key=os.path.abspath(sf_dir))
 
 

@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from job_searchengine_project_spark.iolayout import read_spread
 from job_searchengine_project_spark.operators.dedup import _shingles, _SQL_SHINGLES, _SQL_TOKS, TOKS
 
 
@@ -19,7 +20,7 @@ def lang_id(spark, sf_dir: str) -> DataFrame:
     back to a stopword vote (en/de/es markers). Deterministic and
     purely expression-based; a real model slots in as a pandas UDF.
     """
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_spread(spark, f"{sf_dir}/documents.parquet")
     n = F.length("text")
     hangul = n - F.length(F.regexp_replace("text", "[가-힣]", ""))
     cjk = n - F.length(F.regexp_replace("text", "[\\u4e00-\\u9fff]", ""))
@@ -61,7 +62,7 @@ FROM t ORDER BY doc_id
 def quality_score(spark, sf_dir: str) -> DataFrame:
     """Heuristic doc-quality score from length / punctuation / stopword
     / digit ratios (the classic webtext quality gates)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_spread(spark, f"{sf_dir}/documents.parquet")
     toks = F.split(F.col("text"), " ")
     n_tok = F.size(toks)
     n_chars = F.length("text")
@@ -113,7 +114,7 @@ FROM t ORDER BY doc_id
 
 def token_stats(spark, sf_dir: str) -> DataFrame:
     """Whitespace token count + BPE-ish regex token count per doc."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_spread(spark, f"{sf_dir}/documents.parquet")
     ws = F.size(F.split(F.col("text"), " "))
     bpe = F.size(F.regexp_extract_all("text", F.lit("([a-z]+|[0-9]+|[^a-z0-9\\s])"), 1))
     return docs.select(
@@ -132,7 +133,7 @@ FROM documents ORDER BY doc_id
 def doc_fingerprint(spark, sf_dir: str) -> DataFrame:
     """Document fingerprints: content sha256 + min/max shingle hash
     (a 2-sketch winnowing fingerprint; rolling windows extend it)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_spread(spark, f"{sf_dir}/documents.parquet")
     sh = _shingles(TOKS())
     hashes = F.transform(sh, lambda s: F.md5(s))
     return docs.select(
@@ -159,7 +160,7 @@ def twogram_top20(spark, sf_dir: str) -> DataFrame:
     (schema/es/es.sh:16-29) — grams over the raw lowered string,
     whitespace included.
     """
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_spread(spark, f"{sf_dir}/documents.parquet")
     grams = F.transform(
         F.sequence(F.lit(1), F.length(F.lower(F.col("text"))) - 1),
         lambda i: F.substring(F.lower(F.col("text")), i, F.lit(2)),

@@ -37,10 +37,19 @@ def get_spark(
         except (IndexError, ValueError):
             shuffle_partitions = 2 * cpus
 
+    # Scan split size (scale-dependent, env-parameterised): the local
+    # test tables are a handful of files well under the 128m default,
+    # so a default split leaves a 32-core box scanning (and running all
+    # per-row work) on 1-2 tasks. 16m locally lets a ~126 MB table fan
+    # out to ~8 scan tasks; on a real cluster set 128m-1g via env
+    # (guide: large sequential scans want big splits — there the input
+    # has orders of magnitude more files than cores).
+    max_part_bytes = os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.files.maxPartitionBytes", max_part_bytes)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
