@@ -141,6 +141,85 @@ def term_pos_series(s: pd.Series, analyzer: str = "morph") -> pd.Series:
     return _token_lists(s, analyzer).map(_term_pos)
 
 
+def term_freqs_arrow_morph(batches):
+    """mapInArrow kernel: (url, text) record batches -> (url, terms,
+    doclen) with terms = array<struct<term,tf>> sorted by term.
+
+    Same contract as ``term_freqs`` (morph analyzer, tf counted over
+    kept tokens, per-doc term-sorted) but computed over FLAT numpy
+    arrays with one lexsort per batch and the nested Arrow arrays
+    built directly from offsets — the per-row Counter/sorted/dict
+    pipeline of the pandas UDF was ~80% of the whole index build's
+    tokenize stage. numpy '<U' ordering and Python ``sorted`` agree
+    (both compare code points), so the emitted term order is
+    identical."""
+    import re
+    from itertools import chain
+
+    import numpy as np
+    import pyarrow as pa
+
+    rex = re.compile(_TOKEN_RE)
+    for batch in batches:
+        urls = batch.column("url")
+        texts = batch.column("text").to_pylist()
+        n = len(texts)
+        lists = [rex.findall((t or "").lower()) for t in texts]
+        n_i = np.fromiter(map(len, lists), dtype=np.int64, count=n)
+        flat = np.array(list(chain.from_iterable(lists)), dtype=object)
+        if flat.size:
+            # factorize: the batch's token stream collapses to its
+            # (small) vocabulary, so keep-masks, length checks and the
+            # LEXICOGRAPHIC rank (np.argsort on str == Python sorted —
+            # both compare code points) cost O(vocab), and the per-doc
+            # sort is an integer lexsort over ranks
+            codes, uniques = pd.factorize(flat, sort=False)
+            un = np.asarray(uniques, dtype=object)
+            ulen = np.fromiter(map(len, un), dtype=np.int64, count=len(un))
+            ukeep = ulen > 1
+            for i in np.flatnonzero(ukeep):
+                if un[i] in STOPWORDS:
+                    ukeep[i] = False
+            order_u = np.argsort(un)
+            rank = np.empty(len(un), dtype=np.int64)
+            rank[order_u] = np.arange(len(un))
+            sorted_un = un[order_u]
+            rows = np.repeat(np.arange(n, dtype=np.int64), n_i)
+            keep = ukeep[codes]
+            rc, rk = rank[codes][keep], rows[keep]
+            order = np.lexsort((rc, rk))
+            rc, rk = rc[order], rk[order]
+        else:
+            sorted_un = flat
+            rc = np.empty(0, dtype=np.int64)
+            rk = np.empty(0, dtype=np.int64)
+        if rc.size:
+            change = np.empty(rc.size, dtype=bool)
+            change[0] = True
+            change[1:] = (rk[1:] != rk[:-1]) | (rc[1:] != rc[:-1])
+            starts = np.flatnonzero(change)
+            tfs = np.diff(np.append(starts, rc.size))
+            uniq_terms = sorted_un[rc[starts]]
+            uniq_rows = rk[starts]
+        else:
+            tfs = np.empty(0, dtype=np.int64)
+            uniq_terms = np.empty(0, dtype=object)
+            uniq_rows = rk
+        per_row_terms = np.bincount(uniq_rows, minlength=n)
+        offsets = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(per_row_terms, out=offsets[1:])
+        doclen = np.bincount(rk, minlength=n).astype(np.int32)
+        struct = pa.StructArray.from_arrays(
+            [pa.array(uniq_terms, type=pa.string()),
+             pa.array(tfs, type=pa.int32())],
+            ["term", "tf"],
+        )
+        terms_col = pa.ListArray.from_arrays(pa.array(offsets), struct)
+        yield pa.RecordBatch.from_arrays(
+            [urls, terms_col, pa.array(doclen)], ["url", "terms", "doclen"]
+        )
+
+
 def make_term_freqs_udf(analyzer: str = "morph", with_positions: bool = False):
     """Factory: text -> array<struct<term,tf[,pos]>> pandas UDF."""
 

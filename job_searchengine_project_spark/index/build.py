@@ -133,6 +133,77 @@ _PARTIAL_COLS = [
 _PARTIAL_COLS_POS = _PARTIAL_COLS + ["pos_blob", "block_pos_bytes"]
 
 
+def _encode_partition_arrow(batches, avgdl: float, block_size: int):
+    """mapInArrow kernel (non-positional): encode every (term, salt)
+    group in the partition. The posting columns go straight from the
+    Arrow batches to numpy (no pandas materialization of the widest
+    shuffle in the build) and the term column dictionary-encodes in C;
+    group encoding is the vectorized whole-partition codec pass."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    parts = list(batches)
+    if not parts:  # empty shuffle partition (partitions > groups)
+        return
+    tbl = pa.Table.from_batches(parts)
+    if tbl.num_rows == 0:
+        return
+    dict_arr = pc.dictionary_encode(tbl.column("term").combine_chunks())
+    terms_codes = dict_arr.indices.to_numpy()
+    terms_uniq = dict_arr.dictionary.to_pylist()
+    salts = tbl.column("salt").to_numpy()
+    docs = tbl.column("doc_id").to_numpy().astype(np.int64, copy=False)
+    tfs = tbl.column("tf").to_numpy().astype(np.int64, copy=False)
+    dls = tbl.column("doclen").to_numpy().astype(np.float64)
+    tfn = tfs / (tfs + BM25_K1 * (1.0 - BM25_B + BM25_B * (dls / avgdl)))
+
+    order = np.lexsort((docs, salts, terms_codes))
+    tc, sa, docs, tfs, tfn = (
+        terms_codes[order], salts[order], docs[order], tfs[order], tfn[order]
+    )
+    change = np.empty(tc.size, dtype=bool)
+    change[0] = True
+    change[1:] = (tc[1:] != tc[:-1]) | (sa[1:] != sa[:-1])
+    starts = np.flatnonzero(change)
+    ends = np.append(starts[1:], tc.size)
+    encs = codec.encode_postings_grouped(
+        starts, ends, docs, tfs, tfn, block_size=block_size
+    )
+    cols: dict[str, list] = {c: [] for c in _PARTIAL_COLS}
+    for s, enc in zip(starts, encs):
+        cols["term"].append(terms_uniq[tc[s]])
+        cols["salt"].append(int(sa[s]))
+        cols["df"].append(enc.count)
+        cols["first_doc"].append(enc.first_doc)
+        cols["doc_blob"].append(enc.doc_blob)
+        cols["tf_blob"].append(enc.tf_blob)
+        cols["block_n"].append(enc.block_n)
+        cols["block_last_doc"].append(enc.block_last_doc)
+        cols["block_doc_bytes"].append(enc.block_doc_bytes)
+        cols["block_tf_bytes"].append(enc.block_tf_bytes)
+        cols["block_max_tfnorm"].append(enc.block_max_tfnorm)
+        cols["n_parts"].append(1)
+        cols["bytes_written"].append(len(enc.doc_blob) + len(enc.tf_blob))
+    yield pa.RecordBatch.from_arrays(
+        [
+            pa.array(cols["term"], type=pa.string()),
+            pa.array(cols["salt"], type=pa.int32()),
+            pa.array(cols["df"], type=pa.int64()),
+            pa.array(cols["first_doc"], type=pa.int64()),
+            pa.array(cols["doc_blob"], type=pa.binary()),
+            pa.array(cols["tf_blob"], type=pa.binary()),
+            pa.array(cols["block_n"], type=pa.list_(pa.int32())),
+            pa.array(cols["block_last_doc"], type=pa.list_(pa.int64())),
+            pa.array(cols["block_doc_bytes"], type=pa.list_(pa.int32())),
+            pa.array(cols["block_tf_bytes"], type=pa.list_(pa.int32())),
+            pa.array(cols["block_max_tfnorm"], type=pa.list_(pa.float64())),
+            pa.array(cols["n_parts"], type=pa.int32()),
+            pa.array(cols["bytes_written"], type=pa.int64()),
+        ],
+        _PARTIAL_COLS,
+    )
+
+
 def _encode_partition(batches, avgdl: float, block_size: int):
     """mapInPandas kernel: encode every (term, salt) group in the
     partition. One Arrow round-trip per partition; the group loop is
@@ -175,14 +246,25 @@ def _encode_partition(batches, avgdl: float, block_size: int):
     ends = np.append(starts[1:], tc.size)
 
     rows = []
-    for s, e in zip(starts, ends):
-        enc = codec.encode_postings(
-            docs[s:e], tfs[s:e], tfn[s:e], block_size=block_size,
-            positions=flat_pos[p_off[s] : p_off[e]] if with_pos else None,
+    if with_pos:
+        for s, e in zip(starts, ends):
+            enc = codec.encode_postings(
+                docs[s:e], tfs[s:e], tfn[s:e], block_size=block_size,
+                positions=flat_pos[p_off[s] : p_off[e]],
+            )
+            row = _enc_to_row(str(terms_uniq[tc[s]]), enc, 1, with_pos=True)
+            row["salt"] = int(sa[s])
+            rows.append(row)
+    else:
+        # one vectorized pass over the whole partition (byte-identical
+        # to per-group encode_postings; per-group overhead dominated)
+        encs = codec.encode_postings_grouped(
+            starts, ends, docs, tfs, tfn, block_size=block_size
         )
-        row = _enc_to_row(str(terms_uniq[tc[s]]), enc, 1, with_pos=with_pos)
-        row["salt"] = int(sa[s])
-        rows.append(row)
+        for s, enc in zip(starts, encs):
+            row = _enc_to_row(str(terms_uniq[tc[s]]), enc, 1, with_pos=False)
+            row["salt"] = int(sa[s])
+            rows.append(row)
     yield pd.DataFrame(rows, columns=_PARTIAL_COLS_POS if with_pos else _PARTIAL_COLS)
 
 
@@ -567,10 +649,21 @@ def build_index(
                 # partition, numpy group loop inside — per-group
                 # applyInPandas dispatch would dominate with Zipfian
                 # vocabularies)
-                partials = sub.repartition(shuffle_n, "term", "salt").mapInPandas(
-                    lambda it: _encode_partition(it, avgdl=avgdl, block_size=block_size),
-                    schema=PARTIAL_SCHEMA_POS if with_positions else PARTIAL_SCHEMA,
-                )
+                shuffled = sub.repartition(shuffle_n, "term", "salt")
+                if with_positions:
+                    partials = shuffled.mapInPandas(
+                        lambda it: _encode_partition(
+                            it, avgdl=avgdl, block_size=block_size
+                        ),
+                        schema=PARTIAL_SCHEMA_POS,
+                    )
+                else:
+                    partials = shuffled.mapInArrow(
+                        lambda it: _encode_partition_arrow(
+                            it, avgdl=avgdl, block_size=block_size
+                        ),
+                        schema=PARTIAL_SCHEMA,
+                    )
                 # merge shuffle moves only compressed blobs (the point
                 # of salting-then-encoding); blocks concat directly
                 segments = partials.repartition(shuffle_n, "term").mapInPandas(

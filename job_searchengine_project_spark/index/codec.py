@@ -194,6 +194,120 @@ def encode_postings(
     )
 
 
+def encode_postings_grouped(
+    group_starts: np.ndarray,
+    group_ends: np.ndarray,
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    tfnorms: np.ndarray,
+    block_size: int = BLOCK_SIZE,
+) -> list[EncodedPostings]:
+    """Encode MANY groups' postings in one vectorized pass.
+
+    ``doc_ids``/``tfs``/``tfnorms`` hold every group's postings
+    back-to-back (group g owns [group_starts[g], group_ends[g]), docs
+    strictly increasing within each group). Produces byte-identical
+    blobs to calling :func:`encode_postings` per group (asserted by
+    tests): the delta transform, block layout and varbyte stream are
+    computed over the whole partition at once — per-group/per-block
+    numpy-on-tiny-arrays overhead was the dominant cost of the segment
+    build's encode stage — and each group's blobs are contiguous byte
+    slices of the two big streams.
+    """
+    doc_ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
+    tfs64 = np.ascontiguousarray(tfs, dtype=np.uint64)
+    gs = np.asarray(group_starts, dtype=np.int64)
+    ge = np.asarray(group_ends, dtype=np.int64)
+    n = doc_ids.size
+    n_i = ge - gs
+    if n == 0 or n_i.sum() == 0:
+        return [
+            encode_postings(doc_ids[s:e], tfs[s:e], tfnorms[s:e], block_size)
+            for s, e in zip(gs, ge)
+        ]
+    # monotonicity within groups (group-leading rows exempt)
+    lead = np.zeros(n, dtype=bool)
+    lead[gs[n_i > 0]] = True
+    diffs = np.empty(n, dtype=np.int64)
+    diffs[0] = 1
+    diffs[1:] = doc_ids[1:] - doc_ids[:-1]
+    if not (diffs[~lead] > 0).all():
+        raise ValueError("encode_postings: doc_ids must be strictly increasing")
+
+    # global block table: per group, blocks of block_size
+    nb = (n_i + block_size - 1) // block_size
+    total_blocks = int(nb.sum())
+    block_group = np.repeat(np.arange(gs.size, dtype=np.int64), nb)
+    nb_off = np.zeros(gs.size, dtype=np.int64)
+    np.cumsum(nb[:-1], out=nb_off[1:])
+    within = np.arange(total_blocks, dtype=np.int64) - nb_off[block_group]
+    bstart = gs[block_group] + within * block_size
+    bend = np.minimum(bstart + block_size, ge[block_group])
+
+    # delta stream with absolutes at every block start
+    deltas = diffs
+    deltas[bstart] = doc_ids[bstart]
+    deltas_u = deltas.astype(np.uint64)
+
+    # one varbyte pass per stream, plus per-value byte counts for the
+    # per-block/per-group slicing
+    def _stream(v: np.ndarray) -> tuple[bytes, np.ndarray]:
+        if v.max() >= _MAX_VALUE:
+            raise ValueError("varbyte_encode: value out of supported range (< 2^52)")
+        _, exp = np.frexp(np.maximum(v, 1).astype(np.float64))
+        nbytes = (exp.astype(np.int64) + 6) // 7
+        ends_b = np.cumsum(nbytes)
+        starts_b = ends_b - nbytes
+        out = np.zeros(int(ends_b[-1]), dtype=np.uint8)
+        for j in range(int(nbytes.max())):
+            mask = nbytes > j
+            out[starts_b[mask] + j] = (v[mask] >> np.uint64(7 * j)).astype(
+                np.uint64
+            ) & np.uint64(0x7F)
+        out[ends_b - 1] |= 0x80
+        return out.tobytes(), nbytes
+
+    doc_stream, doc_nbytes = _stream(deltas_u)
+    tf_stream, tf_nbytes = _stream(tfs64)
+    doc_byte_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(doc_nbytes, out=doc_byte_off[1:])
+    tf_byte_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(tf_nbytes, out=tf_byte_off[1:])
+
+    block_doc_bytes = (doc_byte_off[bend] - doc_byte_off[bstart]).astype(np.int32)
+    block_tf_bytes = (tf_byte_off[bend] - tf_byte_off[bstart]).astype(np.int32)
+    block_n_all = (bend - bstart).astype(np.int32)
+    block_last_all = doc_ids[bend - 1]
+    block_max_all = np.maximum.reduceat(np.asarray(tfnorms, dtype=np.float64), bstart)
+
+    out_list: list[EncodedPostings] = []
+    for g in range(gs.size):
+        s, e = int(gs[g]), int(ge[g])
+        if s == e:
+            out_list.append(
+                encode_postings(
+                    doc_ids[s:e], tfs[s:e], tfnorms[s:e], block_size
+                )
+            )
+            continue
+        b0 = int(nb_off[g])
+        b1 = b0 + int(nb[g])
+        out_list.append(
+            EncodedPostings(
+                count=e - s,
+                first_doc=int(doc_ids[s]),
+                doc_blob=doc_stream[doc_byte_off[s] : doc_byte_off[e]],
+                tf_blob=tf_stream[tf_byte_off[s] : tf_byte_off[e]],
+                block_n=block_n_all[b0:b1],
+                block_last_doc=block_last_all[b0:b1],
+                block_doc_bytes=block_doc_bytes[b0:b1],
+                block_tf_bytes=block_tf_bytes[b0:b1],
+                block_max_tfnorm=block_max_all[b0:b1],
+            )
+        )
+    return out_list
+
+
 def decode_block(
     enc: EncodedPostings, i: int, doc_offsets: np.ndarray, tf_offsets: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray]:

@@ -39,13 +39,27 @@ def prepare_docs(
     with_positions: bool = False,
 ) -> DataFrame:
     text_col = extract_text(F.col("html")) if use_extractor else F.col("text")
-    tf_udf = make_term_freqs_udf(analyzer, with_positions=with_positions)
-    narrow = pages.select(
-        "url", tf_udf(text_col).alias("terms")
-    ).withColumn(
-        "doclen",
-        F.aggregate(F.col("terms"), F.lit(0), lambda acc, x: acc + x["tf"]),
-    )
+    if analyzer == "morph" and not with_positions:
+        # vectorized Arrow kernel (functions/tokenize.py): same
+        # (terms, doclen) contract, built from flat arrays — the
+        # per-row Counter/dict pandas UDF dominated the build's
+        # tokenize stage
+        from job_searchengine_project_spark.functions.tokenize import (
+            term_freqs_arrow_morph,
+        )
+
+        narrow = pages.select("url", text_col.alias("text")).mapInArrow(
+            term_freqs_arrow_morph,
+            schema="url string, terms array<struct<term:string,tf:int>>, doclen int",
+        )
+    else:
+        tf_udf = make_term_freqs_udf(analyzer, with_positions=with_positions)
+        narrow = pages.select(
+            "url", tf_udf(text_col).alias("terms")
+        ).withColumn(
+            "doclen",
+            F.aggregate(F.col("terms"), F.lit(0), lambda acc, x: acc + x["tf"]),
+        )
     return assign_doc_ids(
         narrow, "url", buckets=id_buckets, bucket_counts=bucket_counts
     ).select("doc_id", "url", "terms", "doclen")

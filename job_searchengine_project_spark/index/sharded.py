@@ -302,11 +302,19 @@ def _attach_urls_pruned(spark: SparkSession, index_dir: str, top: DataFrame) -> 
     if not rows:
         return top.withColumn("url", F.lit(None).cast("string"))
     ids = sorted({int(r["doc_id"]) for r in rows})
-    urls = (
-        spark.read.parquet(os.path.join(index_dir, "forward"))
-        .select("doc_id", "url")
-        .filter(F.col("doc_id").isin(ids))
+    fwd = spark.read.parquet(os.path.join(index_dir, "forward")).select(
+        "doc_id", "url"
     )
+    if len(ids) <= 256:
+        urls = fwd.filter(F.col("doc_id").isin(ids))
+    else:
+        # large hit sets: a [min, max] bound gives the same row-group
+        # pruning while the broadcast join below does the exact
+        # matching — materializing a many-thousand-literal In
+        # expression costs seconds of driver RPC alone
+        urls = fwd.filter(
+            (F.col("doc_id") >= ids[0]) & (F.col("doc_id") <= ids[-1])
+        )
     hits = spark.createDataFrame(rows, top.schema)
     return F.broadcast(hits).join(urls, "doc_id")
 

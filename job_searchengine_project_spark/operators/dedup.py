@@ -75,7 +75,9 @@ def dedup_exact(spark, sf_dir: str) -> DataFrame:
     Reference analog: msgid SADD dedup (collector/collector.py:149-187)
     as a hash-shuffle groupBy instead of a Redis set.
     """
-    docs = read_spread(spark, f"{sf_dir}/documents.parquet")
+    # plain read: one sha2 per row is cheaper than the spread
+    # shuffle (A/B'd at sf1.0 — the groupBy repartitions anyway)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     dup = docs.filter(F.col("doc_id") < 100).withColumn(
         "doc_id", F.col("doc_id") + F.lit(1_000_000)
     )

@@ -126,17 +126,21 @@ def bm25_morph_topk(spark, sf_dir: str) -> DataFrame:
         ).alias("term"),
     )
     dl = morph.groupBy("doc_id").agg(F.count("*").alias("doclen"))
-    stats = dl.agg(F.count("*").alias("n"), F.avg("doclen").alias("avgdl")).collect()[0]
-    n, avgdl = float(stats["n"]), float(stats["avgdl"])
+    # corpus stats as a broadcast single-row aggregate (no separate
+    # driver-collect job re-running the tokenize pipeline)
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n"), F.avg("doclen").alias("avgdl")
+    )
     hits = morph.filter(F.col("term").isin(MORPH_QUERY))
     df_t = hits.groupBy("term").agg(F.count("*").alias("df"))
     scored = (
         hits.join(F.broadcast(df_t), "term")
         .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
         .withColumn(
             "part",
-            F.log1p((F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
-            * (F.lit(1.0) / (F.lit(1.0) + F.lit(BM25_K1) * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("doclen") / F.lit(avgdl)))),
+            F.log1p((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            * (F.lit(1.0) / (F.lit(1.0) + F.lit(BM25_K1) * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("doclen") / F.col("avgdl")))),
         )
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_list(F.struct("term", "part"))).alias("ps"))

@@ -35,13 +35,17 @@ def _tokens(docs: DataFrame) -> DataFrame:
 
 
 def _bm25_scored(spark, sf_dir: str, terms: list[str]) -> DataFrame:
-    # spread the (often single-row-group) documents scan before the
-    # token explode so tokenization parallelizes (iolayout.read_spread)
-    docs = read_spread(spark, f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    # plain read (A/B'd: the explode branches re-shuffle regardless,
+    # so a spread repartition only adds cost here); corpus stats join
+    # in as a broadcast single-row aggregate — the old driver-side
+    # collect of (n, avgdl) ran the whole tokenize+doclen pipeline as
+    # a second job before the scoring job even started
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     toks = _tokens(docs)
     dl = toks.groupBy("doc_id").agg(F.count("*").alias("doclen"))
-    stats = dl.agg(F.count("*").alias("n"), F.avg("doclen").alias("avgdl")).collect()[0]
-    n, avgdl = float(stats["n"]), float(stats["avgdl"])
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n"), F.avg("doclen").alias("avgdl")
+    )
     tf = (
         toks.filter(F.col("term").isin(terms))
         .groupBy("doc_id", "term")
@@ -51,15 +55,16 @@ def _bm25_scored(spark, sf_dir: str, terms: list[str]) -> DataFrame:
     part = (
         tf.join(F.broadcast(df_t), "term")
         .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
         .withColumn(
             "part",
-            F.log1p((F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            F.log1p((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
             * (
                 F.col("tf")
                 / (
                     F.col("tf")
                     + F.lit(BM25_K1)
-                    * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("doclen") / F.lit(avgdl))
+                    * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("doclen") / F.col("avgdl"))
                 )
             ),
         )

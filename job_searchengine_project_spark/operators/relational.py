@@ -13,12 +13,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from job_searchengine_project_spark.iolayout import read_spread
-
 
 # J1 — dedup anti-join (new msgids vs seen set; collector.py:149-187)
 def anti_join_new_docs(spark, sf_dir: str) -> DataFrame:
-    docs = read_spread(spark, f"{sf_dir}/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     seen = docs.filter(F.col("doc_id") % 3 == 0).select(
         F.sha2(F.col("text"), 256).alias("h")
     )
@@ -43,8 +41,25 @@ ORDER BY doc_id
 def enrichment_join_concat(spark, sf_dir: str) -> DataFrame:
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # decide the output keys on NARROW columns first: the result is
+    # the 100 smallest orderkeys having lineitems, so a key-only
+    # semi-join + top-100 picks them, and the group-concat then runs
+    # over just those keys' rows via a broadcast join — instead of
+    # concat-aggregating every order's lineitems and throwing away
+    # all but 100 groups
+    keys = (
+        orders.select("o_orderkey")
+        .join(
+            lineitem.select(F.col("l_orderkey").alias("o_orderkey")),
+            "o_orderkey",
+            "left_semi",
+        )
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
     enriched = (
-        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        F.broadcast(keys)
+        .join(lineitem, F.col("o_orderkey") == lineitem.l_orderkey)
         .groupBy("o_orderkey")
         .agg(
             F.array_join(

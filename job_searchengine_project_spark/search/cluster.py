@@ -339,10 +339,15 @@ def _hits_and_scope(
         return ranked, scope
     if kind == "match":
         terms = _analyze(stats, _leaf_field_text(spec)[1])
-        return (
-            search_sharded(spark, index_dir, terms, k=depth),
-            match_docs_sharded(spark, index_dir, terms),
-        )
+        if depth == 0:
+            # size=0 body (aggs-only request): no hit page is ever
+            # read, so skip the ranked kernel + url attach entirely
+            ranked = spark.createDataFrame(
+                [], "doc_id long, score double, url string"
+            )
+        else:
+            ranked = search_sharded(spark, index_dir, terms, k=depth)
+        return ranked, match_docs_sharded(spark, index_dir, terms)
     if kind == "match_phrase":
         text = _leaf_field_text(spec)[1]
         ((_, mp_val),) = spec.items()
@@ -841,6 +846,11 @@ def query_sharded(
                 (int(r["doc_id"]), float(r["score"]), r["url"])
                 for r in ranked.collect()[frm : frm + size]
             ]
+    if scope is not None and (body.get("aggs") or body.get("aggregations")):
+        # the hit-set scope feeds the exact total AND every agg's
+        # semi-join: materialize the (small, doc_id-only) set once
+        # instead of re-running the match kernel per consumer job
+        scope = scope.localCheckpoint()
     total = scope.count() if scope is not None else 0
     out_hits = []
     for d, s, url in hits_rows:
