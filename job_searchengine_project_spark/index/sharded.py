@@ -40,6 +40,7 @@ import os
 
 import numpy as np
 import pandas as pd
+import pyarrow.dataset as pads
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -292,31 +293,185 @@ def _load_shard_norms(norms_root: str, shard: int, rng: int, n_docs: int) -> _Sh
 def _attach_urls_pruned(spark: SparkSession, index_dir: str, top: DataFrame) -> DataFrame:
     """Attach hit urls with a PUSHED doc_id isin read — never a full
     forward scan. The input must be a final top-k (tiny: it IS the
-    query result); its doc_ids are collected and pushed into the
-    forward parquet scan as an In filter, so parquet row-group
-    statistics prune the read to the hit rows' groups (the forward
-    files hold contiguous per-bucket doc_id ranges). Same pattern as
-    the driver engine's _fetch_urls (search/engine.py) and the stored-
-    field reader (search/stored.py)."""
+    query result, and it is already collect()ed here by contract), so
+    the url fetch is a DRIVER-SIDE pyarrow point read — the same
+    row-group-pruned read the driver engine's _fetch_urls does —
+    instead of a whole extra Spark job (scan + broadcast join) whose
+    input the driver was holding anyway. pyarrow's isin is a native
+    hash probe, so the many-thousand-literal In() RPC cost that forced
+    the old join form never appears. (r6: one fewer Spark job on every
+    ranked sharded query.)"""
+    from pyspark.sql.types import StringType, StructField, StructType
+
     rows = top.collect()
     if not rows:
         return top.withColumn("url", F.lit(None).cast("string"))
     ids = sorted({int(r["doc_id"]) for r in rows})
-    fwd = spark.read.parquet(os.path.join(index_dir, "forward")).select(
-        "doc_id", "url"
+    t = pads.dataset(os.path.join(index_dir, "forward")).to_table(
+        columns=["doc_id", "url"], filter=pads.field("doc_id").isin(ids)
     )
-    if len(ids) <= 256:
-        urls = fwd.filter(F.col("doc_id").isin(ids))
-    else:
-        # large hit sets: a [min, max] bound gives the same row-group
-        # pruning while the broadcast join below does the exact
-        # matching — materializing a many-thousand-literal In
-        # expression costs seconds of driver RPC alone
-        urls = fwd.filter(
-            (F.col("doc_id") >= ids[0]) & (F.col("doc_id") <= ids[-1])
+    url_of = dict(zip(t["doc_id"].to_pylist(), t["url"].to_pylist()))
+    out_rows = [
+        (*r, url_of[int(r["doc_id"])]) for r in rows if int(r["doc_id"]) in url_of
+    ]
+    schema = StructType(top.schema.fields + [StructField("url", StringType())])
+    return spark.createDataFrame(out_rows, schema)
+
+
+def fetch_urls_map(index_dir: str, doc_ids: list[int]) -> dict[int, str]:
+    """Driver-side row-group-pruned pyarrow point read of hit urls
+    (the engine's _fetch_urls shape) — shared by every caller that
+    already holds the hit ids on the driver."""
+    if not doc_ids:
+        return {}
+    t = pads.dataset(os.path.join(index_dir, "forward")).to_table(
+        columns=["doc_id", "url"],
+        filter=pads.field("doc_id").isin(sorted(set(int(d) for d in doc_ids))),
+    )
+    return dict(zip(t["doc_id"].to_pylist(), t["url"].to_pylist()))
+
+
+def search_sharded_match_total(
+    spark: SparkSession,
+    index_dir: str,
+    query_terms: list[str],
+    k: int,
+    strategy: str = "auto",
+) -> tuple[list[tuple[int, float, str]], int]:
+    """Fused match page + EXACT total in ONE Spark job (r6).
+
+    query_sharded's plain-match path used to run the ranked kernel for
+    the page and then a second full kernel pass (match_docs_sharded ->
+    count) for the exact total — two corpus-scale jobs for one
+    request. Here each shard kernel emits its top-k rows AND one
+    sentinel row (doc_id = -1) carrying the shard's live match count
+    (distinct union of the terms' postings minus the shard's tombstone
+    slice — exactly match_docs_sharded's per-shard contribution; docs
+    live in one shard, so the counts sum). The driver merges the
+    per-shard top-k lists with the same (score DESC, doc_id ASC)
+    float order Spark's TakeOrdered used, sums the sentinels, and
+    attaches urls with the pyarrow point read. Returned hits and
+    total are value-identical to the two-job form."""
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        stats = json.load(f)
+    n_docs = int(stats["n_docs"])
+    n_eff = n_docs - int(stats.get("n_purged", 0))
+    k = _clamp_k(k, n_docs)
+    avgdl = float(stats["avgdl"])
+    k1, b = float(stats["k1"]), float(stats["b"])
+    meta = _load_meta(index_dir, stats)
+    rng = int(meta["rng"])
+    norms_root = os.path.join(index_dir, NORMS_DIR)
+
+    terms = sorted(set(query_terms))
+    df_map = _global_df_map(index_dir, terms)
+    if not df_map:
+        return [], 0
+    seg = (
+        spark.read.parquet(os.path.join(index_dir, "shards"))
+        .filter(F.col("term").isin(terms))
+    )
+    bc_df = spark.sparkContext.broadcast(df_map)
+
+    def shard_topk_count(batches):
+        from job_searchengine_project_spark.index import codec
+        from job_searchengine_project_spark.search.engine import (
+            SearchEngine,
+            exhaustive_topk_arrays,
         )
-    hits = spark.createDataFrame(rows, top.schema)
-    return F.broadcast(hits).join(urls, "doc_id")
+        from job_searchengine_project_spark.search.wand import TermCursor, wand_topk
+
+        parts = list(batches)
+        if not parts:
+            return
+        pdf_all = pd.concat(parts, ignore_index=True)
+        if pdf_all.empty:
+            return
+        dfm = bc_df.value
+
+        def idf_of(t):
+            return float(np.log1p((n_eff - dfm[t] + 0.5) / (dfm[t] + 0.5)))
+
+        for shard_val, grp in pdf_all.groupby("shard", sort=False):
+            norms = _load_shard_norms(norms_root, int(shard_val), rng, n_docs)
+            dele = _shard_tombstones(index_dir, int(shard_val), rng)
+            encs = {str(r.term): _enc_from_row(r) for r in grp.itertuples()}
+            term_arrays = {t: codec.decode_postings(e) for t, e in encs.items()}
+            all_docs = np.unique(
+                np.concatenate([d for d, _ in term_arrays.values()])
+            )
+            matched = int(
+                all_docs.size
+                if dele.size == 0
+                else np.isin(all_docs, dele, invert=True).sum()
+            )
+            strat = strategy
+            if strat == "auto":
+                total_p = sum(e.count for e in encs.values())
+                strat = (
+                    "exhaustive"
+                    if total_p > SearchEngine.DENSE_POSTINGS_CUTOFF
+                    else "wand"
+                )
+            if strat == "wand":
+                cursors = [
+                    TermCursor(term=t, enc=e, idf=idf_of(t))
+                    for t, e in encs.items()
+                ]
+                hits = wand_topk(
+                    cursors, norms, avgdl, k, k1=k1, b=b, deleted=dele
+                )
+            else:
+                hits = exhaustive_topk_arrays(
+                    term_arrays,
+                    idf_of=idf_of,
+                    dl_of=lambda docs: norms.arr[docs - norms.lo],
+                    avgdl=avgdl,
+                    k=k,
+                    k1=k1,
+                    b=b,
+                    deleted=dele,
+                )
+            rows_d = [-1] + [int(d) for d, _ in hits]
+            rows_s = [0.0] + [float(s) for _, s in hits]
+            rows_m = [matched] + [0] * len(hits)
+            yield pd.DataFrame(
+                {"doc_id": rows_d, "score": rows_s, "matched": rows_m}
+            )
+
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    rows = (
+        seg.repartition(shuffle_n, "shard")
+        .mapInPandas(
+            shard_topk_count, schema="doc_id long, score double, matched long"
+        )
+        .collect()
+    )
+    total = sum(int(r["matched"]) for r in rows if r["doc_id"] < 0)
+    hits = sorted(
+        ((int(r["doc_id"]), float(r["score"])) for r in rows if r["doc_id"] >= 0),
+        key=lambda t: (-t[1], t[0]),
+    )[:k]
+    urls = fetch_urls_map(index_dir, [d for d, _ in hits])
+    return [(d, s, urls.get(d)) for d, s in hits], total
+
+
+def _global_df_map(index_dir: str, terms: list[str]) -> dict[str, int]:
+    """Global df per query term: sum of the per-(shard, term) df rows,
+    read DRIVER-SIDE via a term-filter-pushed pyarrow scan of the
+    shards table's (term, df) columns. The result is <= |q| x n_shards
+    rows; running it as a Spark groupBy+collect paid one extra
+    job-scheduling round-trip on EVERY sharded query for an aggregate
+    the driver can do in microseconds. Values are identical (integer
+    sum over the same filtered rows). (r6: one fewer Spark job per
+    sharded query.)"""
+    tbl = pads.dataset(os.path.join(index_dir, "shards")).to_table(
+        columns=["term", "df"], filter=pads.field("term").isin(terms)
+    )
+    out: dict[str, int] = {}
+    for t, d in zip(tbl["term"].to_pylist(), tbl["df"].to_pylist()):
+        out[t] = out.get(t, 0) + int(d)
+    return out
 
 
 def _enc_from_row(r) -> "codec.EncodedPostings":
@@ -392,10 +547,7 @@ def search_sharded_phrase(
         spark.read.parquet(os.path.join(index_dir, "shards"))
         .filter(F.col("term").isin(uniq))
     )
-    df_map = {
-        r["term"]: int(r["df"])
-        for r in seg.groupBy("term").agg(F.sum("df").alias("df")).collect()
-    }
+    df_map = _global_df_map(index_dir, uniq)
     if any(t not in df_map for t in uniq):
         return empty  # a globally-missing term can never form the phrase
     bc_df = spark.sparkContext.broadcast(df_map)
@@ -678,10 +830,7 @@ def search_sharded_batch(
         spark.read.parquet(os.path.join(index_dir, "shards"))
         .filter(F.col("term").isin(all_terms))
     )
-    df_map = {
-        r["term"]: int(r["df"])
-        for r in seg.groupBy("term").agg(F.sum("df").alias("df")).collect()
-    }
+    df_map = _global_df_map(index_dir, all_terms)
     if not df_map:
         return empty
     bc_df = spark.sparkContext.broadcast(df_map)
@@ -923,10 +1072,7 @@ def search_sharded_bool(
         spark.read.parquet(os.path.join(index_dir, "shards"))
         .filter(F.col("term").isin(all_terms))
     )
-    df_map = {
-        r["term"]: int(r["df"])
-        for r in seg.groupBy("term").agg(F.sum("df").alias("df")).collect()
-    }
+    df_map = _global_df_map(index_dir, all_terms)
     bc_df = spark.sparkContext.broadcast(df_map)
     bc_clauses = spark.sparkContext.broadcast(clauses)
     bc_fsets = spark.sparkContext.broadcast(filter_docs)
@@ -1059,7 +1205,13 @@ def match_docs_sharded(
                 docs, _ = codec.decode_postings(_enc_from_row(r))
                 yield pd.DataFrame({"doc_id": docs})
 
-    hits = seg.mapInPandas(decode_docs, schema="doc_id long").distinct()
+    hits = seg.mapInPandas(decode_docs, schema="doc_id long")
+    if len(terms) > 1:
+        # cross-term dedup: a doc holding several query terms appears
+        # once per term row. A SINGLE term's postings are unique within
+        # a (shard, term) row and shards are doc-disjoint, so the
+        # distinct exchange is provably a no-op there and skipped (r6).
+        hits = hits.distinct()
     tomb_dir = os.path.join(index_dir, "deleted")
     if os.path.isdir(tomb_dir):
         hits = hits.join(
@@ -1384,10 +1536,7 @@ def search_sharded(
         .filter(F.col("term").isin(terms))
     )
     # global df per query term (tiny agg over <= |q| x n_shards rows)
-    df_map = {
-        r["term"]: int(r["df"])
-        for r in seg.groupBy("term").agg(F.sum("df").alias("df")).collect()
-    }
+    df_map = _global_df_map(index_dir, terms)
     if not df_map:
         return spark.createDataFrame([], "doc_id long, score double, url string")
 

@@ -160,32 +160,41 @@ def dedup_minhash_lsh(spark, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
-    sig_col = F.transform(
-        F.sequence(F.lit(0), F.lit(MINHASH_K - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                F.col("ss"),
-                lambda h: F.substring(
-                    F.md5(F.concat(i.cast("string"), F.lit("#"), h)), 1, 16
-                ),
-            )
-        ),
-    )
+    # signature stage (r6 batch 3): the K minhashes were computed as
+    # nested higher-order transforms — K md5s per shingle INSTANCE in
+    # *interpreted* Catalyst lambdas (HOFs are CodegenFallback), the
+    # dominant wall-clock of the whole query. Exploding the (already
+    # hashed) shingle ids off the checkpointed base and projecting the
+    # K md5s as ordinary codegen expressions + K map-side-combined
+    # min() aggregates computes the IDENTICAL values (min over the
+    # exploded multiset == array_min over the array; string min uses
+    # the same binary comparator) with whole-stage codegen doing the
+    # hashing and only (doc_id, K x 16-hex) partials crossing the one
+    # small exchange. Band hashes then derive map-side from the K
+    # columns (concat_ws over the 3 columns == concat_ws over the
+    # array slice).
     rows_per_band = MINHASH_K // LSH_BANDS
-    bands = base.select("doc_id", sig_col.alias("sig")).select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(LSH_BANDS - 1))).alias("band"),
-        "sig",
-    ).select(
-        "doc_id",
-        "band",
+    sh = base.select("doc_id", F.explode("ss").alias("h"))
+    mh = sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.substring(F.md5(F.concat(F.lit(f"{i}#"), F.col("h"))), 1, 16)
+            ).alias(f"m{i}")
+            for i in range(MINHASH_K)
+        ]
+    )
+    band_cols = [
         F.md5(
             F.concat_ws(
-                "|",
-                F.slice(F.col("sig"), F.col("band") * rows_per_band + 1, F.lit(rows_per_band)),
+                "|", *[F.col(f"m{b * rows_per_band + j}") for j in range(rows_per_band)]
             )
-        ).alias("bh"),
-    ).localCheckpoint()  # both self-join sides read it; sig computed once
+        )
+        for b in range(LSH_BANDS)
+    ]
+    bands = (
+        mh.select("doc_id", F.posexplode(F.array(*band_cols)).alias("band", "bh"))
+        .localCheckpoint()  # both self-join sides read it; sig computed once
+    )
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), (F.col("x.band") == F.col("y.band")) & (F.col("x.bh") == F.col("y.bh")))

@@ -28,6 +28,12 @@ K = 10
 # ---- shared Spark-side token/tf/stat pipeline --------------------------------
 
 
+def _eq_lit(t: str):
+    """Single-arg HOF lambda factory (a 2-arg lambda would be read as
+    the (element, index) form by F.filter)."""
+    return lambda x: x == F.lit(t)
+
+
 def _tokens(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
@@ -35,43 +41,65 @@ def _tokens(docs: DataFrame) -> DataFrame:
 
 
 def _bm25_scored(spark, sf_dir: str, terms: list[str]) -> DataFrame:
-    # plain read (A/B'd: the explode branches re-shuffle regardless,
-    # so a spread repartition only adds cost here); corpus stats join
-    # in as a broadcast single-row aggregate — the old driver-side
-    # collect of (n, avgdl) ran the whole tokenize+doclen pipeline as
-    # a second job before the scoring job even started
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    toks = _tokens(docs)
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("doclen"))
-    stats = dl.agg(
-        F.count("*").cast("double").alias("n"), F.avg("doclen").alias("avgdl")
+    # MAP-SIDE BM25 (r6 batch 3): doclen and the query terms' tfs are
+    # pure per-doc facts — size()/filter() over the token array — so
+    # the old explode -> groupBy(doc_id) doclen shuffle, the
+    # explode -> groupBy(doc_id, term) tf shuffle, the df groupBy and
+    # the dl join all collapse into ZERO pre-aggregation shuffles:
+    # one narrow per-doc projection, one broadcast single-row
+    # aggregate for (n, avgdl, df_t...), and the final top-k/sort.
+    # Float semantics are IDENTICAL to the exploded form: each term's
+    # partial score uses the same expression tree, and the per-doc sum
+    # folds the partials in the same sorted-term order over the same
+    # +0.0 seed that sort_array(collect_list(...)) produced (query
+    # terms are distinct per doc, so term-ascending order is the
+    # collect_list sort; docs missing a term contribute no element,
+    # exactly like the missing tf row).
+    sterms = sorted(terms)
+    docs = read_spread(spark, f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: F.length(t) > 1)
+    per = docs.select(
+        "doc_id",
+        F.size(toks).alias("doclen"),
+        *[
+            F.size(F.filter(toks, _eq_lit(t))).alias(f"tf_{i}")
+            for i, t in enumerate(sterms)
+        ],
+    ).filter(F.col("doclen") > 0)
+    stats = per.agg(
+        F.count("*").cast("double").alias("n"),
+        F.avg("doclen").alias("avgdl"),
+        *[
+            F.count_if(F.col(f"tf_{i}") > 0).alias(f"df_{i}")
+            for i in range(len(sterms))
+        ],
     )
-    tf = (
-        toks.filter(F.col("term").isin(terms))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
-    )
-    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
-    part = (
-        tf.join(F.broadcast(df_t), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "part",
-            F.log1p((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-            * (
-                F.col("tf")
-                / (
-                    F.col("tf")
-                    + F.lit(BM25_K1)
-                    * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("doclen") / F.col("avgdl"))
-                )
-            ),
+
+    def _part(i: int):
+        tf = F.col(f"tf_{i}").cast("long")
+        df = F.col(f"df_{i}")
+        return F.log1p((F.col("n") - df + 0.5) / (df + 0.5)) * (
+            tf
+            / (
+                tf
+                + F.lit(BM25_K1)
+                * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("doclen") / F.col("avgdl"))
+            )
         )
+
+    ps = F.filter(
+        F.array(
+            *[
+                F.struct(F.col(f"tf_{i}").alias("tf"), _part(i).alias("part"))
+                for i in range(len(sterms))
+            ]
+        ),
+        lambda s: s["tf"] > 0,
     )
     return (
-        part.groupBy("doc_id")
-        .agg(F.sort_array(F.collect_list(F.struct("term", "part"))).alias("ps"))
+        per.crossJoin(F.broadcast(stats))
+        .withColumn("ps", ps)
+        .filter(F.size("ps") > 0)
         .withColumn("score", F.round(F.aggregate("ps", F.lit(0.0), lambda a, x: a + x["part"]), 4))
         .select("doc_id", "score")
     )
@@ -118,11 +146,17 @@ def bm25_top10(spark, sf_dir: str) -> DataFrame:
 
 
 def term_df_top20(spark, sf_dir: str) -> DataFrame:
-    """Document frequency per term, top 20 (the build's df aggregation)."""
+    """Document frequency per term, top 20 (the build's df aggregation).
+
+    r6: per-doc dedup happens MAP-SIDE (explode of array_distinct ==
+    distinct over the exploded (doc_id, term) rows — doc_id keys the
+    dedup either way), so the corpus-wide distinct shuffle disappears
+    and the one remaining exchange carries partially-aggregated
+    (term, count) rows instead of every (doc_id, term) pair."""
     docs = read_spread(spark, f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: F.length(t) > 1)
     return (
-        _tokens(docs)
-        .distinct()
+        docs.select(F.explode(F.array_distinct(toks)).alias("term"))
         .groupBy("term")
         .agg(F.count("*").alias("df"))
         .orderBy(F.desc("df"), F.asc("term"))

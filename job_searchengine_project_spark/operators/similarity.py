@@ -620,26 +620,71 @@ IVF_ITERS = 2  # Lloyd iterations for the trained codebook
 def _ivf_assign(emb: DataFrame, centroids: DataFrame, rank_n: int, out: str) -> DataFrame:
     """Rank centroids per vector by (round(cos,4) DESC, centroid_id) and
     keep the top rank_n — rank 1 is the IVF list assignment, ranks
-    1..nprobe are a query's probe set. The centroid side is nlist rows,
-    broadcast; the codebook comes from _kmeans_codebook (deterministic
-    sampled Lloyd training the DuckDB oracle mirrors exactly)."""
-    # vectorized kernels (bit-identical to the expression form): the
-    # vector-side norm evaluates once per streamed partition, the
-    # post-join cos once per (vector, centroid) row — nlist dots per
-    # vector was the interpreted hot spot of every assignment pass
-    scored = (
-        emb.withColumn("nv", _norm_udf(F.col("embedding")))
-        .join(F.broadcast(centroids.withColumn("nc", _norm(F.col("cv")))), F.lit(True))
-        .withColumn(
-            "ccos",
-            F.round(_dot_udf(F.col("embedding"), F.col("cv")) / (F.col("nv") * F.col("nc")), 4),
-        )
+    1..nprobe are a query's probe set. The codebook is a tiny
+    broadcast-scale object BY CONSTRUCTION (nlist ~ sqrt(n) rows), so
+    it collects driver-side and ships inside ONE Arrow kernel that
+    scores every centroid per vector in a single pass — the old form
+    cross-joined the nlist rows against the corpus and paid an Arrow
+    round-trip per (vector, centroid) PAIR, shipping each embedding
+    nlist times through the Python boundary. Raw cosines use the same
+    left-fold dot/norm order as the expression form (_fold_dot_np, so
+    each value is bit-identical); the round(.,4) and the rank stay in
+    Catalyst, exactly as before."""
+    import numpy as np
+
+    crows = sorted(
+        (int(r["centroid_id"]), [float(x) for x in r["cv"]])
+        for r in centroids.collect()
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("centroid_id"))
-    return (
-        scored.withColumn("crank", F.row_number().over(w))
-        .filter(F.col("crank") <= rank_n)
-        .select(F.col("vec_id").alias(out), "centroid_id", "crank")
+    cids = [c for c, _ in crows]
+    cmat = np.array([v for _, v in crows], dtype=np.float64)
+    cnorm = np.sqrt(_fold_dot_np(cmat, cmat))
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def _all_ccos(v: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        x = _np_mat(v)
+        nv = np.sqrt(_fold_dot_np(x, x))
+        acc = np.zeros((x.shape[0], cmat.shape[0]))
+        for d in range(x.shape[1]):
+            acc += x[:, d, None] * cmat[None, :, d]
+        ccos = acc / (nv[:, None] * cnorm[None, :])
+        return pd.Series(list(ccos))
+
+    # rank WITHOUT a shuffle: all nlist cosines for a vector live in
+    # one array row, so the (round(ccos,4) DESC, centroid_id ASC) rank
+    # is an array_sort over (rounded, id) structs — the same total
+    # order row_number() over a vec_id window produced, with the
+    # round() still evaluated by Catalyst (bit-for-bit the old
+    # semantics) and ZERO exchanges instead of one per assignment.
+    id_arr = F.array(*[F.lit(c) for c in cids])
+    structs = F.transform(
+        _all_ccos(F.col("embedding")),
+        lambda x, i: F.struct(
+            F.round(x, 4).alias("ccos"),
+            F.element_at(id_arr, i + 1).cast("long").alias("centroid_id"),
+        ),
+    )
+    ranked = F.slice(
+        F.array_sort(
+            structs,
+            lambda a, b: F.when(a["ccos"] > b["ccos"], F.lit(-1))
+            .when(a["ccos"] < b["ccos"], F.lit(1))
+            .when(a["centroid_id"] < b["centroid_id"], F.lit(-1))
+            .otherwise(F.lit(1)),
+        ),
+        1,
+        rank_n,
+    )
+    return emb.select(
+        F.col("vec_id").alias(out), F.posexplode(ranked).alias("pos", "s")
+    ).select(
+        out,
+        F.col("s.centroid_id").alias("centroid_id"),
+        (F.col("pos") + 1).cast("int").alias("crank"),
     )
 
 
@@ -778,7 +823,11 @@ def ivf_topk(
     (persist_codebook) and is LOADED on later calls/processes, never
     silently retrained."""
     centroids = _codebook_for(spark, emb, cache_key, nlist=nlist, iters=iters)
-    lists = _ivf_assign(emb, centroids, 1, "vec_id").drop("crank")
+    # both assignment passes are now SHUFFLE-FREE (array_sort rank in
+    # _ivf_assign), so no checkpoint is needed: the lists pass is one
+    # map-only scan and the probes pass prunes its scan to the n_query
+    # vectors.
+    lists = _ivf_assign(emb, centroids, 1, "neighbor_id").drop("crank")
     q = emb.filter(F.col("vec_id") < n_query)
     probes = _ivf_assign(q, centroids, nprobe, "query_id").drop("crank")
     qv = q.select(
@@ -791,11 +840,16 @@ def ivf_topk(
         F.col("embedding").alias("nv"),
         _norm_udf(F.col("embedding")).alias("nn"),
     )
+    # probes is n_query*nprobe rows -> broadcast, so candidate
+    # generation never shuffles the corpus-side lists; the old
+    # .distinct() was a no-op (each vector lives in exactly ONE crank-1
+    # list and probes rows are unique per (query, centroid), so
+    # (query_id, neighbor_id) pairs cannot repeat) — dropped with the
+    # shuffle it carried.
     cand = (
-        probes.join(lists.withColumnRenamed("vec_id", "neighbor_id"), "centroid_id")
+        lists.join(F.broadcast(probes), "centroid_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id")
-        .distinct()
     )
     scored = (
         cand.join(F.broadcast(qv), "query_id")
@@ -823,8 +877,15 @@ def ann_ivf_topk(spark, sf_dir: str) -> DataFrame:
     0.94 / 1.0 at sf0.001 / 0.01 / 0.1). At scale the candidate join
     shuffles on centroid_id (list-local scoring) instead of going
     all-pairs, and nlist grows ~sqrt(n) so the probe fraction
-    shrinks — see ivf_topk for the parameterized form."""
-    emb = read_spread(spark, f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    shrinks — see ivf_topk for the parameterized form.
+
+    Plain read, not read_spread (r6): ivf_topk derives FOUR scans from
+    this frame and each re-plans the round-robin exchange as its own
+    AQE job; the per-row work (nlist fold-dots in one Arrow kernel) is
+    far cheaper than four exchanges on an under-split local table, and
+    at real scale the layout feeds enough tasks anyway (read_spread
+    would no-op there)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
     return ivf_topk(spark, emb, cache_key=os.path.abspath(sf_dir))
 
 

@@ -624,20 +624,28 @@ def _stored_fields_for(
     urls = sorted({u for u in urls if u})
     if not urls:
         return {}
-    buckets = sorted({_term_bucket_py(u, nb) for u in urls})
-    rows = (
-        spark.read.parquet(os.path.join(index_dir, "stored"))
-        .filter(F.col("sbucket").isin(buckets) & F.col("url").isin(urls))
-        .drop("sbucket")
-        .collect()
-    )
+    # driver-side pyarrow point read per touched bucket (the engine's
+    # fields_of_many shape): the page's urls are already on the
+    # driver, so a Spark job (scan + collect) paid a whole scheduling
+    # round-trip for a k-row read (r6).
+    import pyarrow.dataset as pads
+
+    by_bucket: dict[int, list[str]] = {}
+    for u in urls:
+        by_bucket.setdefault(_term_bucket_py(u, nb), []).append(u)
     best: dict[str, tuple[int, dict]] = {}
-    for r in rows:
-        d = r.asDict()
-        g = int(d.pop("_gen", 0) or 0)
-        u = d["url"]
-        if u not in best or g >= best[u][0]:
-            best[u] = (g, d)
+    for bkt, us in by_bucket.items():
+        bucket_dir = os.path.join(index_dir, "stored", f"sbucket={bkt}")
+        if not os.path.isdir(bucket_dir):
+            continue
+        tbl = pads.dataset(bucket_dir).to_table(
+            filter=pads.field("url").isin(us)
+        )
+        for d in tbl.to_pylist():
+            g = int(d.pop("_gen", 0) or 0)
+            u = d["url"]
+            if u not in best or g >= best[u][0]:
+                best[u] = (g, d)
     return {u: d for u, (_g, d) in best.items()}
 
 
@@ -753,7 +761,36 @@ def query_sharded(
     hits_rows: list = []
     scope: DataFrame | None = None
     sort_vals: dict | None = None
-    if q and cursor_sort:
+    aggs_spec = body.get("aggs") or body.get("aggregations")
+    total_pre: int | None = None
+    if (
+        q
+        and not cursor_sort
+        and not sort_spec
+        and not aggs_spec
+        and next(iter(q)) == "match"
+        and frm + size > 0
+    ):
+        # r6 fused plain-match path: page + exact total in ONE Spark
+        # job (search_sharded_match_total) instead of the ranked
+        # kernel plus a second full match_docs kernel for the count.
+        from job_searchengine_project_spark.index.sharded import (
+            search_sharded_match_total,
+        )
+
+        ((_kind, spec),) = q.items()
+        field, text = _leaf_field_text(spec)
+        manifest = _fielded_manifest(index_dir)
+        if manifest is not None:
+            target, t_stats = _field_sub(index_dir, manifest, field)
+        else:
+            target, t_stats = index_dir, stats
+        terms = _analyze(t_stats, text)
+        rows, total_pre = search_sharded_match_total(
+            spark, target, terms, k=frm + size
+        )
+        hits_rows = [(d, s, u) for d, s, u in rows[frm : frm + size]]
+    elif q and cursor_sort:
         from job_searchengine_project_spark.index.sharded import (
             match_docs_sharded,
             search_sharded,
@@ -851,7 +888,11 @@ def query_sharded(
         # semi-join: materialize the (small, doc_id-only) set once
         # instead of re-running the match kernel per consumer job
         scope = scope.localCheckpoint()
-    total = scope.count() if scope is not None else 0
+    total = (
+        total_pre
+        if total_pre is not None
+        else scope.count() if scope is not None else 0
+    )
     out_hits = []
     for d, s, url in hits_rows:
         entry = {"_id": url, "_score": s}
@@ -864,7 +905,6 @@ def query_sharded(
             "hits": out_hits,
         }
     }
-    aggs_spec = body.get("aggs") or body.get("aggregations")
     if aggs_spec:
         from job_searchengine_project_spark.index.sharded import (
             aggregate_histogram_sharded,

@@ -59,12 +59,19 @@ def test_segment_scan_prunes_by_term_bucket(spark, tmp_path):
 
 
 def test_bm25_oracle_single_wide_shuffle(spark):
-    """The oracle's df-per-term join must be broadcast (no shuffle of
-    the big postings side for a <=|q|-row dimension)."""
+    """r6: BM25 scoring is fully map-side — doclen/tf/partials are
+    per-doc expressions and the corpus stats a broadcast one-row
+    aggregate, so the plan must carry NO hash-partitioned exchange and
+    NO join of the postings (the pre-r6 assertion — a broadcast df
+    join — is subsumed: there is no df join at all now; the only
+    exchanges allowed are the read-spread round-robin and the final
+    range sort)."""
     from job_searchengine_project_spark.operators.fulltext import bm25_scores
+    from job_searchengine_project_spark.plans.explain import plan_str
 
-    df = bm25_scores(spark, SF)
-    assert has_broadcast_join(df)
+    plan = plan_str(bm25_scores(spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "hashpartitioning" not in plan, plan
 
 
 def test_lsh_candidate_join_is_hash_not_cartesian(spark):

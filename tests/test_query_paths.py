@@ -213,24 +213,28 @@ def test_distributed_dense_norms_bound(spark, morph_index):
 
 
 def test_url_attach_is_pruned_read(spark, morph_index):
-    """The hit-url fetch must push a doc_id In filter into the forward
-    scan — a plain join against the full forward table is an O(N) scan
-    per query at web scale."""
+    """The hit-url fetch must never scan the forward table inside a
+    Spark job: r6 made it a driver-side pyarrow point read (the top-k
+    was already collected), so the returned plan must contain NO
+    forward FileScan at all — and the urls must still be exactly the
+    hits' urls."""
     from job_searchengine_project_spark.index.sharded import (
         build_sharded_segments,
         search_sharded,
     )
-    from job_searchengine_project_spark.plans.explain import pushed_filters
+    from job_searchengine_project_spark.plans.explain import plan_str
 
     build_sharded_segments(spark, morph_index, n_shards=2)
     df = search_sharded(spark, morph_index, ["spark"], k=5)
-    pf = pushed_filters(df)
-    assert pf and any("In(doc_id" in p for p in pf), pf
+    assert "forward" not in plan_str(df)
+    rows = df.collect()
+    assert rows and all(r["url"] is not None for r in rows)
     df2 = search_distributed(
         spark, morph_index, ["spark"], k=5, auto_route=False
     )
-    pf2 = pushed_filters(df2)
-    assert pf2 and any("In(doc_id" in p for p in pf2), pf2
+    assert "forward" not in plan_str(df2)
+    rows2 = df2.collect()
+    assert [r["url"] for r in rows2] == [r["url"] for r in rows]
 
 
 def test_sharded_rebuild_after_partial_write(spark, morph_index, tmp_path):
