@@ -153,28 +153,38 @@ def term_freqs_arrow_morph(batches):
     tokenize stage. numpy '<U' ordering and Python ``sorted`` agree
     (both compare code points), so the emitted term order is
     identical."""
-    import re
-    from itertools import chain
-
     import numpy as np
     import pyarrow as pa
+    import pyarrow.compute as pc
 
-    rex = re.compile(_TOKEN_RE)
+    # findall of the maximal-run token class == RE2 split on its
+    # complement with the empty boundary segments dropped — and the
+    # existing keep mask (len > 1) already drops them, so the kept
+    # token stream is identical while the 10^7 per-token Python string
+    # objects the re.findall path materialized never exist: splitting,
+    # flattening and vocabulary hashing all run in Arrow C++ (r6; the
+    # lowercase stays Python str.lower for byte-parity with the scalar
+    # tokenizer contract).
+    split_pat = r"[^가-힣a-z0-9/]+"
     for batch in batches:
         urls = batch.column("url")
         texts = batch.column("text").to_pylist()
         n = len(texts)
-        lists = [rex.findall((t or "").lower()) for t in texts]
-        n_i = np.fromiter(map(len, lists), dtype=np.int64, count=n)
-        flat = np.array(list(chain.from_iterable(lists)), dtype=object)
-        if flat.size:
-            # factorize: the batch's token stream collapses to its
-            # (small) vocabulary, so keep-masks, length checks and the
-            # LEXICOGRAPHIC rank (np.argsort on str == Python sorted —
-            # both compare code points) cost O(vocab), and the per-doc
-            # sort is an integer lexsort over ranks
-            codes, uniques = pd.factorize(flat, sort=False)
-            un = np.asarray(uniques, dtype=object)
+        lowered = pa.array(
+            [(t or "").lower() for t in texts], type=pa.string()
+        )
+        tok_lists = pc.split_pattern_regex(lowered, pattern=split_pat)
+        n_i = pc.list_value_length(tok_lists).to_numpy().astype(np.int64)
+        flat_arr = pc.list_flatten(tok_lists)
+        if len(flat_arr):
+            # dictionary-encode: the batch's token stream collapses to
+            # its (small) vocabulary in C++, so keep-masks, length
+            # checks and the LEXICOGRAPHIC rank (np.argsort on str ==
+            # Python sorted — both compare code points) cost O(vocab),
+            # and the per-doc sort is an integer lexsort over ranks
+            d = pc.dictionary_encode(flat_arr)
+            codes = d.indices.to_numpy().astype(np.int64)
+            un = np.asarray(d.dictionary.to_pylist(), dtype=object)
             ulen = np.fromiter(map(len, un), dtype=np.int64, count=len(un))
             ukeep = ulen > 1
             for i in np.flatnonzero(ukeep):
@@ -190,7 +200,7 @@ def term_freqs_arrow_morph(batches):
             order = np.lexsort((rc, rk))
             rc, rk = rc[order], rk[order]
         else:
-            sorted_un = flat
+            sorted_un = np.empty(0, dtype=object)
             rc = np.empty(0, dtype=np.int64)
             rk = np.empty(0, dtype=np.int64)
         if rc.size:

@@ -133,6 +133,272 @@ _PARTIAL_COLS = [
 _PARTIAL_COLS_POS = _PARTIAL_COLS + ["pos_blob", "block_pos_bytes"]
 
 
+def _pack_partition_arrow(batches, avgdl: float):
+    """Map-side pack kernel (r6, guide §2.3/§8: shuffle metadata-light
+    proxies, never per-posting rows): group THIS input partition's
+    postings by (term, salt) and emit one row per group carrying the
+    doc ids / tfs / precomputed tf-norms as raw binary blobs (~20 B
+    per posting in a handful of rows per term) — the encode shuffle
+    previously moved one 5-field row PER POSTING, and the per-row
+    serialization overhead of that exchange, not the encode kernel,
+    dominated the whole segments stage. tfn here is the identical
+    numpy expression the encode kernel evaluated, just computed before
+    the exchange instead of after it."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    parts = list(batches)
+    if not parts:
+        return
+    tbl = pa.Table.from_batches(parts)
+    if tbl.num_rows == 0:
+        return
+    dict_arr = pc.dictionary_encode(tbl.column("term").combine_chunks())
+    tc = dict_arr.indices.to_numpy()
+    terms_uniq = dict_arr.dictionary.to_pylist()
+    salts = tbl.column("salt").to_numpy()
+    docs = tbl.column("doc_id").to_numpy().astype(np.int64, copy=False)
+    tfs = tbl.column("tf").to_numpy().astype(np.int64, copy=False)
+    dls = tbl.column("doclen").to_numpy().astype(np.float64)
+    tfn = tfs / (tfs + BM25_K1 * (1.0 - BM25_B + BM25_B * (dls / avgdl)))
+    order = np.lexsort((docs, salts, tc))
+    tc, sa, docs, tfs, tfn = tc[order], salts[order], docs[order], tfs[order], tfn[order]
+    change = np.empty(tc.size, dtype=bool)
+    change[0] = True
+    change[1:] = (tc[1:] != tc[:-1]) | (sa[1:] != sa[:-1])
+    starts = np.flatnonzero(change)
+    ends = np.append(starts[1:], tc.size)
+    terms_out, salts_out, d_blobs, t_blobs, n_blobs = [], [], [], [], []
+    for s, e in zip(starts, ends):
+        terms_out.append(terms_uniq[tc[s]])
+        salts_out.append(int(sa[s]))
+        d_blobs.append(docs[s:e].tobytes())
+        t_blobs.append(tfs[s:e].astype(np.int32).tobytes())
+        n_blobs.append(tfn[s:e].tobytes())
+    yield pa.RecordBatch.from_arrays(
+        [
+            pa.array(terms_out, type=pa.string()),
+            pa.array(salts_out, type=pa.int32()),
+            pa.array(d_blobs, type=pa.binary()),
+            pa.array(t_blobs, type=pa.binary()),
+            pa.array(n_blobs, type=pa.binary()),
+        ],
+        ["term", "salt", "docs_blob", "tfs_blob", "tfn_blob"],
+    )
+
+
+_PACKED_SCHEMA = (
+    "term string, salt int, docs_blob binary, tfs_blob binary, tfn_blob binary"
+)
+
+_PACKED_SCHEMA_B = "term string, salt int, term_bucket int, " \
+    "docs_blob binary, tfs_blob binary, tfn_blob binary"
+
+
+def _pack_forward_arrow(batches, avgdl: float, n_docs: int, head_map: dict,
+                        term_buckets: int, shard_rng: int | None = None):
+    """Pack kernel fed DIRECTLY by the forward table's nested rows
+    (r6): the old pipeline exploded ~40 posting rows per doc JVM-side
+    and then converted every one of them through the Arrow boundary
+    into the pack/encode kernels — row-at-a-time ArrowWriter
+    conversion of the exploded rows, not the shuffle itself, dominated
+    the segments stage. Reading the forward rows moves the same leaf
+    values as columnar array regions (no per-posting row exists
+    anywhere), and the salt assignment — identical arithmetic to the
+    broadcast head join (ceil and trunc agree exactly for int inputs
+    < 2^31) — plus the term_bucket derivation run at VOCABULARY cost
+    in-kernel. Emitted groups are byte-identical to the exploded
+    form's (test-gated)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for batch in batches:
+        if batch.num_rows == 0:
+            continue
+        doc_ids = batch.column("doc_id").to_numpy().astype(np.int64, copy=False)
+        dls = batch.column("doclen").to_numpy().astype(np.float64)
+        terms_col = batch.column("terms")
+        counts = pc.list_value_length(terms_col).to_numpy().astype(np.int64)
+        flat = pc.list_flatten(terms_col)
+        tfs_all = flat.field("tf").to_numpy().astype(np.int64)
+        d = pc.dictionary_encode(flat.field("term"))
+        codes = d.indices.to_numpy().astype(np.int64)
+        vocab = d.dictionary.to_pylist()
+        nv = len(vocab)
+        ns_vocab = np.fromiter(
+            (head_map.get(t, 1) for t in vocab), dtype=np.int64, count=nv
+        )
+        rps_vocab = -(-n_docs // ns_vocab)
+        tb_vocab = np.fromiter(
+            (_term_bucket_py(t, term_buckets) for t in vocab),
+            dtype=np.int64, count=nv,
+        )
+        docs_rep = np.repeat(doc_ids, counts)
+        dls_rep = np.repeat(dls, counts)
+        if shard_rng is not None:
+            # sharded-layout derivation: every term splits by the SAME
+            # doc range (salt == shard), identical to the old
+            # (doc_id / rng) cast-int column
+            salts = (docs_rep // shard_rng).astype(np.int64)
+        else:
+            salts = np.where(
+                ns_vocab[codes] == 1, 0, docs_rep // rps_vocab[codes]
+            ).astype(np.int64)
+        tfn = tfs_all / (
+            tfs_all + BM25_K1 * (1.0 - BM25_B + BM25_B * (dls_rep / avgdl))
+        )
+        if codes.size == 0:
+            continue
+        order = np.lexsort((docs_rep, salts, codes))
+        tc, sa = codes[order], salts[order]
+        docs_s, tfs_s, tfn_s = docs_rep[order], tfs_all[order], tfn[order]
+        change = np.empty(tc.size, dtype=bool)
+        change[0] = True
+        change[1:] = (tc[1:] != tc[:-1]) | (sa[1:] != sa[:-1])
+        starts = np.flatnonzero(change)
+        bounds = np.append(starts, tc.size).astype(np.int64)
+        # blob columns built from ONE data buffer + an offsets array
+        # (a binary Arrow column IS offsets + contiguous bytes): no
+        # per-group Python bytes objects — with a wide vocabulary the
+        # group count approaches the posting count and a per-group
+        # .tobytes() loop would dominate the kernel (guide §4.2).
+        terms_arr = pc.take(d.dictionary, pa.array(tc[starts]))
+        yield pa.RecordBatch.from_arrays(
+            [
+                terms_arr.cast(pa.string()),
+                pa.array(sa[starts].astype(np.int32), type=pa.int32()),
+                pa.array(
+                    tb_vocab[tc[starts]].astype(np.int32), type=pa.int32()
+                ),
+                _binary_from_fixed(docs_s, bounds, 8),
+                _binary_from_fixed(tfs_s.astype(np.int32), bounds, 4),
+                _binary_from_fixed(tfn_s, bounds, 8),
+            ],
+            ["term", "salt", "term_bucket", "docs_blob", "tfs_blob", "tfn_blob"],
+        )
+
+
+def _fixed_from_binary(arr, dtype, width: int):
+    """Inverse of _binary_from_fixed: (flat numpy values, per-row
+    element counts) from a binary Arrow array, via the offsets buffer
+    — no per-row bytes objects. Works on sliced arrays (honors
+    arr.offset)."""
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype=dtype), np.empty(0, dtype=np.int64)
+    bufs = arr.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=np.int32)[arr.offset : arr.offset + n + 1]
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    flat = data[offsets[0] : offsets[-1]]
+    if (offsets[0] % width) != 0:
+        flat = flat.copy()
+    values = flat.view(dtype)
+    counts = (np.diff(offsets.astype(np.int64))) // width
+    return values, counts
+
+
+def _binary_from_fixed(values: "np.ndarray", bounds: "np.ndarray", width: int):
+    """Arrow binary array over a fixed-width numpy array: one data
+    buffer (the array's own bytes) + int32 offsets at element
+    granularity x width. bounds = group starts + final end."""
+    import pyarrow as pa
+
+    data = values.tobytes()
+    offsets = (bounds * width).astype(np.int32)
+    return pa.Array.from_buffers(
+        pa.binary(), len(bounds) - 1,
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data)],
+    )
+
+
+def _encode_packed_arrow(batches, block_size: int):
+    """Encode kernel over PACKED (term, salt) blob rows: unpack the
+    binary arrays, flatten, lexsort — identical (term, salt, doc)
+    multiset and order as the per-posting form, so the emitted partial
+    rows are byte-identical — then the same vectorized grouped codec
+    pass."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    parts = list(batches)
+    if not parts:
+        return
+    tbl = pa.Table.from_batches(parts)
+    if tbl.num_rows == 0:
+        return
+    dict_arr = pc.dictionary_encode(tbl.column("term").combine_chunks())
+    row_tc = dict_arr.indices.to_numpy()
+    terms_uniq = dict_arr.dictionary.to_pylist()
+    row_salts = tbl.column("salt").to_numpy()
+    # blob ingestion without per-row bytes objects (guide §4.2): a
+    # binary column is one contiguous data buffer + offsets, so each
+    # column unpacks with ONE copy + view
+    docs, counts = _fixed_from_binary(
+        tbl.column("docs_blob").combine_chunks(), np.int64, 8
+    )
+    tfs, _ = _fixed_from_binary(
+        tbl.column("tfs_blob").combine_chunks(), np.int32, 4
+    )
+    tfs = tfs.astype(np.int64)
+    tfn, _ = _fixed_from_binary(
+        tbl.column("tfn_blob").combine_chunks(), np.float64, 8
+    )
+    terms_codes = np.repeat(row_tc, counts)
+    salts = np.repeat(row_salts, counts)
+
+    order = np.lexsort((docs, salts, terms_codes))
+    tc, sa, docs, tfs, tfn = (
+        terms_codes[order], salts[order], docs[order], tfs[order], tfn[order]
+    )
+    change = np.empty(tc.size, dtype=bool)
+    change[0] = True
+    change[1:] = (tc[1:] != tc[:-1]) | (sa[1:] != sa[:-1])
+    starts = np.flatnonzero(change)
+    ends = np.append(starts[1:], tc.size)
+    encs = codec.encode_postings_grouped(
+        starts, ends, docs, tfs, tfn, block_size=block_size
+    )
+    yield from _emit_partial_batch(starts, encs, tc, sa, terms_uniq)
+
+
+def _emit_partial_batch(starts, encs, tc, sa, terms_uniq):
+    import pyarrow as pa
+
+    cols: dict[str, list] = {c: [] for c in _PARTIAL_COLS}
+    for s, enc in zip(starts, encs):
+        cols["term"].append(terms_uniq[tc[s]])
+        cols["salt"].append(int(sa[s]))
+        cols["df"].append(enc.count)
+        cols["first_doc"].append(enc.first_doc)
+        cols["doc_blob"].append(enc.doc_blob)
+        cols["tf_blob"].append(enc.tf_blob)
+        cols["block_n"].append(enc.block_n)
+        cols["block_last_doc"].append(enc.block_last_doc)
+        cols["block_doc_bytes"].append(enc.block_doc_bytes)
+        cols["block_tf_bytes"].append(enc.block_tf_bytes)
+        cols["block_max_tfnorm"].append(enc.block_max_tfnorm)
+        cols["n_parts"].append(1)
+        cols["bytes_written"].append(len(enc.doc_blob) + len(enc.tf_blob))
+    yield pa.RecordBatch.from_arrays(
+        [
+            pa.array(cols["term"], type=pa.string()),
+            pa.array(cols["salt"], type=pa.int32()),
+            pa.array(cols["df"], type=pa.int64()),
+            pa.array(cols["first_doc"], type=pa.int64()),
+            pa.array(cols["doc_blob"], type=pa.binary()),
+            pa.array(cols["tf_blob"], type=pa.binary()),
+            pa.array(cols["block_n"], type=pa.list_(pa.int32())),
+            pa.array(cols["block_last_doc"], type=pa.list_(pa.int64())),
+            pa.array(cols["block_doc_bytes"], type=pa.list_(pa.int32())),
+            pa.array(cols["block_tf_bytes"], type=pa.list_(pa.int32())),
+            pa.array(cols["block_max_tfnorm"], type=pa.list_(pa.float64())),
+            pa.array(cols["n_parts"], type=pa.int32()),
+            pa.array(cols["bytes_written"], type=pa.int64()),
+        ],
+        _PARTIAL_COLS,
+    )
+
+
 def _encode_partition_arrow(batches, avgdl: float, block_size: int):
     """mapInArrow kernel (non-positional): encode every (term, salt)
     group in the partition. The posting columns go straight from the
@@ -586,18 +852,40 @@ def build_index(
             F.ceil(F.col("df_est") / target_postings_per_salt).cast("int").alias("n_salts"),
         )
         _tick("df sample plan")
-        range_per_salt = F.ceil(F.lit(n_docs) / F.col("n_salts"))
-        salted = (
-            postings.join(F.broadcast(head), "term", "left")
-            .withColumn("n_salts", F.coalesce(F.col("n_salts"), F.lit(1)))
-            .withColumn(
-                "salt",
-                F.when(F.col("n_salts") == 1, F.lit(0)).otherwise(
-                    (F.col("doc_id") / range_per_salt).cast("int")
-                ),
+        if with_positions:
+            range_per_salt = F.ceil(F.lit(n_docs) / F.col("n_salts"))
+            src_all = (
+                postings.join(F.broadcast(head), "term", "left")
+                .withColumn("n_salts", F.coalesce(F.col("n_salts"), F.lit(1)))
+                .withColumn(
+                    "salt",
+                    F.when(F.col("n_salts") == 1, F.lit(0)).otherwise(
+                        (F.col("doc_id") / range_per_salt).cast("int")
+                    ),
+                )
+                .drop("n_salts")
             )
-            .drop("n_salts")
-        )
+        else:
+            # r6: the head map is tiny by construction (terms with
+            # df > target_postings_per_salt); collect it and pack the
+            # postings straight off the forward table's nested rows —
+            # no explode, no per-posting Arrow conversion, no
+            # broadcast salt join (see _pack_forward_arrow)
+            head_map = {r["term"]: int(r["n_salts"]) for r in head.collect()}
+            _tick("head collect")
+            # coalesce to the session parallelism: packing collapses a
+            # partition's postings to (term, salt) groups, so FEWER,
+            # larger pack tasks raise postings-per-blob toward
+            # |partition| / |vocab| (guide §2.2: fewer larger map
+            # tasks) while still feeding every core
+            par = max(1, spark.sparkContext.defaultParallelism)
+            src_all = fwd.select("doc_id", "doclen", "terms").coalesce(par).mapInArrow(
+                lambda it: _pack_forward_arrow(
+                    it, avgdl=avgdl, n_docs=n_docs,
+                    head_map=head_map, term_buckets=term_buckets,
+                ),
+                schema=_PACKED_SCHEMA_B,
+            )
         shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
         # buckets still to build, split into checkpoint groups: each
         # group is one Spark job committed with dynamic partition
@@ -615,16 +903,18 @@ def build_index(
             todo[g::checkpoint_groups] for g in range(min(checkpoint_groups, max(len(todo), 1)))
         ]
         groups = [g for g in groups if g]
-        # with >1 checkpoint group, stage the salted postings ONCE
-        # (partitioned by group) so each group's job reads only its
-        # pruned slice — re-running the explode+salt per group would
-        # multiply the heaviest scan by the group count
+        # with >1 checkpoint group, stage the salted/packed postings
+        # ONCE (partitioned by group) so each group's job reads only
+        # its pruned slice — re-running the tokenized scan per group
+        # would multiply the heaviest pass by the group count (the
+        # packed form additionally stages ~20 B/posting blobs, not
+        # per-posting rows)
         staged_dir = os.path.join(out_dir, "_staged_postings")
         if len(groups) > 1:
             group_of = {b: gi for gi, bs in enumerate(groups) for b in bs}
             gmap = F.create_map(*[F.lit(x) for kv in sorted(group_of.items()) for x in kv])
             (
-                salted.withColumn("ckpt_group", gmap[F.col("term_bucket")])
+                src_all.withColumn("ckpt_group", gmap[F.col("term_bucket")])
                 .filter(F.col("ckpt_group").isNotNull())
                 .write.mode("overwrite")
                 .partitionBy("ckpt_group")
@@ -640,27 +930,33 @@ def build_index(
                         F.col("ckpt_group") == gi
                     ).drop("ckpt_group")
                 elif len(bucket_group) < term_buckets:
-                    sub = salted.filter(F.col("term_bucket").isin(bucket_group))
+                    sub = src_all.filter(F.col("term_bucket").isin(bucket_group))
                 else:
-                    sub = salted
+                    sub = src_all
                 sub = sub.drop("term_bucket")
-                # the salted repartition-by-term shuffle, then
-                # PARTITION-wise encode (one Python/Arrow call per
-                # partition, numpy group loop inside — per-group
-                # applyInPandas dispatch would dominate with Zipfian
-                # vocabularies)
-                shuffled = sub.repartition(shuffle_n, "term", "salt")
+                # the (term, salt) repartition, then PARTITION-wise
+                # encode (one Python/Arrow call per partition, numpy
+                # group loop inside — per-group applyInPandas dispatch
+                # would dominate with Zipfian vocabularies). The
+                # non-positional path shuffles PACKED blob rows
+                # (~20 B/posting, a handful of rows per term) produced
+                # straight off the forward scan — per-posting rows
+                # never exist anywhere in the pipeline (r6).
                 if with_positions:
-                    partials = shuffled.mapInPandas(
+                    partials = sub.repartition(
+                        shuffle_n, "term", "salt"
+                    ).mapInPandas(
                         lambda it: _encode_partition(
                             it, avgdl=avgdl, block_size=block_size
                         ),
                         schema=PARTIAL_SCHEMA_POS,
                     )
                 else:
-                    partials = shuffled.mapInArrow(
-                        lambda it: _encode_partition_arrow(
-                            it, avgdl=avgdl, block_size=block_size
+                    partials = sub.repartition(
+                        shuffle_n, "term", "salt"
+                    ).mapInArrow(
+                        lambda it: _encode_packed_arrow(
+                            it, block_size=block_size
                         ),
                         schema=PARTIAL_SCHEMA,
                     )

@@ -86,10 +86,38 @@ def build_sharded_segments(
         (F.col("doc_id") / F.lit(rng)).cast("int").alias("salt"),  # = shard
     )
     shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    shards = postings.repartition(shuffle_n, "term", "salt").mapInPandas(
-        lambda it: _encode_partition(it, avgdl=avgdl, block_size=block_size),
-        schema=PARTIAL_SCHEMA_POS if "pos" in term_fields else PARTIAL_SCHEMA,
-    ).withColumnRenamed("salt", "shard")
+    if "pos" in term_fields:
+        shards = postings.repartition(shuffle_n, "term", "salt").mapInPandas(
+            lambda it: _encode_partition(it, avgdl=avgdl, block_size=block_size),
+            schema=PARTIAL_SCHEMA_POS,
+        ).withColumnRenamed("salt", "shard")
+    else:
+        # packed-blob derivation straight off the forward table (r6,
+        # same kernels as the base build): no explode, no per-posting
+        # Arrow conversion; the derive exchange moves per-(term, shard)
+        # binary blobs, not a row per posting
+        from job_searchengine_project_spark.index.build import (
+            _PACKED_SCHEMA_B,
+            _encode_packed_arrow,
+            _pack_forward_arrow,
+        )
+
+        par = max(1, spark.sparkContext.defaultParallelism)
+        packed = fwd.select("doc_id", "doclen", "terms").coalesce(par).mapInArrow(
+            lambda it: _pack_forward_arrow(
+                it, avgdl=avgdl, n_docs=n_docs, head_map={},
+                term_buckets=1, shard_rng=rng,
+            ),
+            schema=_PACKED_SCHEMA_B,
+        ).drop("term_bucket")
+        shards = (
+            packed.repartition(shuffle_n, "term", "salt")
+            .mapInArrow(
+                lambda it: _encode_packed_arrow(it, block_size=block_size),
+                schema=PARTIAL_SCHEMA,
+            )
+            .withColumnRenamed("salt", "shard")
+        )
     out = os.path.join(index_dir, "shards")
     (
         shards.repartition("shard")

@@ -169,22 +169,50 @@ def ann_cosine_topk(spark, sf_dir: str) -> DataFrame:
     Rank key is (round(cos,4) DESC, neighbor_id ASC) so float-noise
     at 1e-16 can't flip ranks between engines.
     """
+    import numpy as np
+    import pyarrow.dataset as pads
+
     emb = read_spread(spark, f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
-    q = emb.filter(F.col("vec_id") < N_QUERY).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qv"),
-        _norm(F.col("embedding")).alias("nq"),
+    # the query side is n_query rows BY CONSTRUCTION: point-read it
+    # driver-side (pyarrow, exact float32 values) and score every
+    # query inside ONE Arrow kernel per corpus row — the old broadcast
+    # nested-loop join shipped each embedding n_query times through
+    # the Python boundary as separate pair rows (r6). Dots/norms keep
+    # the left-fold order (_fold_dot_np), nq folds over the same
+    # float->double widening the _norm expression used, and the
+    # round + rank stay in Catalyst — values and ranks are identical.
+    qtbl = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding"],
+        filter=pads.field("vec_id") < N_QUERY,
     )
-    e2 = emb.withColumn("ne", _norm_udf(F.col("embedding")))
+    qrows = sorted(zip(qtbl["vec_id"].to_pylist(), qtbl["embedding"].to_pylist()))
+    qids = [int(i) for i, _ in qrows]
+    qmat = np.array([v for _, v in qrows], dtype=np.float64)
+    nq = np.sqrt(_fold_dot_np(qmat, qmat))
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def _qcos(v: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        x = _np_mat(v)
+        ne = np.sqrt(_fold_dot_np(x, x))
+        acc = np.zeros((x.shape[0], qmat.shape[0]))
+        for d in range(x.shape[1]):
+            acc += qmat[None, :, d] * x[:, d, None]
+        cos = acc / (nq[None, :] * ne[:, None])
+        return pd.Series(list(cos))
+
+    qid_arr = F.array(*[F.lit(i) for i in qids])
     pairs = (
-        F.broadcast(q)
-        .join(e2, F.col("vec_id") != F.col("query_id"))
-        .withColumn(
-            "cos",
-            F.round(
-                _dot_udf(F.col("qv"), F.col("embedding")) / (F.col("nq") * F.col("ne")), 4
-            ),
+        emb.select("vec_id", F.posexplode(_qcos(F.col("embedding"))).alias("pos", "raw"))
+        .select(
+            F.element_at(qid_arr, F.col("pos") + 1).cast("long").alias("query_id"),
+            "vec_id",
+            F.round(F.col("raw"), 4).alias("cos"),
         )
+        .filter(F.col("vec_id") != F.col("query_id"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (

@@ -71,6 +71,12 @@ def test_arrow_tokenize_kernel_matches_pandas_udf(spark):
             ("u-empty", ""),
             ("u-short", "a b c"),
             ("u-stop", "경우 사항 이상"),
+            # r6 RE2-split kernel: boundary separators, punctuation-only,
+            # consecutive separators, mixed-script runs, digits/slashes
+            ("u-bound", "  ,,spark!! data..  "),
+            ("u-punct", "!!! ... ,,,"),
+            ("u-mixed", "abc한글def 12/34 x9 ㄱ"),
+            ("u-upper", "SPARK Data TABLE mixedCASE"),
         ],
         "url string, text string",
     )
@@ -168,3 +174,165 @@ def test_fields_of_many_matches_fields_of(spark, tmp_path):
     batched = eng.fields_of_many(doc_ids)
     for d in doc_ids:
         assert batched[d] == eng.fields_of(d)
+
+
+def test_packed_shuffle_partials_identical(spark):
+    """The packed-blob encode path (pack map-side -> blob shuffle ->
+    _encode_packed_arrow) must emit exactly the partial rows of the
+    per-posting-row kernel — same (term, salt) groups, same encoded
+    blobs, byte for byte."""
+    from pyspark.sql import functions as F
+
+    from job_searchengine_project_spark.corpus import generate_webpages
+    from job_searchengine_project_spark.index.build import (
+        _PACKED_SCHEMA,
+        PARTIAL_SCHEMA,
+        _encode_packed_arrow,
+        _encode_partition_arrow,
+        _pack_partition_arrow,
+    )
+    from job_searchengine_project_spark.index.prepare import prepare_docs
+
+    pages = generate_webpages(spark, n_docs=500, vocab_size=400, seed=13)
+    fwd = prepare_docs(pages)
+    postings = (
+        fwd.select("doc_id", "doclen", F.explode("terms").alias("t"))
+        .select(
+            F.col("t.term").alias("term"), "doc_id",
+            F.col("t.tf").alias("tf"), "doclen",
+        )
+        # synthetic salts incl. multi-salt terms, like head-term splits
+        .withColumn("salt", (F.col("doc_id") % 3).cast("int"))
+    )
+    avgdl, bs = 37.5, 32
+    old = (
+        postings.repartition(8, "term", "salt")
+        .mapInArrow(
+            lambda it: _encode_partition_arrow(it, avgdl=avgdl, block_size=bs),
+            schema=PARTIAL_SCHEMA,
+        )
+        .collect()
+    )
+    new = (
+        postings.mapInArrow(
+            lambda it: _pack_partition_arrow(it, avgdl=avgdl),
+            schema=_PACKED_SCHEMA,
+        )
+        .repartition(8, "term", "salt")
+        .mapInArrow(
+            lambda it: _encode_packed_arrow(it, block_size=bs),
+            schema=PARTIAL_SCHEMA,
+        )
+        .collect()
+    )
+
+    def key(rows):
+        return {
+            (r["term"], r["salt"]): (
+                r["df"], r["first_doc"], bytes(r["doc_blob"]),
+                bytes(r["tf_blob"]), tuple(r["block_n"]),
+                tuple(r["block_last_doc"]), tuple(r["block_doc_bytes"]),
+                tuple(r["block_tf_bytes"]), tuple(r["block_max_tfnorm"]),
+            )
+            for r in rows
+        }
+
+    ko, kn = key(old), key(new)
+    assert ko == kn and len(ko) == len(old) == len(new)
+
+
+def test_pack_forward_matches_exploded_salted(spark):
+    """_pack_forward_arrow (forward nested rows, in-kernel salt +
+    term_bucket) must produce the same (term, salt) groups and blobs
+    as exploding + broadcast-salting + _pack_partition_arrow, and its
+    term_bucket must equal the JVM bucket_expr twin."""
+    from pyspark.sql import functions as F
+
+    from job_searchengine_project_spark.corpus import generate_webpages
+    from job_searchengine_project_spark.index.build import (
+        _PACKED_SCHEMA,
+        _PACKED_SCHEMA_B,
+        _pack_forward_arrow,
+        _pack_partition_arrow,
+        _term_bucket_py,
+    )
+    from job_searchengine_project_spark.index.prepare import prepare_docs
+
+    pages = generate_webpages(spark, n_docs=600, vocab_size=150, seed=21)
+    fwd = prepare_docs(pages).localCheckpoint()
+    n_docs = fwd.count()
+    avgdl = 40.0
+    # small target so several head terms get real multi-salt splits
+    target = 120
+    df_true = (
+        fwd.select(F.explode("terms").alias("t"))
+        .groupBy(F.col("t.term").alias("term"))
+        .agg(F.count("*").alias("df_est"))
+    )
+    head = df_true.filter(F.col("df_est") > target).select(
+        "term",
+        F.ceil(F.col("df_est") / target).cast("int").alias("n_salts"),
+    )
+    head_map = {r["term"]: int(r["n_salts"]) for r in head.collect()}
+    assert head_map, "fixture must exercise multi-salt head terms"
+
+    postings = fwd.select("doc_id", "doclen", F.explode("terms").alias("t")).select(
+        F.col("t.term").alias("term"), "doc_id",
+        F.col("t.tf").alias("tf"), "doclen",
+    )
+    rps = F.ceil(F.lit(n_docs) / F.col("n_salts"))
+    salted = (
+        postings.join(F.broadcast(head), "term", "left")
+        .withColumn("n_salts", F.coalesce(F.col("n_salts"), F.lit(1)))
+        .withColumn(
+            "salt",
+            F.when(F.col("n_salts") == 1, F.lit(0)).otherwise(
+                (F.col("doc_id") / rps).cast("int")
+            ),
+        )
+        .drop("n_salts")
+    )
+    # single partition each so both forms group over the same row sets
+    old = (
+        salted.coalesce(1)
+        .mapInArrow(
+            lambda it: _pack_partition_arrow(it, avgdl=avgdl),
+            schema=_PACKED_SCHEMA,
+        )
+        .collect()
+    )
+    new = (
+        fwd.select("doc_id", "doclen", "terms")
+        .coalesce(1)
+        .mapInArrow(
+            lambda it: _pack_forward_arrow(
+                it, avgdl=avgdl, n_docs=n_docs, head_map=head_map,
+                term_buckets=8,
+            ),
+            schema=_PACKED_SCHEMA_B,
+        )
+        .collect()
+    )
+
+    def key(rows):
+        out = {}
+        for r in rows:
+            k = (r["term"], r["salt"])
+            v = (bytes(r["docs_blob"]), bytes(r["tfs_blob"]), bytes(r["tfn_blob"]))
+            assert k not in out or out[k] == v
+            out.setdefault(k, []).append(v)
+        return out
+
+    def merge(rows):
+        # groups may split across Arrow batches: concat per (term, salt)
+        out = {}
+        for r in sorted(rows, key=lambda r: bytes(r["docs_blob"])[:8]):
+            k = (r["term"], r["salt"])
+            d, t, n = out.get(k, (b"", b"", b""))
+            out[k] = (d + bytes(r["docs_blob"]), t + bytes(r["tfs_blob"]),
+                      n + bytes(r["tfn_blob"]))
+        return out
+
+    assert merge(old) == merge(new)
+    for r in new:
+        assert r["term_bucket"] == _term_bucket_py(r["term"], 8)
