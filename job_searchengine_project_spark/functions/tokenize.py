@@ -193,14 +193,17 @@ def term_freqs_arrow_morph(batches):
             order_u = np.argsort(un)
             rank = np.empty(len(un), dtype=np.int64)
             rank[order_u] = np.arange(len(un))
-            sorted_un = un[order_u]
+            # term strings for the output resolve by C++ take on the
+            # SORTED dictionary — the old object-array gather built a
+            # Python string per emitted (doc, term) row (r6)
+            sorted_dict = pc.take(d.dictionary, pa.array(order_u))
             rows = np.repeat(np.arange(n, dtype=np.int64), n_i)
             keep = ukeep[codes]
             rc, rk = rank[codes][keep], rows[keep]
             order = np.lexsort((rc, rk))
             rc, rk = rc[order], rk[order]
         else:
-            sorted_un = np.empty(0, dtype=object)
+            sorted_dict = pa.array([], type=pa.string())
             rc = np.empty(0, dtype=np.int64)
             rk = np.empty(0, dtype=np.int64)
         if rc.size:
@@ -209,18 +212,19 @@ def term_freqs_arrow_morph(batches):
             change[1:] = (rk[1:] != rk[:-1]) | (rc[1:] != rc[:-1])
             starts = np.flatnonzero(change)
             tfs = np.diff(np.append(starts, rc.size))
-            uniq_terms = sorted_un[rc[starts]]
+            terms_flat = pc.take(sorted_dict, pa.array(rc[starts]))
             uniq_rows = rk[starts]
         else:
             tfs = np.empty(0, dtype=np.int64)
-            uniq_terms = np.empty(0, dtype=object)
+            terms_flat = pa.array([], type=pa.string())
             uniq_rows = rk
         per_row_terms = np.bincount(uniq_rows, minlength=n)
         offsets = np.zeros(n + 1, dtype=np.int32)
         np.cumsum(per_row_terms, out=offsets[1:])
         doclen = np.bincount(rk, minlength=n).astype(np.int32)
         struct = pa.StructArray.from_arrays(
-            [pa.array(uniq_terms, type=pa.string()),
+            [terms_flat.combine_chunks()
+             if isinstance(terms_flat, pa.ChunkedArray) else terms_flat,
              pa.array(tfs, type=pa.int32())],
             ["term", "tf"],
         )

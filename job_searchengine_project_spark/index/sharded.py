@@ -1253,9 +1253,23 @@ def match_docs_sharded(
 def _live_dv_table(spark: SparkSession, index_dir: str, col: str) -> DataFrame:
     """The doc-values sidecar of ``col`` as a distributed table with
     tombstoned docs anti-joined out — the scan every distributed
-    filter/agg starts from."""
+    filter/agg starts from.
+
+    Fielded layouts keep tombstones per sub-index (fields/<f>/deleted
+    — deletes apply the same batch to every field), never at the top
+    level; use the first sub-index's table there, exactly like the
+    driver twin FieldedSearchEngine.doc_values_docs (ADVICE r5 #1: the
+    old top-level-only lookup silently skipped the anti-join on
+    fielded dirs, so a distributed fielded spec-only query could
+    return tombstoned docs before a purge)."""
     dv = spark.read.parquet(os.path.join(index_dir, "docvalues", col))
     tomb_dir = os.path.join(index_dir, "deleted")
+    if not os.path.isdir(tomb_dir):
+        fields_dir = os.path.join(index_dir, "fields")
+        if os.path.isdir(fields_dir):
+            subs = sorted(os.listdir(fields_dir))
+            if subs:
+                tomb_dir = os.path.join(fields_dir, subs[0], "deleted")
     if os.path.isdir(tomb_dir):
         dv = dv.join(
             spark.read.parquet(tomb_dir).select("doc_id").distinct(),

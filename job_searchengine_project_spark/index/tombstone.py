@@ -150,6 +150,10 @@ def delete_docs(spark, index_dir: str, urls: list[str]) -> dict:
         use_extractor=stats.get("use_extractor", False),
         n_purged=stats.get("n_purged", 0),
         doc_values=stats.get("doc_values"),
+        # preserve the purge-replay guard (ADVICE r5 #2): dropping it
+        # in a stats rewrite inside the purge crash window would let a
+        # purge replay credit the same tombstones to n_purged twice
+        last_purge_fp=stats.get("last_purge_fp"),
     )
     os.remove(os.path.join(index_dir, PENDING_MARKER))
     return {"tombstoned": n}

@@ -347,6 +347,10 @@ def update_index(
         use_extractor=use_extractor,
         n_purged=stats.get("n_purged", 0),
         doc_values=stats.get("doc_values"),
+        # preserve the purge-replay guard (ADVICE r5 #2): dropping it
+        # in a stats rewrite inside the purge crash window would let a
+        # purge replay credit the same tombstones to n_purged twice
+        last_purge_fp=stats.get("last_purge_fp"),
     )
     if _fail_point == "after_commit":
         raise RuntimeError("injected crash after stats commit")

@@ -579,26 +579,44 @@ _SUPPORTED_BODY_KEYS = frozenset(
 def _match_terms_of(index_dir: str, stats: dict, q: dict) -> list[str]:
     """Every scoring match term of a request body (what ES highlights)
     — the distributed twin of SearchEngine._query_match_terms: match
-    leaves, persisted-table fuzzy expansions, bool scoring clauses."""
+    leaves, persisted-table fuzzy expansions, bool scoring clauses.
+
+    On a FIELDED index each leaf resolves to its field's sub-index
+    first (that field's analyzer and variant tables), exactly like
+    _hits_and_scope routes the hits — analyzing a fielded 2gram leaf
+    with the top-level default (morph) or expanding fuzzy against the
+    variants-less top level produced wrong/empty highlight terms
+    (ADVICE r5 #3)."""
     if not q:
         return []
+    manifest = _fielded_manifest(index_dir)
+
+    def leaf_ctx(leaf_spec: dict) -> tuple[str, dict]:
+        if manifest is None:
+            return index_dir, stats
+        field, _t = _leaf_field_text(leaf_spec)
+        return _field_sub(index_dir, manifest, field)
+
     ((kind, spec),) = q.items()
     if kind in ("match", "match_phrase"):
-        return _analyze(stats, _leaf_field_text(spec)[1])
+        sub, sub_stats = leaf_ctx(spec)
+        return _analyze(sub_stats, _leaf_field_text(spec)[1])
     if kind == "fuzzy":
         from job_searchengine_project_spark.index.fuzzy import fuzzy_expand_terms
 
+        sub, _sub_stats = leaf_ctx(spec)
         ((_, val),) = spec.items()
         term = val.get("value") if isinstance(val, dict) else val
         fuzz = int(val.get("fuzziness", 1)) if isinstance(val, dict) else 1
-        return fuzzy_expand_terms(index_dir, [term], max_edits=fuzz)
+        return fuzzy_expand_terms(sub, [term], max_edits=fuzz)
     if kind == "bool":
         terms: list[str] = []
         for key in ("must", "should", "filter"):
             for c in spec.get(key, []):
                 ((ck, cs),) = c.items()
                 if ck == "match":
-                    terms.extend(_analyze(stats, _leaf_field_text(cs)[1]))
+                    sub, sub_stats = leaf_ctx(cs)
+                    terms.extend(_analyze(sub_stats, _leaf_field_text(cs)[1]))
         return sorted(set(terms))
     return []
 

@@ -1020,8 +1020,17 @@ class SearchEngine:
             ]
             if not seq:
                 return []
+            # honor the leaf's max_expansions like the search path does
+            # (ADVICE r5 #4: a hardcoded 50 made explain/highlight term
+            # sets diverge from the ranked hit set)
+            ((_f, val),) = spec.items()
+            mx = (
+                int(val.get("max_expansions", 50))
+                if isinstance(val, dict)
+                else 50
+            )
             return sorted(
-                set(seq[:-1]) | set(prefix_terms(self.index_dir, seq[-1])[:50])
+                set(seq[:-1]) | set(prefix_terms(self.index_dir, seq[-1])[:mx])
             )
         if kind == "fuzzy":
             ((_, val),) = spec.items()

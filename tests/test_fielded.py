@@ -607,3 +607,50 @@ def test_sharded_bool_fielded_filter_specs(spark, fielded_full):
         ).collect()
     ]
     assert got0 == sorted(gate)
+
+
+def test_fielded_spec_only_filter_excludes_tombstones(
+    spark, fielded_full, tmp_path
+):
+    """ADVICE r5 #1 regression: fielded layouts keep tombstones per
+    sub-index (fields/<f>/deleted); the distributed doc-values filter
+    used to anti-join only <dir>/deleted (absent on fielded dirs), so
+    a spec-only fielded query returned tombstoned docs and inflated
+    totals until a purge. It must match the driver twin
+    (FieldedSearchEngine.doc_values_docs: first sub-index tombstones)."""
+    import shutil
+
+    from job_searchengine_project_spark.index.sharded import (
+        dv_filter_docs_sharded,
+    )
+    from job_searchengine_project_spark.index.tombstone import delete_docs
+    from job_searchengine_project_spark.search.cluster import query_sharded
+
+    out = str(tmp_path / "idx_fielded_del")
+    shutil.copytree(fielded_full, out)
+    feng = FieldedSearchEngine(out)
+    before = feng.doc_values_docs("n_chars", gte=300)
+    assert before
+    victim = sorted(before)[0]
+    url = feng.engine("body").url_of(victim)
+    for f in ("body", "title"):  # fielded deletes apply to every field
+        delete_docs(spark, os.path.join(out, "fields", f), [url])
+
+    got = {
+        int(r["doc_id"])
+        for r in dv_filter_docs_sharded(
+            spark, out, {"col": "n_chars", "gte": 300}
+        ).collect()
+    }
+    want = FieldedSearchEngine(out).doc_values_docs("n_chars", gte=300)
+    assert victim not in got
+    assert got == set(want)
+
+    # end-to-end: the distributed spec-only request's exact total
+    # agrees with the driver fielded engine after the delete
+    body = {
+        "query": {"range": {"n_chars": {"gte": 300}}},
+        "size": 0,
+    }
+    got_total = query_sharded(spark, out, body)["hits"]["total"]["value"]
+    assert got_total == len(want)
