@@ -49,6 +49,7 @@ from job_searchengine_project_spark.index.sharded import (
     _attach_urls_pruned,
     _clamp_k,
     _enc_from_row,
+    _global_df_map,
     _load_meta,
     _load_shard_norms,
     _shard_dv_docs,
@@ -157,10 +158,16 @@ def _field_scan(
         )
     if segs is None:
         return None, {}, 0
-    df_map = {
-        (r["field"], r["term"]): int(r["df"])
-        for r in segs.groupBy("field", "term").agg(F.sum("df").alias("df")).collect()
-    }
+    # per-(field, term) global df via the driver-side pyarrow read
+    # (index/sharded.py _global_df_map) — the Spark groupBy+collect
+    # paid one job-scheduling round-trip per fielded query (r6)
+    df_map: dict[tuple[str, str], int] = {}
+    for field in sorted(terms_by_field):
+        terms = sorted(set(terms_by_field[field]))
+        if not terms:
+            continue
+        for t, n in _global_df_map(_sub_dir(fielded_dir, field), terms).items():
+            df_map[(field, t)] = n
     return segs, df_map, int(rng)
 
 
