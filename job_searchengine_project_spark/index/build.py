@@ -546,6 +546,31 @@ def _merge_partition(batches, term_buckets: int):
         return
     pdf = pdf.sort_values(["term", "first_doc"], kind="stable")
     with_pos = "pos_blob" in pdf.columns
+    # vectorized singleton fast path (r6): almost every term has ONE
+    # partial (multi-part terms are only the salted head), and the
+    # per-row iloc/to_dict pandas loop over tens of thousands of
+    # singleton terms dominated this kernel. Row CONTENT is unchanged
+    # (same passthrough + bytes normalization; output order is
+    # restored by the writer's sortWithinPartitions("term")).
+    dup = pdf["term"].duplicated(keep=False)
+    singles = pdf[~dup]
+    out_frames = []
+    if len(singles):
+        single_out = singles.drop(columns=["salt"]).copy()
+        single_out["doc_blob"] = single_out["doc_blob"].map(bytes)
+        single_out["tf_blob"] = single_out["tf_blob"].map(bytes)
+        if with_pos:
+            single_out["pos_blob"] = single_out["pos_blob"].map(
+                lambda b: bytes(b or b"")
+            )
+            single_out["block_pos_bytes"] = single_out["block_pos_bytes"].map(
+                lambda v: [] if v is None else v
+            )
+        single_out["term_bucket"] = [
+            _term_bucket_py(str(t), term_buckets) for t in single_out["term"]
+        ]
+        out_frames.append(single_out)
+    pdf = pdf[dup]
     rows = []
     for term, grp in pdf.groupby("term", sort=False):
         if len(grp) == 1:
@@ -583,7 +608,11 @@ def _merge_partition(batches, term_buckets: int):
             )
         row["term_bucket"] = _term_bucket_py(str(term), term_buckets)
         rows.append(row)
-    yield pd.DataFrame(rows)
+    if rows:
+        out_frames.append(pd.DataFrame(rows))
+    if not out_frames:
+        return
+    yield pd.concat(out_frames, ignore_index=True)
 
 
 def _term_bucket_py(term: str, buckets: int) -> int:
