@@ -343,7 +343,9 @@ def _attach_urls_pruned(spark: SparkSession, index_dir: str, top: DataFrame) -> 
         (*r, url_of[int(r["doc_id"])]) for r in rows if int(r["doc_id"]) in url_of
     ]
     schema = StructType(top.schema.fields + [StructField("url", StringType())])
-    return spark.createDataFrame(out_rows, schema)
+    from job_searchengine_project_spark.iolayout import local_df
+
+    return local_df(spark, out_rows, schema)
 
 
 def fetch_urls_map(index_dir: str, doc_ids: list[int]) -> dict[int, str]:

@@ -56,3 +56,28 @@ def read_spread(spark: SparkSession, path: str) -> DataFrame:
     if scan_units(path) >= par:
         return df
     return df.repartition(par)
+
+
+def local_df(spark: SparkSession, rows, schema) -> DataFrame:
+    """Tiny driver-local result set as a LocalRelation.
+
+    ``spark.createDataFrame(list, ddl)`` builds an RDD-backed plan
+    whose every ``collect()`` pays a full one-task Spark job (~0.3 s
+    of scheduling on this box) — the dominant cost of every
+    driver-engine query's result materialization. Routing the same
+    rows through a pandas frame with an EXPLICIT schema plans a
+    ``LocalTableScan`` (Arrow conversion), whose collect is job-free.
+    Values are identical (same schema coercion; exact ints/doubles
+    pass through Arrow untouched). Falls back to the classic path for
+    anything pandas/Arrow cannot represent."""
+    import pandas as pd
+    from pyspark.sql.types import _parse_datatype_string
+
+    st = _parse_datatype_string(schema) if isinstance(schema, str) else schema
+    try:
+        pdf = pd.DataFrame(
+            [tuple(r) for r in rows], columns=[f.name for f in st.fields]
+        )
+        return spark.createDataFrame(pdf, schema=st)
+    except Exception:
+        return spark.createDataFrame(rows, st)

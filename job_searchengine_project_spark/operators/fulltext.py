@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from job_searchengine_project_spark import BM25_B, BM25_K1
-from job_searchengine_project_spark.iolayout import read_spread
+from job_searchengine_project_spark.iolayout import local_df, read_spread
 
 QUERY_TERMS = ["spark", "data", "table"]
 K = 10
@@ -216,7 +216,7 @@ def wand_bm25_top10(spark, sf_dir: str) -> DataFrame:
         ((int(h.url.split("doc://")[1]), round(h.score, 4)) for h in hits),
         key=lambda r: (-r[1], r[0]),
     )[:K]
-    return spark.createDataFrame(rows, "doc_id bigint, score double")
+    return local_df(spark, rows, "doc_id bigint, score double")
 
 
 TWOGRAM_QUERY = "spark"  # analyzed to ['sp','pa','ar','rk'] on both sides
@@ -233,7 +233,7 @@ def wand_2gram_top10(spark, sf_dir: str) -> DataFrame:
         ((int(h.url.split("doc://")[1]), round(h.score, 4)) for h in hits),
         key=lambda r: (-r[1], r[0]),
     )[:K]
-    return spark.createDataFrame(rows, "doc_id bigint, score double")
+    return local_df(spark, rows, "doc_id bigint, score double")
 
 
 def _twogram_sql(query: str, limit: int) -> str:
@@ -304,7 +304,7 @@ def update_compact_top10(spark, sf_dir: str) -> DataFrame:
         ((int(h.url.split("doc://")[1]), round(h.score, 4)) for h in hits),
         key=lambda r: (-r[1], r[0]),
     )[:K]
-    return spark.createDataFrame(rows, "doc_id bigint, score double")
+    return local_df(spark, rows, "doc_id bigint, score double")
 
 
 def _update_compact_sql(terms: list[str], limit: int) -> str:
@@ -375,7 +375,7 @@ def fielded_search_top10(spark, sf_dir: str) -> DataFrame:
         ((int(h.url.split("doc://")[1]), round(h.score, 4)) for h in hits),
         key=lambda r: (-r[1], r[0]),
     )[:K]
-    return spark.createDataFrame(rows, "doc_id bigint, score double")
+    return local_df(spark, rows, "doc_id bigint, score double")
 
 
 def multi_field_top10(spark, sf_dir: str) -> DataFrame:
@@ -389,7 +389,7 @@ def multi_field_top10(spark, sf_dir: str) -> DataFrame:
         ((int(url_of(d).split("doc://")[1]), round(s, 4)) for d, s in top),
         key=lambda r: (-r[1], r[0]),
     )[:K]
-    return spark.createDataFrame(rows, "doc_id bigint, score double")
+    return local_df(spark, rows, "doc_id bigint, score double")
 
 
 def _field_scored_cte(name: str, text_expr: str, terms: list[str]) -> str:
@@ -457,7 +457,7 @@ def multi_field_best_top10(spark, sf_dir: str) -> DataFrame:
         ((int(url_of(d).split("doc://")[1]), round(s, 4)) for d, s in top),
         key=lambda r: (-r[1], r[0]),
     )[:K]
-    return spark.createDataFrame(rows, "doc_id bigint, score double")
+    return local_df(spark, rows, "doc_id bigint, score double")
 
 
 def _multi_field_best_sql(terms: list[str], limit: int) -> str:
@@ -502,7 +502,7 @@ def _rows_from_sharded(spark, df) -> DataFrame:
         ),
         key=lambda r: (-r[1], r[0]),
     )[:K]
-    return spark.createDataFrame(rows, "doc_id bigint, score double")
+    return local_df(spark, rows, "doc_id bigint, score double")
 
 
 def multi_field_sharded_top10(spark, sf_dir: str) -> DataFrame:
@@ -553,7 +553,7 @@ def best_fields_sharded_top10(spark, sf_dir: str) -> DataFrame:
         ),
         key=lambda r: (-r[1], r[0]),
     )[:K]
-    return spark.createDataFrame(rows, "doc_id bigint, score double")
+    return local_df(spark, rows, "doc_id bigint, score double")
 
 
 def bool_fielded_sharded_top10(spark, sf_dir: str) -> DataFrame:
@@ -646,7 +646,7 @@ def upsert_delete_top10(spark, sf_dir: str) -> DataFrame:
         ((int(h.url.split("doc://")[1]), round(h.score, 4)) for h in hits),
         key=lambda r: (-r[1], r[0]),
     )[:K]
-    return spark.createDataFrame(rows, "doc_id bigint, score double")
+    return local_df(spark, rows, "doc_id bigint, score double")
 
 
 def upsert_purge_top10(spark, sf_dir: str) -> DataFrame:
@@ -659,7 +659,7 @@ def upsert_purge_top10(spark, sf_dir: str) -> DataFrame:
         ((int(h.url.split("doc://")[1]), round(h.score, 4)) for h in hits),
         key=lambda r: (-r[1], r[0]),
     )[:K]
-    return spark.createDataFrame(rows, "doc_id bigint, score double")
+    return local_df(spark, rows, "doc_id bigint, score double")
 
 
 def _upsert_sql(terms: list[str], limit: int, purge: bool) -> str:
@@ -735,7 +735,7 @@ def phrase_2gram_top10(spark, sf_dir: str) -> DataFrame:
         ((int(h.url.split("doc://")[1]), round(h.score, 4)) for h in hits),
         key=lambda r: (-r[1], r[0]),
     )[:K]
-    return spark.createDataFrame(rows, "doc_id bigint, score double")
+    return local_df(spark, rows, "doc_id bigint, score double")
 
 
 def _phrase_2gram_sql(phrase: str, limit: int) -> str:
@@ -794,7 +794,7 @@ def highlight_top10(spark, sf_dir: str) -> DataFrame:
         ),
         key=lambda r: (-r[1], r[0]),
     )[:K]
-    return spark.createDataFrame(rows, "doc_id bigint, score double, hl string")
+    return local_df(spark, rows, "doc_id bigint, score double, hl string")
 
 
 def _highlight_sql(limit: int) -> str:
@@ -883,7 +883,7 @@ def highlight_fragments(spark, sf_dir: str) -> DataFrame:
         for d, s, frags in docs
         for fi, frag in enumerate(frags)
     ]
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "doc_id bigint, score double, fi bigint, frag string"
     )
 
@@ -946,7 +946,7 @@ def get_doc(spark, sf_dir: str) -> DataFrame:
     eng = _engine_for(spark, sf_dir)
     r = eng.get(f"doc://{GET_DOC_ID:08d}")
     assert r["found"]
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(GET_DOC_ID, r["_source"]["body"])], "doc_id bigint, text string"
     )
 
@@ -980,7 +980,7 @@ def prefix_top10(spark, sf_dir: str) -> DataFrame:
     eng = _termdict_index_for(spark, sf_dir)
     hits = eng.search_prefix(PREFIX_QUERY, k=10**7, with_urls=True)
     ids = sorted(int(h.url.split("doc://")[1]) for h in hits)[:K]
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(i, 1.0) for i in ids], "doc_id bigint, score double"
     )
 
@@ -1009,7 +1009,7 @@ def wildcard_match_count(spark, sf_dir: str) -> DataFrame:
     terms = wildcard_terms(eng.index_dir, WILDCARD_QUERY)
     idx = _sharded_index_for(spark, sf_dir)
     n = match_docs_sharded(spark, idx, terms).count()
-    return spark.createDataFrame([(n,)], "count bigint")
+    return local_df(spark, [(n,)], "count bigint")
 
 
 WILDCARD_COUNT_SQL = """
@@ -1050,7 +1050,7 @@ def phrase_prefix_top10(spark, sf_dir: str) -> DataFrame:
     hits = eng.search_phrase_prefix(PP_QUERY, k=10**7)
     eng._fetch_urls([h.doc_id for h in hits])
     ids = sorted(int(eng.url_of(h.doc_id).split("doc://")[1]) for h in hits)[:K]
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(i, 1.0) for i in ids], "doc_id bigint, score double"
     )
 
@@ -1127,7 +1127,7 @@ def phrase_slop_top10(spark, sf_dir: str) -> DataFrame:
         ((int(h.url.split("doc://")[1]), round(h.score, 4)) for h in hits),
         key=lambda r: (-r[1], r[0]),
     )[:K]
-    return spark.createDataFrame(rows, "doc_id bigint, score double")
+    return local_df(spark, rows, "doc_id bigint, score double")
 
 
 def _phrase_slop_sql(limit: int) -> str:
@@ -1185,7 +1185,7 @@ def search_after_top10(spark, sf_dir: str) -> DataFrame:
         ),
         key=lambda r: (-r[1], r[0]),
     )
-    return spark.createDataFrame(rows, "doc_id bigint, score double")
+    return local_df(spark, rows, "doc_id bigint, score double")
 
 
 # ---- doc-values range/term filters -------------------------------------------
@@ -1265,7 +1265,7 @@ def range_filter_top10(spark, sf_dir: str) -> DataFrame:
         ),
         key=lambda r: (-r[1], r[0]),
     )[:K]
-    return spark.createDataFrame(rows, "doc_id bigint, score double")
+    return local_df(spark, rows, "doc_id bigint, score double")
 
 
 def _range_filter_sql(limit: int) -> str:
@@ -1322,7 +1322,7 @@ def sort_by_field_top10(spark, sf_dir: str) -> DataFrame:
         ),
         key=lambda r: (-r[1], r[0]),
     )[:K]
-    return spark.createDataFrame(rows, "doc_id bigint, n_chars bigint")
+    return local_df(spark, rows, "doc_id bigint, n_chars bigint")
 
 
 SORT_BY_FIELD_SQL = f"""
@@ -1352,7 +1352,7 @@ def match_count(spark, sf_dir: str) -> DataFrame:
             }
         }
     )["count"]
-    return spark.createDataFrame([(n,)], "count bigint")
+    return local_df(spark, [(n,)], "count bigint")
 
 
 MATCH_COUNT_SQL = f"""
@@ -1383,7 +1383,7 @@ def terms_agg(spark, sf_dir: str) -> DataFrame:
         (b["key"], int(b["doc_count"]))
         for b in resp["aggregations"]["langs"]["buckets"]
     ]
-    return spark.createDataFrame(rows, "key string, doc_count bigint")
+    return local_df(spark, rows, "key string, doc_count bigint")
 
 
 TERMS_AGG_SQL = """
@@ -1415,7 +1415,7 @@ def histogram_agg(spark, sf_dir: str) -> DataFrame:
         (float(b["key"]), int(b["doc_count"]))
         for b in resp["aggregations"]["h"]["buckets"]
     ]
-    return spark.createDataFrame(rows, "key double, doc_count bigint")
+    return local_df(spark, rows, "key double, doc_count bigint")
 
 
 HISTOGRAM_AGG_SQL = f"""
@@ -1445,7 +1445,7 @@ def _metric_rows(spark, resp) -> DataFrame:
         round(float(a["avg"]["value"]), 4),
         int(a["cardinality"]["value"]),
     )
-    return spark.createDataFrame(
+    return local_df(spark, 
         [row], "cnt bigint, mn bigint, mx bigint, sm bigint, av double, cd bigint"
     )
 
@@ -1515,7 +1515,7 @@ def _subagg_rows(spark, resp) -> DataFrame:
         )
         for b in resp["aggregations"]["langs"]["buckets"]
     ]
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows,
         "key string, doc_count bigint, avg_chars double, "
         "max_chars bigint, distinct_chars bigint",
@@ -1572,7 +1572,7 @@ def _dh_rows(spark, resp) -> DataFrame:
         (int(b["key"]), int(b["doc_count"]))
         for b in resp["aggregations"]["per_day"]["buckets"]
     ]
-    return spark.createDataFrame(rows, "key bigint, doc_count bigint")
+    return local_df(spark, rows, "key bigint, doc_count bigint")
 
 
 def date_histogram_agg(spark, sf_dir: str) -> DataFrame:
@@ -1623,7 +1623,7 @@ _PCT_BODY = {
 def _pct_rows(spark, resp) -> DataFrame:
     vals = resp["aggregations"]["p"]["values"]
     rows = [(float(p), round(float(vals[str(p)]), 4)) for p in PCTS]
-    return spark.createDataFrame(rows, "percent double, value double")
+    return local_df(spark, rows, "percent double, value double")
 
 
 def percentiles_agg(spark, sf_dir: str) -> DataFrame:
@@ -1686,7 +1686,7 @@ def dsl_bool_top10(spark, sf_dir: str) -> DataFrame:
         ),
         key=lambda r: (-r[1], r[0]),
     )[:K]
-    return spark.createDataFrame(rows, "doc_id bigint, score double")
+    return local_df(spark, rows, "doc_id bigint, score double")
 
 
 def dsl_sharded_top10(spark, sf_dir: str) -> DataFrame:
@@ -1720,7 +1720,7 @@ def dsl_sharded_top10(spark, sf_dir: str) -> DataFrame:
         ),
         key=lambda r: (-r[1], r[0]),
     )[:K]
-    return spark.createDataFrame(rows, "doc_id bigint, score double")
+    return local_df(spark, rows, "doc_id bigint, score double")
 
 
 CURSOR_SORT = [{"_score": "desc"}, {"_doc": "asc"}]
@@ -1756,7 +1756,7 @@ def dsl_sharded_search_after(spark, sf_dir: str) -> DataFrame:
         ),
         key=lambda r: (-r[1], r[0]),
     )
-    return spark.createDataFrame(rows, "doc_id bigint, score double")
+    return local_df(spark, rows, "doc_id bigint, score double")
 
 
 MS_Q1 = QUERY_TERMS
@@ -1788,7 +1788,7 @@ def msearch_top5(spark, sf_dir: str) -> DataFrame:
             key=lambda t: (-t[1], t[0]),
         )[:MS_K]
         rows += [(f"q{qi}", d, s) for d, s in docs]
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "query_id string, doc_id bigint, score double"
     )
 
@@ -1849,7 +1849,7 @@ def fuzzy_top10(spark, sf_dir: str) -> DataFrame:
         ((int(h.url.split("doc://")[1]), round(h.score, 4)) for h in hits),
         key=lambda r: (-r[1], r[0]),
     )[:K]
-    return spark.createDataFrame(rows, "doc_id bigint, score double")
+    return local_df(spark, rows, "doc_id bigint, score double")
 
 
 def _fuzzy_sql(limit: int) -> str:
@@ -1910,7 +1910,7 @@ def wand_sharded_top10(spark, sf_dir: str) -> DataFrame:
         ),
         key=lambda r: (-r[1], r[0]),
     )[:K]
-    return spark.createDataFrame(rows, "doc_id bigint, score double")
+    return local_df(spark, rows, "doc_id bigint, score double")
 
 
 def _sharded_dv_index_for(spark: SparkSession, sf_dir: str) -> str:
@@ -1956,7 +1956,7 @@ def bool_sharded_filter_top10(spark, sf_dir: str) -> DataFrame:
         ),
         key=lambda r: (-r[1], r[0]),
     )[:K]
-    return spark.createDataFrame(rows, "doc_id bigint, score double")
+    return local_df(spark, rows, "doc_id bigint, score double")
 
 
 def _broad_filter_sql(limit: int) -> str:
@@ -2049,7 +2049,7 @@ def fuzzy_sharded_top10(spark, sf_dir: str) -> DataFrame:
         ),
         key=lambda r: (-r[1], r[0]),
     )[:K]
-    return spark.createDataFrame(rows, "doc_id bigint, score double")
+    return local_df(spark, rows, "doc_id bigint, score double")
 
 
 def bool_sharded_top10(spark, sf_dir: str) -> DataFrame:
@@ -2070,7 +2070,7 @@ def bool_sharded_top10(spark, sf_dir: str) -> DataFrame:
         ),
         key=lambda r: (-r[1], r[0]),
     )[:K]
-    return spark.createDataFrame(rows, "doc_id bigint, score double")
+    return local_df(spark, rows, "doc_id bigint, score double")
 
 
 # ---- ES bool with per-clause field targeting ---------------------------------
@@ -2094,7 +2094,7 @@ def bool_fielded_top10(spark, sf_dir: str) -> DataFrame:
         ((int(url_of(d).split("doc://")[1]), round(s, 4)) for d, s in top),
         key=lambda r: (-r[1], r[0]),
     )[:K]
-    return spark.createDataFrame(rows, "doc_id bigint, score double")
+    return local_df(spark, rows, "doc_id bigint, score double")
 
 
 def _bool_fielded_sql(limit: int) -> str:
@@ -2142,7 +2142,7 @@ def bool_query_top10(spark, sf_dir: str) -> DataFrame:
         ((int(h.url.split("doc://")[1]), round(h.score, 4)) for h in hits),
         key=lambda r: (-r[1], r[0]),
     )[:K]
-    return spark.createDataFrame(rows, "doc_id bigint, score double")
+    return local_df(spark, rows, "doc_id bigint, score double")
 
 
 def _bool_sql(limit: int) -> str:

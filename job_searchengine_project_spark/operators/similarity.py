@@ -44,7 +44,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from job_searchengine_project_spark.iolayout import read_spread
+from job_searchengine_project_spark.iolayout import local_df, read_spread
 
 N_QUERY = 10  # query vectors: vec_id < N_QUERY
 TOP_K = 5
@@ -364,7 +364,7 @@ def ann_lsh_recall(spark, sf_dir: str) -> DataFrame:
     n_true = truth.count()
     n_found = found.join(truth, ["id_a", "id_b"], "left_semi").count()
     recall = round(n_found / n_true, 4) if n_true else 1.0
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(n_true, n_found, recall)], "n_true long, n_found long, recall double"
     )
 
@@ -520,7 +520,7 @@ def ann_lsh_hi_recall(spark, sf_dir: str) -> DataFrame:
     n_true = truth.count()
     n_found = found.join(truth, ["id_a", "id_b"], "left_semi").count()
     recall = round(n_found / n_true, 4) if n_true else 1.0
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(n_true, n_found, recall)], "n_true long, n_found long, recall double"
     )
 
@@ -826,7 +826,7 @@ def _codebook_for(
             persist_codebook(spark, emb, cdir, nlist=nlist, iters=iters)
             loaded = load_codebook(cdir)
         _CODEBOOK_CACHE[key] = loaded
-    return spark.createDataFrame(
+    return local_df(spark, 
         _CODEBOOK_CACHE[key], "centroid_id bigint, cv array<double>"
     )
 
